@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Access to the harness parquet tables (TESTDATA.md) plus session knobs
+  * shared by every entry point.
+  *
+  * Scale note: all reads go through `spark.read.parquet` so Catalyst gets
+  * predicate pushdown / column pruning on the scan; callers must never
+  * collect a table to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table carries parquet TIMESTAMP(NANOS) which Spark 4
+    * rejects by default. We read nanos as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive epoch-micros
+    * with floor division — exactly DuckDB's ns→us truncation, so the
+    * oracle comparison is integer-exact and completely timezone-free.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+  }
+}

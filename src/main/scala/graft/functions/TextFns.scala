@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline
+  * (tokenization, quality scoring, language-ID heuristic, document
+  * fingerprinting). Everything here composes codegen'd built-ins —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
+  * predicates on the outputs remain pushable.
+  */
+object TextFns {
+
+  /** Split on single spaces (empty tokens preserved — matches the
+    * behavior of a literal-separator split in other engines).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Split on whitespace runs. */
+  def tokensWs(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles (distinct not applied; see `MinHashLsh`).
+    * Requires at least n tokens; shorter texts yield an empty array.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Share of characters outside [a-z0-9 ] — crude punctuation/noise
+    * ratio used for quality filtering.
+    */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-z0-9 ]", "")) / length(text), 4)
+
+  /** Mean token length computed exactly from integer counts:
+    * (chars - spaces) / n_tokens.
+    */
+  def meanTokenLength(text: Column): Column = {
+    val spaces = length(text) - length(regexp_replace(text, " ", ""))
+    round((length(text) - spaces) / (spaces + 1), 4)
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, tok => tok.isin(stopwords.map(x => x: Any): _*)))
+    round(hits / size(t), 4)
+  }
+
+  /** Marker-word language scores + deterministic argmax. Scores are
+    * counts of tokens in each language's marker set; ties resolve in
+    * the fixed order en > de > fr.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val t = tokens(text)
+    size(filter(t, tok => tok.isin(langMarkers(lang).map(x => x: Any): _*)))
+  }
+
+  def langIdentify(text: Column): Column = {
+    val en = langScore(text, "en")
+    val de = langScore(text, "de")
+    val fr = langScore(text, "fr")
+    when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Canonical document fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector similarity primitives.
+  *
+  * Determinism design: float dot products are order-sensitive, so we
+  * *quantize* each component to a long (round(x * 10000)) first. Long
+  * sums are associative — the dot product and squared norms are exact
+  * integers regardless of partitioning or aggregation order, and the
+  * final cosine (one double division + two IEEE sqrt) is bit-identical
+  * on every engine. This is what makes brute-force KNN hash-checkable
+  * against an external oracle, and reproducible run-to-run at scale.
+  *
+  * All functions compose `zip_with`/`aggregate`/`transform` — codegen'd
+  * higher-order functions, no UDFs, no per-row boxing.
+  */
+object VecFns {
+  val Scale = 10000
+
+  /** Array[Float] → Array[Long], component-wise round(x * Scale). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * Scale, 0).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity from precomputed integer dot/normSq values. */
+  def cosineFromQ(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Sign bit of a deterministic pseudo-random hyperplane projection.
+    * Hyperplane j's weight for component i is ±1 derived from the
+    * first hex char of md5("j_i") — reproducible everywhere, no RNG
+    * state to ship to executors.
+    */
+  /** ±1 weight of hyperplane j, component i — first md5 hex char < '8'. */
+  def hyperplaneWeight(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+  }
+
+  def hyperplaneBit(vq: Column, j: Int, dim: Int): Column = {
+    val signedSum = (0 until dim).map { i =>
+      element_at(vq, i + 1) * lit(hyperplaneWeight(j, i))
+    }.reduce(_ + _)
+    when(signedSum >= 0, lit(1L << j)).otherwise(lit(0L))
+  }
+
+  /** LSH bucket id: `nPlanes`-bit signature of hyperplane sign bits. */
+  def lshBucket(vq: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map(j => hyperplaneBit(vq, j, dim)).reduce(_ + _).cast("long")
+}

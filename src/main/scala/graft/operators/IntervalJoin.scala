@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) overlap join — the browser query the reference's
+  * index set is built for (SURVEY.md §1.4, §2.10: gene-in-block
+  * containment, SNP-in-gene, band overlap; e.g. the
+  * `gene(gene_taxonid, gene_chr, gene_start_pos/end_pos)` indexes at
+  * `import_genes_exons.py:58-61`).
+  *
+  * Two physical strategies:
+  *
+  *  - `naive`: equi-join on the partition keys (taxon, chr, …) with the
+  *    overlap predicate as a residual filter. Catalyst plans a shuffled
+  *    hash join on the keys; fine when per-key cardinality is modest.
+  *
+  *  - `binned`: the scale path. Both sides explode their interval into
+  *    fixed-width bins, the join becomes a pure equi-join on
+  *    (keys, bin) — hash-partitionable, AQE-skew-splittable — and the
+  *    exact overlap predicate filters bin collisions. A matched pair
+  *    would appear once per shared bin, so we keep only the bin that
+  *    contains the overlap start: dedup *by construction*, no
+  *    `distinct()` shuffle. Per-row cost is O(interval_len / binWidth),
+  *    so pick binWidth ≈ median interval length.
+  */
+object IntervalJoin {
+
+  /** Equi-key + residual-range join. `leftDf`/`rightDf` must have
+    * disjoint column names apart from `keys`.
+    */
+  def naive(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[String],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      extraCondition: Column = lit(true)): DataFrame = {
+    val overlap = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+    if (keys.isEmpty) leftDf.join(rightDf, overlap && extraCondition)
+    else leftDf.join(rightDf, keys).filter(overlap && extraCondition)
+  }
+
+  /** Bin-exploded equi-join; result set identical to `naive`. */
+  def binned(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[String],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binWidth: Long,
+      extraCondition: Column = lit(true)): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn(
+        "__bin",
+        explode(sequence(
+          floor(col(s) / binWidth).cast("long"),
+          floor(greatest(col(e), col(s)) / binWidth).cast("long"))))
+    val lb = explodeBins(leftDf, lStart, lEnd)
+    val rb = explodeBins(rightDf, rStart, rEnd).withColumnRenamed("__bin", "__rbin")
+    val joinKeys = keys.foldLeft(col("__bin") === col("__rbin")) {
+      case (acc, k) => acc && lb(k) === rb(k)
+    }
+    val overlap = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+    val anchorBin = col("__bin") === floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long")
+    val rightCols = rightDf.columns.filterNot(keys.contains).map(rb(_))
+    val leftCols = leftDf.columns.map(lb(_))
+    lb.join(rb, joinKeys)
+      .filter(overlap && anchorBin && extraCondition)
+      .select((leftCols ++ rightCols).toSeq: _*)
+  }
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{MinHashLsh, SimHash, TextFns}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline queries over the `documents` table: exact +
+  * near dedup (MinHash/LSH, n-gram Jaccard, SimHash), text analysis
+  * (tokens, quality, language-ID, fingerprints), and the multimodal
+  * binary-column stub.
+  *
+  * Oracle parity notes:
+  *  - shingling = word n-grams over a literal single-space split, so
+  *    DuckDB's `string_split` and Spark's `split` agree exactly;
+  *  - all hashes are md5 hex strings (portable); MinHash compares
+  *    digests lexicographically — a total order is all MinHash needs;
+  *  - SimHash bit extraction is integer arithmetic on hex nibbles.
+  */
+object DocQueries {
+
+  private val MinhashK = 12
+  private val Bands = 4
+
+  /** DuckDB CTEs producing distinct (doc_id, sh) word n-gram shingles. */
+  private def shingleCtes(n: Int, withSource: Boolean = false): String = {
+    val src = if (withSource) ", source" else ""
+    val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id$src, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id$src, t, unnest(range(1, greatest(len(t) - ${n - 2}, 1))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id$src, $gram AS sh FROM idx WHERE i + ${n - 1} <= len(t))"""
+  }
+
+  private def sigSelect: String =
+    (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS s$i").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: hash-groupBy ---------------------------------
+    "q21_doc_exact_dedup" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies")
+          .orderBy("keep_id"),
+      oracle = Some("""
+        SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // ---- token counting --------------------------------------------
+    "q22_doc_tokens" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+            size(TextFns.tokensWs(col("text"))).cast("long").as("n_ws_tokens"),
+            length(col("text")).cast("long").as("n_chars_actual"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+               length(text) AS n_chars_actual
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring -------------------------------------------
+    "q23_doc_quality" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_actual"),
+            TextFns.punctRatio(col("text")).as("punct_ratio"),
+            TextFns.meanTokenLength(col("text")).as("mean_tok_len"),
+            TextFns.stopwordRatio(col("text"),
+              Seq("the", "a", "of", "and", "to")).as("stop_ratio"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text), 4)
+                 AS punct_ratio,
+               round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+                 / ((length(text) - length(replace(text, ' ', ''))) + 1), 4) AS mean_tok_len,
+               round(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                 / len(string_split(text, ' ')), 4) AS stop_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- language-ID heuristic -------------------------------------
+    "q24_doc_langid" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextFns.langScore(col("text"), "en").cast("long").as("s_en"),
+            TextFns.langScore(col("text"), "de").cast("long").as("s_de"),
+            TextFns.langScore(col("text"), "fr").cast("long").as("s_fr"),
+            TextFns.langIdentify(col("text")).as("pred_lang"))
+          .orderBy("doc_id"),
+      oracle = Some {
+        def score(words: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+        val en = score(TextFns.langMarkers("en"))
+        val de = score(TextFns.langMarkers("de"))
+        val fr = score(TextFns.langMarkers("fr"))
+        s"""
+        SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr,
+               CASE WHEN $en >= $de AND $en >= $fr THEN 'en'
+                    WHEN $de >= $fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- document fingerprinting -----------------------------------
+    "q25_doc_fingerprint" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextFns.fingerprint(col("text")).as("fp"),
+            substring(TextFns.fingerprint(col("text")), 1, 8).as("fp_prefix"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- MinHash signatures (k=12, word 3-gram shingles) -----------
+    "q26_minhash_sig" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+          .distinct()
+        MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK).orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH ${shingleCtes(3)}
+        SELECT doc_id, $sigSelect
+        FROM sh GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- LSH candidate pairs (4 bands × 3 rows) --------------------
+    "q27_lsh_pairs" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
+          .orderBy("a", "b")
+      },
+      oracle = Some {
+        val r = MinhashK / Bands
+        val bandRows = (0 until Bands).map { b =>
+          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+            (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+        }.mkString("\n UNION ALL\n ")
+        val matches = (0 until MinhashK)
+          .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH ${shingleCtes(3)},
+        sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+        band AS ($bandRows)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               round(($matches) / ${MinhashK.toDouble}, 4) AS est
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ORDER BY a, b"""
+      }),
+
+    // ---- exact n-gram Jaccard within source ------------------------
+    "q28_ngram_jaccard" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(TextFns.wordShingles(col("text"), 2)).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val x = sh.toDF("a", "source", "sh")
+        val y = sh.toDF("b", "source", "sh")
+        val inter = x.join(y, Seq("source", "sh"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("c"))
+        val j = inter
+          .join(sizes.toDF("a", "na"), "a")
+          .join(sizes.toDF("b", "nb"), "b")
+          .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+          .filter(col("jaccard") >= 0.05)
+        j.select("a", "b", "jaccard").orderBy("a", "b")
+      },
+      oracle = Some(s"""
+        WITH ${shingleCtes(2, withSource = true)},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y
+            ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        WHERE round(c / (sa.n + sb.n - c), 4) >= 0.05
+        ORDER BY a, b""")),
+
+    // ---- SimHash fingerprints --------------------------------------
+    "q29_simhash" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(SimHash.simhashAgg(col("tok")).as("simhash"))
+          .orderBy("doc_id"),
+      oracle = Some {
+        val bitSums = (0 until SimHash.bits).map { b =>
+          val hexPos = 4 - b / 4
+          val pw = 1 << (b % 4)
+          val nib = s"(instr('0123456789abcdef', substr(md5(tok), $hexPos, 1)) - 1)"
+          s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""
+        WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+        SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash
+        FROM tk GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // ---- multimodal binary-column stub -----------------------------
+    "q32_multimodal_stub" -> Q(
+      impl = (s, d) => Multimodal.decodeStats(s, d),
+      oracle = Some("""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(text)) % 64) AS BIGINT) AS sum_width,
+               CAST(sum(octet_length(encode(text)) // 64) AS BIGINT) AS sum_height
+        FROM documents GROUP BY source ORDER BY source"""))
+  )
+}

@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
+  * parquet tables. Column names/types must line up exactly with the
+  * oracle — the driver sorts columns by name and hash-compares values
+  * (see the builder contract in SparkEntry).
+  *
+  * `bench = true` marks the headline set timed by `graft.Bench`.
+  */
+final case class Q(
+    impl: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Registry {
+  lazy val all: Map[String, Q] =
+    Relational.queries ++ EventQueries.queries ++ DocQueries.queries ++
+      VectorQueries.queries ++ EtlQueries.queries
+}
