@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.EtlOptions
+
+/** Pipeline orchestrator — the Spark replacement for the reference's
+  * 13-process shell DAG (`create_database.sh:16-53`, SURVEY.md §3.1).
+  *
+  * One SparkSession, one driver program. The reference's
+  * create-then-append per table family becomes a `union` of
+  * per-species DataFrames written once; the only hard ordering kept is
+  * the one that is semantically observable — GAF file order feeds the
+  * cross-file last-wins upsert of `gene_ontology_map` (§7.6.5).
+  * Families are independent pipelines (the SQLite file serialized them
+  * in the reference; here they can run concurrently).
+  *
+  * Sink (S9): each table lands as Parquet. Positional tables partition
+  * by taxon and sort within partitions on (chr, start) — the physical
+  * replacement for the reference's 18 B-tree indexes (§1.4): partition
+  * pruning serves the per-species lookups, parquet min/max row-group
+  * stats serve the (chr, start) range scans.
+  */
+object Pipeline {
+
+  final case class SpeciesFile(path: String, taxonId: Int)
+  final case class Inputs(
+      genes: Seq[SpeciesFile] = Nil,
+      blocks: Seq[String] = Nil,
+      cytobands: Seq[SpeciesFile] = Nil,
+      features: Seq[SpeciesFile] = Nil,
+      variants: Seq[SpeciesFile] = Nil,
+      obo: Seq[String] = Nil,
+      gaf: Seq[(String, Int)] = Nil,
+      homologs: Seq[String] = Nil)
+
+  /** Run every family; returns the ten tables by name. */
+  def run(spark: SparkSession, in: Inputs,
+      opts: EtlOptions = EtlOptions()): Map[String, DataFrame] = {
+    val geneResults = in.genes.map(f => GenesExonsEtl.load(spark, f.path, f.taxonId))
+    val genes = geneResults.map(_.genes).reduceOption(_ unionByName _)
+    val exons = geneResults.map(_.exons).reduceOption(_ unionByName _)
+    val blocks = in.blocks.map(SyntenyBlocksEtl.load(spark, _, opts))
+      .reduceOption(_ unionByName _)
+    val bands = in.cytobands.map(f => CytoBandEtl.load(spark, f.path, f.taxonId))
+      .reduceOption(_ unionByName _)
+    val features = in.features.map(f => FeaturesEtl.load(spark, f.path, f.taxonId, opts))
+      .reduceOption(_ unionByName _)
+    val variants = in.variants.map(f => VariantsEtl.load(spark, f.path, f.taxonId))
+      .reduceOption(_ unionByName _)
+    val ontology =
+      if (in.obo.nonEmpty) Some(OntologyEtl.load(spark, in.obo, in.gaf)) else None
+    val homologs = in.homologs.map(HomologsEtl.load(spark, _).homologs)
+      .reduceOption(_ unionByName _)
+
+    (genes.map("gene" -> _) ++
+      exons.map("exon" -> _) ++
+      blocks.map("syntenic_block" -> _) ++
+      bands.map("cytogenetic_band" -> _) ++
+      features.map("feature" -> _) ++
+      variants.map("snp_variant" -> _) ++
+      ontology.map("on_terms" -> _.terms) ++
+      ontology.map("on_pairs" -> _.pairs) ++
+      ontology.map("gene_ontology_map" -> _.geneMap) ++
+      homologs.map("homolog" -> _)).toMap
+  }
+
+  /** Scale-oriented physical layout per table: (partition column,
+    * in-partition sort). Mirrors the reference's index set (§1.4).
+    */
+  private val layout: Map[String, (Option[String], Seq[String])] = Map(
+    "gene" -> (Some("gene_taxonid"), Seq("gene_chr", "gene_start_pos")),
+    "exon" -> (Some("taxonid"), Seq("exon_chr", "exon_start_pos")),
+    "feature" -> (Some("taxon_id"), Seq("type", "name")),
+    "cytogenetic_band" -> (Some("taxon_id"), Seq("chr", "start")),
+    "snp_variant" -> (Some("taxon_id"), Seq("chr", "pos")),
+    "syntenic_block" -> (Some("ref_taxonid"), Seq("ref_chr", "ref_start_pos")),
+    "homolog" -> (Some("ref_taxon_id"), Seq("ref_gene_id")),
+    "on_terms" -> (None, Seq("id")),
+    "on_pairs" -> (None, Seq("parent", "child")),
+    "gene_ontology_map" -> (None, Seq("ontology_id", "gene_id")))
+
+  def write(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      val (partCol, sortCols) = layout.getOrElse(name, (None, Nil))
+      val writer = partCol match {
+        case Some(p) =>
+          df.repartition(col(p))
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.partitionBy(p)
+        case None =>
+          df.sortWithinPartitions(sortCols.map(col): _*).write
+      }
+      writer.mode("overwrite").parquet(s"$outDir/$name")
+    }
+}

@@ -1,9 +1,256 @@
 package graft.queries
 
-/** Reference-format ETL queries (GFF3/OBO/VCF/TSV parsing pipelines
-  * over committed fixtures). Populated alongside the `graft.etl`
-  * package.
+import org.apache.spark.sql.functions._
+import graft.etl._
+import graft.model.EtlOptions
+
+/** Reference-format ETL pipelines exposed through the driver's query
+  * gate: each query runs a full parser pipeline over a committed
+  * fixture (src/test/resources/fixtures) and the oracle re-derives the
+  * same table with DuckDB `read_csv` + SQL. Queries whose parse is not
+  * reasonably SQL-expressible (OBO stanzas) are registered without an
+  * oracle → rows-only check; their semantics are pinned by EtlSpec's
+  * golden tests instead.
+  *
+  * Fixtures chosen for the oracles are free of order-sensitive dedup
+  * collisions (SQL over read_csv has no file-order column); the
+  * order-sensitive D1/D3/D4 behaviors are covered by EtlSpec.
   */
 object EtlQueries {
-  val queries: Map[String, Q] = Map()
+
+  private val Fx = "/root/repo/src/test/resources/fixtures"
+
+  /** DuckDB CTE: 9-column GFF3 read with comment stripping. */
+  private def gffCte(file: String): String = s"""
+    raw AS (
+      SELECT * FROM read_csv('$Fx/$file', delim='\t', header=false,
+        null_padding=true, auto_detect=false, columns={'c0':'VARCHAR','c1':'VARCHAR',
+        'c2':'VARCHAR','c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
+        'c6':'VARCHAR','c7':'VARCHAR','c8':'VARCHAR'})
+      WHERE c0 NOT LIKE '#%')"""
+
+  /** DuckDB: trimmed value of one GFF3 attribute, null when missing. */
+  private def dAttr(name: String): String =
+    s"nullif(trim(regexp_extract(c8, '(^|;)\\s*$name\\s*=\\s*([^;]*)', 2)), '')"
+  private def dAttrFirst(name: String): String =
+    s"string_split(${dAttr(name)}, ',')[1]"
+
+  val queries: Map[String, Q] = Map(
+    // ---- S3/V1/V2/C3/C4/U1: positional synteny TSV -----------------
+    "q40_etl_synteny_blocks" -> Q(
+      impl = (s, _) =>
+        SyntenyBlocksEtl.load(s, s"$Fx/blocks_humanrat.txt")
+          .orderBy("ref_taxonid", "comp_taxonid", "ref_chr", "ref_start_pos"),
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('$Fx/blocks_humanrat.txt', delim='\t',
+            header=false, columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+            'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR','c6':'VARCHAR',
+            'c7':'VARCHAR','c8':'VARCHAR','c9':'VARCHAR'})),
+        fwd AS (
+          SELECT CAST(c1 AS INT) AS ref_taxonid, c0 AS ref_chr,
+                 CAST(c2 AS BIGINT) AS ref_start_pos, CAST(c3 AS BIGINT) AS ref_end_pos,
+                 CAST(c5 AS INT) AS comp_taxonid, c4 AS comp_chr,
+                 CAST(c6 AS BIGINT) AS comp_start_pos, CAST(c7 AS BIGINT) AS comp_end_pos,
+                 c8 = '+' AS same_orientation, substr(c9, 4) AS symbol
+          FROM raw),
+        rev AS (
+          SELECT CAST(c5 AS INT), c4, CAST(c6 AS BIGINT), CAST(c7 AS BIGINT),
+                 CAST(c1 AS INT), c0, CAST(c2 AS BIGINT), CAST(c3 AS BIGINT),
+                 c8 = '+', substr(c9, 4)
+          FROM raw)
+        SELECT * FROM (SELECT * FROM fwd UNION ALL SELECT * FROM rev)
+        ORDER BY ref_taxonid, comp_taxonid, ref_chr, ref_start_pos""")),
+
+    // ---- S4/V3/C2/C9/U2: header-validated homolog TSV --------------
+    "q41_etl_homologs" -> Q(
+      impl = (s, _) =>
+        HomologsEtl.load(s, s"$Fx/homologs_rathuman.tsv").homologs
+          .orderBy("ref_gene_id", "ref_taxon_id", "comp_gene_id"),
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('$Fx/homologs_rathuman.tsv', delim='\t',
+            header=false, skip=1, columns={'type':'VARCHAR','taxonid1':'VARCHAR',
+            'id1':'VARCHAR','symbol1':'VARCHAR','seqid1':'VARCHAR',
+            'start1':'VARCHAR','end1':'VARCHAR','taxonid2':'VARCHAR',
+            'id2':'VARCHAR','symbol2':'VARCHAR','seqid2':'VARCHAR',
+            'start2':'VARCHAR','end2':'VARCHAR'})),
+        fwd AS (
+          SELECT id1 AS ref_gene_id, symbol1 AS ref_gene_sym,
+                 CAST(taxonid1 AS INT) AS ref_taxon_id,
+                 regexp_replace(seqid1, '^chr', '', 'i') AS ref_seq_id,
+                 CAST(start1 AS BIGINT) AS ref_start, CAST(end1 AS BIGINT) AS ref_end,
+                 id2 AS comp_gene_id, symbol2 AS comp_gene_sym,
+                 CAST(taxonid2 AS INT) AS comp_taxon_id,
+                 regexp_replace(seqid2, '^chr', '', 'i') AS comp_seq_id,
+                 CAST(start2 AS BIGINT) AS comp_start, CAST(end2 AS BIGINT) AS comp_end
+          FROM raw),
+        rev AS (
+          SELECT id2, symbol2, CAST(taxonid2 AS INT),
+                 regexp_replace(seqid2, '^chr', '', 'i'),
+                 CAST(start2 AS BIGINT), CAST(end2 AS BIGINT),
+                 id1, symbol1, CAST(taxonid1 AS INT),
+                 regexp_replace(seqid1, '^chr', '', 'i'),
+                 CAST(start1 AS BIGINT), CAST(end1 AS BIGINT)
+          FROM raw)
+        SELECT * FROM (SELECT * FROM fwd UNION ALL SELECT * FROM rev)
+        ORDER BY ref_gene_id, ref_taxon_id, comp_gene_id""")),
+
+    // ---- S7/F2/F5/C8: GAF gene↔term mappings -----------------------
+    "q42_etl_gaf" -> Q(
+      impl = (s, _) =>
+        OntologyEtl.loadGafs(s, Seq((s"$Fx/annotations_go_human.gaf", 9606)))
+          .orderBy("gene_id", "ontology_id"),
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('$Fx/annotations_go_human.gaf', delim='\t',
+            header=false, null_padding=true, auto_detect=false,
+            columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR','c3':'VARCHAR',
+            'c4':'VARCHAR','c5':'VARCHAR','c6':'VARCHAR','c7':'VARCHAR',
+            'c8':'VARCHAR','c9':'VARCHAR','c10':'VARCHAR','c11':'VARCHAR',
+            'c12':'VARCHAR','c13':'VARCHAR','c14':'VARCHAR','c15':'VARCHAR',
+            'c16':'VARCHAR'})
+          WHERE c0 NOT LIKE '!%')
+        SELECT DISTINCT trim(c1) AS gene_id, trim(c4) AS ontology_id,
+               CAST(string_split(replace(trim(c12), 'taxon:', ''), '|')[1] AS INT)
+                 AS taxonid
+        FROM raw
+        WHERE CAST(string_split(replace(trim(c12), 'taxon:', ''), '|')[1] AS INT) = 9606
+        ORDER BY gene_id, ontology_id""")),
+
+    // ---- S5/X3/C1/C7: VCF variants ---------------------------------
+    "q43_etl_variants" -> Q(
+      impl = (s, _) =>
+        VariantsEtl.load(s, s"$Fx/variants_human.vcf", 9606)
+          .orderBy("pos", "gene"),
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT * FROM read_csv('$Fx/variants_human.vcf', delim='\t',
+            header=false, null_padding=true, auto_detect=false, columns={'c0':'VARCHAR',
+            'c1':'VARCHAR','c2':'VARCHAR','c3':'VARCHAR','c4':'VARCHAR',
+            'c5':'VARCHAR','c6':'VARCHAR','c7':'VARCHAR'})
+          WHERE c0 NOT LIKE '#%'),
+        g AS (
+          SELECT *, unnest(string_split(
+            regexp_extract(c7, '(^|;)CG=([^;]*)', 2), ',')) AS gene
+          FROM raw)
+        SELECT regexp_replace(c0, 'chr', '', 'g') AS chr,
+               CAST(c1 AS BIGINT) AS pos,
+               nullif(c2, '.') AS id,
+               c3 AS ref_base,
+               CASE WHEN c4 = '.' THEN '' ELSE replace(c4, ',', '/') END AS alt_allele,
+               CAST(nullif(c5, '.') AS DOUBLE) AS quality,
+               nullif(c6, '.') AS filter,
+               CAST(string_split(regexp_extract(c7, '(^|;)AF=([^;]*)', 2), ',')[1]
+                 AS DOUBLE) AS frequency,
+               gene,
+               string_split(regexp_extract(c7, '(^|;)LT=([^;]*)', 2), ',')[1]
+                 AS trait_id,
+               9606 AS taxon_id
+        FROM g ORDER BY pos, gene""")),
+
+    // ---- S2/F1/F4/C2/C5/C6: feature GFF3 (hand-rolled parser) ------
+    "q44_etl_features" -> Q(
+      impl = (s, _) =>
+        FeaturesEtl.load(s, s"$Fx/features_rat.gff3", 10116).orderBy("id"),
+      oracle = Some {
+        val bl = FeaturesEtl.blacklist(EtlOptions())
+          .toSeq.sorted.map(t => s"'$t'").mkString(", ")
+        s"""
+        WITH ${gffCte("features_rat.gff3")}
+        SELECT 10116 AS taxon_id,
+               nullif(regexp_replace(c0, '^chr', '', 'i'), '.') AS seq_id,
+               nullif(c1, '.') AS source,
+               nullif(c2, '.') AS type,
+               CAST(nullif(c3, '.') AS BIGINT) AS start,
+               CAST(nullif(c4, '.') AS BIGINT) AS "end",
+               CAST(nullif(c5, '.') AS DOUBLE) AS score,
+               nullif(c6, '.') AS strand,
+               CAST(nullif(c7, '.') AS INT) AS phase,
+               nullif(${dAttr("ID")}, '.') AS id,
+               nullif(${dAttr("Name")}, '.') AS name,
+               nullif(${dAttr("Dbxref")}, '.') AS dbxref,
+               nullif(${dAttr("bioType")}, '.') AS bio_type,
+               nullif(${dAttr("Status")}, '.') AS status,
+               nullif(${dAttr("Parent")}, '.') AS parent
+        FROM raw WHERE c2 NOT IN ($bl)
+        ORDER BY id"""
+      }),
+
+    // ---- S1/F7/C1/C11/C12: genes from GFF3 -------------------------
+    "q45_etl_genes" -> Q(
+      impl = (s, _) =>
+        GenesExonsEtl.load(s, s"$Fx/genes_human.gff3", 9606).genes
+          .orderBy("gene_id"),
+      oracle = Some(s"""
+        WITH ${gffCte("genes_human.gff3")}
+        SELECT ${dAttrFirst("Dbxref")} AS gene_id,
+               9606 AS gene_taxonid,
+               ${dAttrFirst("Symbol")} AS gene_symbol,
+               regexp_replace(c0, 'chr', '', 'g') AS gene_chr,
+               CAST(c3 AS BIGINT) - 1 AS gene_start_pos,
+               CAST(c4 AS BIGINT) AS gene_end_pos,
+               CASE WHEN c6 = '+' THEN '1' WHEN c6 = '-' THEN '-1' END AS gene_strand,
+               c2 AS gene_type,
+               ${dAttrFirst("Name")} AS gene_name
+        FROM raw
+        WHERE ${dAttr("Parent")} IS NULL AND ${dAttr("Dbxref")} IS NOT NULL
+        ORDER BY gene_id""")),
+
+    // ---- X2: exon flatten via Parent join --------------------------
+    "q46_etl_exons" -> Q(
+      impl = (s, _) =>
+        GenesExonsEtl.load(s, s"$Fx/genes_human.gff3", 9606).exons
+          .orderBy("exon_id"),
+      oracle = Some(s"""
+        WITH ${gffCte("genes_human.gff3")},
+        ex AS (
+          SELECT ${dAttr("ID")} AS exon_id, ${dAttr("Parent")} AS parent_attr,
+                 regexp_replace(c0, 'chr', '', 'g') AS exon_chr,
+                 CAST(c3 AS BIGINT) - 1 AS exon_start_pos,
+                 CAST(c4 AS BIGINT) AS exon_end_pos
+          FROM raw WHERE ${dAttr("Parent")} IS NOT NULL),
+        gn AS (
+          SELECT ${dAttr("ID")} AS gene_row_id,
+                 ${dAttrFirst("Dbxref")} AS parent_gene
+          FROM raw
+          WHERE ${dAttr("Parent")} IS NULL AND ${dAttr("Dbxref")} IS NOT NULL)
+        SELECT exon_id, parent_gene, 9606 AS taxonid, exon_chr,
+               exon_start_pos, exon_end_pos
+        FROM ex JOIN gn ON ex.parent_attr = gn.gene_row_id
+        ORDER BY exon_id""")),
+
+    // ---- C1/C11: cytobands -----------------------------------------
+    "q47_etl_cytobands" -> Q(
+      impl = (s, _) =>
+        CytoBandEtl.load(s, s"$Fx/cytoband_human.gff3", 9606)
+          .orderBy("chr", "start"),
+      oracle = Some(s"""
+        WITH ${gffCte("cytoband_human.gff3")}
+        SELECT ${dAttrFirst("ID")} AS id, 9606 AS taxon_id,
+               regexp_replace(c0, 'chr', '', 'g') AS chr,
+               ${dAttrFirst("source")} AS source,
+               c2 AS type,
+               CAST(c3 AS BIGINT) AS start,
+               CAST(c4 AS BIGINT) AS "end",
+               ${dAttrFirst("Location")} AS location,
+               ${dAttrFirst("Color")} AS color
+        FROM raw ORDER BY chr, start""")),
+
+    // ---- S6/F6/X4/A1/A2/A3: OBO terms + closure (rows-only — the
+    // stateful stanza parse is not SQL-expressible; semantics pinned
+    // by EtlSpec golden tests) ---------------------------------------
+    "q48_etl_ontology_terms" -> Q(
+      impl = (s, _) =>
+        OntologyEtl.load(s,
+            Seq(s"$Fx/ontology_go.obo", s"$Fx/ontology_mp.obo"), Nil)
+          .terms.orderBy("id"),
+      oracle = None),
+    "q49_etl_closure" -> Q(
+      impl = (s, _) =>
+        OntologyEtl.load(s,
+            Seq(s"$Fx/ontology_go.obo", s"$Fx/ontology_mp.obo"), Nil)
+          .pairs.orderBy("parent", "child"),
+      oracle = None)
+  )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Property-based operator tests (SURVEY.md §5.2.4): closure vs a
+  * naive in-memory fixpoint on random DAGs, closure idempotence,
+  * symmetrize involution, last-wins = iterated-map upsert semantics,
+  * binned interval join ≡ naive interval join. Generators are sampled
+  * with fixed seeds for reproducibility.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def naiveClosure(edges: Set[(Int, Int)]): Set[(Int, Int)] = {
+    var c = edges
+    var grew = true
+    while (grew) {
+      val next = c ++ (for ((a, b) <- c; (b2, d) <- c if b == b2) yield (a, d))
+      grew = next.size > c.size
+      c = next
+    }
+    c
+  }
+
+  // Random DAG: edges only from smaller to larger node id (acyclic).
+  private val dagGen: Gen[Set[(Int, Int)]] = for {
+    n <- Gen.choose(2, 12)
+    edges <- Gen.listOf(for {
+      a <- Gen.choose(0, n - 2)
+      b <- Gen.choose(a + 1, n - 1)
+    } yield (a, b))
+  } yield edges.toSet
+
+  test("transitive closure matches naive fixpoint on random DAGs") {
+    for (edges <- samples(dagGen, 12) if edges.nonEmpty) {
+      val df = edges.toSeq.toDF("parent", "child")
+      val got = Closure.transitiveClosure(df, "parent", "child")
+        .as[(Int, Int)].collect().toSet
+      assert(got === naiveClosure(edges), s"edges=$edges")
+    }
+  }
+
+  test("closure is idempotent: closure(closure(E)) = closure(E)") {
+    val edges = Seq((1, 2), (2, 3), (3, 4), (1, 5), (5, 4)).toDF("parent", "child")
+    val once = Closure.transitiveClosure(edges, "parent", "child")
+    val twice = Closure.transitiveClosure(
+      once.toDF("parent", "child"), "parent", "child")
+    assert(twice.as[(Int, Int)].collect().toSet ===
+      once.as[(Int, Int)].collect().toSet)
+  }
+
+  test("symmetrize is an involution modulo distinct (swap∘swap = id)") {
+    val pairsGen = Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 20)))
+    for (pairs <- samples(pairsGen, 8)) {
+      val df = pairs.toDF("a", "b")
+      val sym = Symmetrize.symmetrize(df, Seq(("a", "b"))).distinct()
+      val symTwice = Symmetrize.symmetrize(sym, Seq(("a", "b"))).distinct()
+      assert(sym.as[(Int, Int)].collect().toSet ===
+        symTwice.as[(Int, Int)].collect().toSet)
+      assert(sym.as[(Int, Int)].collect().toSet ===
+        pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet)
+    }
+  }
+
+  test("lastWins equals iterated-map INSERT OR REPLACE semantics") {
+    val rowsGen = Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+    for (rows <- samples(rowsGen, 8) if rows.nonEmpty) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "ord")
+      val got = Dedup.lastWins(df, Seq("k"), Seq(col("ord")))
+        .select("k", "v").as[(Int, Int)].collect().toSet
+      val expected = rows.foldLeft(Map.empty[Int, Int]) {
+        case (m, (k, v)) => m + (k -> v)
+      }.toSet
+      assert(got === expected, s"rows=$rows")
+    }
+  }
+
+  test("binned interval join ≡ naive interval join on random intervals") {
+    val ivGen = Gen.listOfN(30, for {
+      key <- Gen.oneOf("a", "b")
+      s <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 120L)
+    } yield (key, s, s + len))
+    for (ivs <- samples(ivGen, 4)) {
+      val left = ivs.zipWithIndex.map { case ((k, s, e), i) => (k, i, s, e) }
+        .toDF("key", "l_id", "l_s", "l_e")
+      val right = ivs.zipWithIndex.map { case ((k, s, e), i) => (k, i + 1000, s, e) }
+        .toDF("key", "r_id", "r_s", "r_e")
+      val naive = IntervalJoin.naive(left, right, Seq("key"),
+          "l_s", "l_e", "r_s", "r_e")
+        .select("l_id", "r_id").as[(Int, Int)].collect().toSet
+      val binned = IntervalJoin.binned(left, right, Seq("key"),
+          "l_s", "l_e", "r_s", "r_e", binWidth = 64L)
+        .select("l_id", "r_id").as[(Int, Int)].collect().toSet
+      assert(binned === naive)
+    }
+  }
+
+  test("keepFirst keeps the first row in ordinal order per key") {
+    val df = Seq((1, "a", 0L), (1, "b", 1L), (2, "c", 5L), (2, "d", 3L))
+      .toDF("k", "v", "ord")
+    val got = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(got === Set((1, "a"), (2, "d")))
+  }
+}
