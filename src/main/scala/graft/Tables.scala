@@ -18,6 +18,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `documents` ships as one small parquet file → one input
+    * partition, which would serialize the CPU-heavy fan-out work
+    * (shingle explode × k md5 aggregations) onto a single core. A
+    * round-robin repartition to the core count before the fan-out
+    * distributes it; the shuffled payload (the raw docs) is tiny
+    * relative to the exploded intermediate. On a real multi-file
+    * 100 TB layout the scan itself provides the parallelism and this
+    * becomes a no-op-sized safety net against skewed file layouts.
+    */
+  def docsParallel(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** The `events` table carries parquet TIMESTAMP(NANOS) which Spark 4
     * rejects by default. We read nanos as raw longs
     * (`spark.sql.legacy.parquet.nanosAsLong`) and derive epoch-micros

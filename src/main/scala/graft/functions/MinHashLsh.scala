@@ -46,9 +46,14 @@ object MinHashLsh {
     }
     val bandedCols = Seq(col(idCol), col("__bk.band").as("band"),
       col("__bk.key").as("key")) ++ (0 until k).map(i => col(s"s$i"))
+    // Persist before the self-join: both join sides reference this
+    // subplan, and without materialization the whole shingle→minhash
+    // pipeline would execute twice (signatures are the expensive part
+    // — k md5 aggregations over every shingle).
     val banded = sigs
       .withColumn("__bk", explode(array(bandKeys: _*)))
       .select(bandedCols: _*)
+      .persist()
     val l = banded.as("l")
     val rj = banded.as("r")
     val matches = (0 until k)

@@ -21,17 +21,20 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles (distinct not applied; see `MinHashLsh`).
-    * Requires at least n tokens; shorter texts yield an empty array.
+  /** Word n-gram shingles from a *materialized* token-array column.
+    * Pass a real column (`withColumn("t", tokens($"text"))`), not
+    * `split(...)` inline: expressions inside higher-order lambdas are
+    * interpreted without common-subexpression elimination, so an
+    * inline split would re-tokenize the document for every element
+    * access — observed 5× slowdown. Shorter-than-n texts yield an
+    * empty array.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def wordShinglesFromTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(
         sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Share of characters outside [a-z0-9 ] — crude punctuation/noise
     * ratio used for quality filtering.

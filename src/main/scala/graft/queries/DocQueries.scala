@@ -132,10 +132,12 @@ object DocQueries {
     // ---- MinHash signatures (k=12, word 3-gram shingles) -----------
     "q26_minhash_sig" -> Q(
       impl = (s, d) => {
-        val sh = Tables.load(s, d, "documents")
+        // No distinct before the min-aggregation: min() is idempotent
+        // to duplicate shingles, so the dedup shuffle would be wasted.
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
           .select(col("doc_id"),
-            explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
-          .distinct()
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
         MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK).orderBy("doc_id")
       },
       oracle = Some(s"""
@@ -147,10 +149,10 @@ object DocQueries {
     // ---- LSH candidate pairs (4 bands × 3 rows) --------------------
     "q27_lsh_pairs" -> Q(
       impl = (s, d) => {
-        val sh = Tables.load(s, d, "documents")
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
           .select(col("doc_id"),
-            explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
-          .distinct()
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
         val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
         MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .orderBy("a", "b")
@@ -178,10 +180,15 @@ object DocQueries {
     // ---- exact n-gram Jaccard within source ------------------------
     "q28_ngram_jaccard" -> Q(
       impl = (s, d) => {
-        val sh = Tables.load(s, d, "documents")
+        // Distinct is required here (Jaccard counts distinct shingle
+        // sets); persist because the shingle set feeds three subplans
+        // (both self-join sides + sizes).
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
           .select(col("doc_id"), col("source"),
-            explode(TextFns.wordShingles(col("text"), 2)).as("sh"))
+            explode(TextFns.wordShinglesFromTokens(col("t"), 2)).as("sh"))
           .distinct()
+          .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val x = sh.toDF("a", "source", "sh")
         val y = sh.toDF("b", "source", "sh")
@@ -214,7 +221,7 @@ object DocQueries {
     // ---- SimHash fingerprints --------------------------------------
     "q29_simhash" -> Q(
       impl = (s, d) =>
-        Tables.load(s, d, "documents")
+        Tables.docsParallel(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .distinct()
           .groupBy("doc_id")
