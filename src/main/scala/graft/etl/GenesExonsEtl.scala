@@ -29,7 +29,13 @@ import graft.sources.Gff3
   */
 object GenesExonsEtl {
 
-  final case class Result(genes: DataFrame, exons: DataFrame, skippedNoDbxref: Long)
+  /** `skippedNoDbxref` is lazy — it is a warning counter in the
+    * reference (F7) and costs an extra action.
+    */
+  final class Result(val genes: DataFrame, val exons: DataFrame,
+      skipped: => Long) {
+    lazy val skippedNoDbxref: Long = skipped
+  }
 
   def load(spark: SparkSession, path: String, taxonId: Int): Result = {
     val raw = Gff3.read(spark, path)
@@ -37,7 +43,6 @@ object GenesExonsEtl {
 
     val geneRows = withParent.filter(col("__parent").isNull)
       .withColumn("__dbxref", Gff3.attrFirst(col("attributes"), "Dbxref"))
-    val skipped = geneRows.filter(col("__dbxref").isNull).count()
 
     val genes = geneRows
       .filter(col("__dbxref").isNotNull)
@@ -68,9 +73,9 @@ object GenesExonsEtl {
       .select(col("exon_id"), col("parent_gene"), lit(taxonId).as("taxonid"),
         col("exon_chr"), col("exon_start_pos"), col("exon_end_pos"))
 
-    Result(
+    new Result(
       Dedup.assertNoDuplicateKeys(genes, Seq("gene_id", "gene_taxonid", "gene_chr")),
       Dedup.assertNoDuplicateKeys(exons, Seq("exon_id", "taxonid", "exon_chr")),
-      skipped)
+      geneRows.filter(col("__dbxref").isNull).count())
   }
 }

@@ -26,8 +26,15 @@ object HomologsEtl {
     "type", "taxonid1", "id1", "symbol1", "seqid1", "start1", "end1",
     "taxonid2", "id2", "symbol2", "seqid2", "start2", "end2")
 
-  final case class Result(homologs: DataFrame, numRecords: Long,
-      unexpectedTypes: Long)
+  /** Counters are lazy — they each cost a Spark action (A4/V5 are
+    * informational in the reference), so callers that only need the
+    * table shouldn't pay for them.
+    */
+  final class Result(val homologs: DataFrame,
+      numRecordsDf: => Long, unexpectedTypesDf: => Long) {
+    lazy val numRecords: Long = numRecordsDf
+    lazy val unexpectedTypes: Long = unexpectedTypesDf
+  }
 
   def load(spark: SparkSession, path: String): Result = {
     // V3 — header-set validation (driver-side single line).
@@ -48,8 +55,6 @@ object HomologsEtl {
       case (df, (name, i)) => df.withColumn(name, trim(col("f")(i)))
     }
 
-    val unexpected = named.filter(upper(trim(col("type"))) =!= "ORTHOLOGUE").count()
-
     def side(n: Int, prefix: String) = Seq(
       col(s"id$n").as(s"${prefix}_gene_id"),
       col(s"symbol$n").as(s"${prefix}_gene_sym"),
@@ -63,12 +68,13 @@ object HomologsEtl {
     val rev = named.select(side(2, "ref") ++ side(1, "comp")
       :+ (col("__ord") * 2 + 1).as("__ord2"): _*)
     val both = fwd.unionByName(rev)
-    val n = both.count()
 
     val deduped = Dedup.lastWins(both,
         keys = Seq("ref_gene_id", "ref_taxon_id", "comp_gene_id", "comp_taxon_id"),
         ord = Seq(col("__ord2")))
       .drop("__ord2")
-    Result(deduped, n, unexpected)
+    new Result(deduped,
+      both.count(),
+      named.filter(upper(trim(col("type"))) =!= "ORTHOLOGUE").count())
   }
 }

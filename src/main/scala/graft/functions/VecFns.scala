@@ -23,9 +23,19 @@ object VecFns {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale, 0).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (composable
+    * higher-order form; interpreted — fine off the hot path).
+    */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Same dot product via the codegen'd custom expression
+    * (`graft.functions.expressions.LongArrayDot`); requires
+    * `GraftFunctions.register(spark)` once per session. Use on hot
+    * paths (KNN/ANN scoring).
+    */
+  def dotQFast(a: Column, b: Column): Column =
+    call_function("long_array_dot", a, b)
 
   /** Exact integer squared norm of a quantized vector. */
   def normSqQ(a: Column): Column = dotQ(a, a)

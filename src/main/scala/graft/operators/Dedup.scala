@@ -32,16 +32,18 @@ object Dedup {
   }
 
   /** D2 — plain `INSERT` with PK: any duplicate key aborts the load
-    * (reference rolls back the whole file transaction). Returns the
-    * input unchanged when clean.
+    * (reference rolls back the whole file transaction). Implemented
+    * as an in-plan guard: a per-key window count feeds `assert_true`,
+    * so the job fails at materialization time — the Spark analog of
+    * "the transaction aborts" — without an extra eager driver action.
     */
   def assertNoDuplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val dups = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-    val offenders = dups.limit(5).collect()
-    require(
-      offenders.isEmpty,
-      s"duplicate primary key(s) on (${keys.mkString(",")}): " +
-        offenders.mkString("; "))
-    df
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__dupcnt", count(lit(1)).over(w))
+      .withColumn("__dupchk", assert_true(col("__dupcnt") === 1,
+        concat(lit(s"duplicate primary key on (${keys.mkString(",")}): "),
+          concat_ws(",", keys.map(c => col(c).cast("string")): _*))))
+      .filter(col("__dupchk").isNull)
+      .drop("__dupcnt", "__dupchk")
   }
 }

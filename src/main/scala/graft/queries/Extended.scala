@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+import graft.streaming.EventStream
+
+/** Extended operator coverage: as-of join, JSON extraction, pivot,
+  * datetime functions, frame-based running windows, and stateful
+  * streaming sessionization.
+  */
+object Extended {
+
+  private val DayUs = 86400000000L
+
+  val queries: Map[String, Q] = Map(
+    // ---- as-of join: last prior click before each purchase ---------
+    "q34_asof_join" -> Q(
+      impl = (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"), col("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("cid"), col("us").as("cus"))
+        AsOfJoin.lastBefore(purchases, clicks, Seq("user_id"),
+            lTime = "us", rTime = "cus", payloadCols = Seq("cid", "cus"))
+          .select(
+            col("pid"),
+            col("asof_match.cid").cast("long").as("cid"),
+            (col("us") - col("asof_match.cus").cast("long")).as("gap_us"))
+          .orderBy("pid")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS cid, user_id AS cu, epoch_us(ts) AS cus
+                   FROM events WHERE event_type = 'click')
+        SELECT pid, cid, pus - cus AS gap_us
+        FROM p ASOF JOIN c ON p.user_id = c.cu AND p.pus >= c.cus
+        ORDER BY pid"""),
+      bench = true),
+
+    // ---- JSON extraction from the props column ---------------------
+    "q35_json_extract" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- pivot: per-day event-type count matrix --------------------
+    "q36_pivot" -> Q(
+      impl = (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = Tables.events(s, d)
+          .withColumn("day", expr(s"us div $DayUs"))
+          .groupBy("day")
+          .pivot("event_type", types)
+          .count()
+        // pivot yields null for absent combinations; the oracle's
+        // FILTER-aggregation yields 0 — align on 0.
+        pivoted.select(
+            col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      },
+      oracle = Some(s"""
+        SELECT (epoch_us(ts) // $DayUs) AS day,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    // ---- datetime scalar functions ---------------------------------
+    "q37_datetime" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("y", "m"),
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    // ---- frame-based running window (exact integer running sum) ----
+    "q38_window_running" -> Q(
+      impl = (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.load(s, d, "lineitem")
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            row_number().over(
+              Window.partitionBy("l_suppkey")
+                .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+              .cast("long").as("rn"),
+            sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
+          .orderBy("l_suppkey", "rn")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS running_qty
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY l_suppkey, rn"""),
+      bench = true),
+
+    // ---- stateful streaming sessionization (flatMapGroupsWithState)
+    "q39_stream_sessionize" -> Q(
+      impl = (s, d) => EventStream.sessionCountsStateful(s, d),
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        m AS (
+          SELECT user_id,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        FROM m GROUP BY user_id ORDER BY user_id"""))
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VecFns
+import graft.functions.expressions.GraftFunctions
 import graft.operators.TopK
 
 /** Similarity search over the `embeddings` table: brute-force cosine
@@ -23,10 +24,12 @@ object VectorQueries {
   private val Dim = 64
   private val NPlanes = 8
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
-      .withColumn("nsq", VecFns.normSqQ(col("vq")))
+      .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+  }
 
   /** Shared oracle CTEs: element-wise quantized vectors + norms. */
   private def quantCtes: String = s"""
@@ -64,7 +67,7 @@ object VectorQueries {
         val v = all.toDF("n_id", "n_vq", "n_nsq")
         val scored = v.crossJoin(q)
           .filter(col("q_id") =!= col("n_id"))
-          .withColumn("dot", VecFns.dotQ(col("q_vq"), col("n_vq")))
+          .withColumn("dot", VecFns.dotQFast(col("q_vq"), col("n_vq")))
           .withColumn("cos", VecFns.cosineFromQ(col("dot"), col("q_nsq"), col("n_nsq")))
         TopK.perGroup(scored, Seq("q_id"), Seq(col("cos").desc, col("n_id").asc), K)
           .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))
@@ -92,7 +95,7 @@ object VectorQueries {
         val v = all.toDF("n_id", "n_vq", "n_nsq", "bucket")
         val cand = v.join(q, "bucket").filter(col("q_id") =!= col("n_id"))
         val scored = cand
-          .withColumn("dot", VecFns.dotQ(col("q_vq"), col("n_vq")))
+          .withColumn("dot", VecFns.dotQFast(col("q_vq"), col("n_vq")))
           .withColumn("cos", VecFns.cosineFromQ(col("dot"), col("q_nsq"), col("n_nsq")))
         TopK.perGroup(scored, Seq("q_id"), Seq(col("cos").desc, col("n_id").asc), K)
           .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 6).as("cos_r"))

@@ -42,6 +42,57 @@ object EventStream {
     spark.table(name).orderBy("w_start_us", "event_type")
   }
 
+  /** Per-user event for the stateful sessionizer. */
+  final case class UserEvent(user_id: Long, event_id: Long, us: Long)
+  /** Session state carried across micro-batches. */
+  final case class SessionState(lastUs: Long, nSessions: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the
+    * custom-state streaming operator (SURVEY.md §2.10 streaming row).
+    * State per user = (last event time, session count); each batch's
+    * events are processed in time order against the carried state and
+    * the updated cumulative count is emitted. Driven with
+    * `Trigger.AvailableNow` the final emission equals the batch
+    * window-lag formulation (`sessionCountsBatch`) exactly.
+    */
+  def sessionCountsStateful(spark: SparkSession, dir: String,
+      gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.parque*")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+      .as[UserEvent]
+
+    def update(userId: Long, events: Iterator[UserEvent],
+        state: GroupState[SessionState]): Iterator[(Long, Long)] = {
+      val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+      for (e <- sorted) {
+        if (st.lastUs == Long.MinValue || e.us - st.lastUs > gapUs)
+          st = SessionState(e.us, st.nSessions + 1)
+        else st = SessionState(e.us, st.nSessions)
+      }
+      state.update(st)
+      Iterator.single((userId, st.nSessions))
+    }
+
+    val counted = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_sessions")
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val q = counted.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) as a batch
     * window computation: a session starts where the lag gap exceeds
     * the threshold. One shuffle on user_id; in-partition sort.

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Streaming/batch parity: the Structured Streaming operators must
+  * produce exactly the batch formulations' results when driven to
+  * completion with Trigger.AvailableNow.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling aggregation equals batch grouping") {
+    import org.apache.spark.sql.functions._
+    val windowUs = 900000000L
+    val streaming = EventStream.tumblingCounts(spark, dir, windowUs)
+      .collect().toSet
+    val batch = Tables.events(spark, dir)
+      .withColumn("w_start_us", expr(s"(us div $windowUs) * $windowUs"))
+      .groupBy("w_start_us", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
+      .collect().toSet
+    assert(streaming === batch)
+  }
+
+  test("stateful flatMapGroupsWithState sessionization equals batch window-lag") {
+    val stateful = EventStream.sessionCountsStateful(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStream.sessionCountsBatch(Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stateful === batch)
+  }
+}
