@@ -14,6 +14,19 @@ object Extended {
 
   private val DayUs = 86400000000L
 
+  /** Quantized-vector CTEs for the near-dup oracle (same construction
+    * as VectorQueries).
+    */
+  private def quantCtesForDup: String = s"""
+        f AS (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+        qv AS (SELECT vec_id, i,
+                      CAST(round(CAST(x AS DOUBLE) * ${graft.functions.VecFns.Scale}) AS BIGINT) AS e
+               FROM f),
+        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS nsq
+                  FROM qv GROUP BY vec_id)"""
+
   val queries: Map[String, Q] = Map(
     // ---- as-of join: last prior click before each purchase ---------
     "q34_asof_join" -> Q(
@@ -124,6 +137,85 @@ object Extended {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY l_suppkey, rn"""),
       bench = true),
+
+    // ---- left outer join with null-preserving aggregation ----------
+    "q50_left_join" -> Q(
+      impl = (s, d) => {
+        val bigOrders = Tables.load(s, d, "orders")
+          .filter(col("o_totalprice") > 300000)
+        Tables.load(s, d, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+            round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("big_total"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_big_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS big_total
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000)
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- approximate distinct (HLL sketch) — engines' sketches
+    // differ, so rows-only here; accuracy pinned by a spec ------------
+    "q51_approx_distinct" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+            countDistinct("l_partkey").as("exact_parts"))
+          .orderBy("l_returnflag"),
+      oracle = None),
+
+    // ---- BPE-ish regex tokenization --------------------------------
+    "q52_bpe_tokens" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+              .cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                 AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- embedding-cosine near-duplicate pairs ---------------------
+    "q53_embed_neardup" -> Q(
+      impl = (s, d) => {
+        val all = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.VecFns.quantize(col("embedding")).as("vq"))
+        graft.functions.expressions.GraftFunctions.register(s)
+        import graft.functions.VecFns
+        val withNorm = all.withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+        val a = withNorm.toDF("a", "a_vq", "a_nsq")
+        val b = broadcast(withNorm.toDF("b", "b_vq", "b_nsq"))
+        a.join(b, col("a") < col("b"))
+          .withColumn("cos", VecFns.cosineFromQ(
+            VecFns.dotQFast(col("a_vq"), col("b_vq")), col("a_nsq"), col("b_nsq")))
+          .withColumn("cos_r", round(col("cos"), 6))
+          .filter(col("cos_r") >= 0.4)
+          .select("a", "b", "cos_r")
+          .orderBy("a", "b")
+      },
+      oracle = Some(s"""
+        WITH $quantCtesForDup,
+        dots AS (
+          SELECT x.vec_id AS a, y.vec_id AS b, CAST(sum(x.e * y.e) AS BIGINT) AS dot
+          FROM qv x JOIN qv y ON x.i = y.i AND x.vec_id < y.vec_id
+          GROUP BY 1, 2),
+        cosv AS (
+          SELECT a, b, round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cos_r
+          FROM dots
+            JOIN norms na ON na.vec_id = a
+            JOIN norms nb ON nb.vec_id = b)
+        SELECT a, b, cos_r FROM cosv WHERE cos_r >= 0.4 ORDER BY a, b""")),
 
     // ---- stateful streaming sessionization (flatMapGroupsWithState)
     "q39_stream_sessionize" -> Q(
