@@ -30,29 +30,35 @@ object Closure {
     val e0 = edges.select(col(parentCol).as("parent"), col(childCol).as("child"))
     val e = if (broadcastEdges) broadcast(e0) else e0
 
-    var closure = e0
+    val base = e0
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .distinct()
       .localCheckpoint()
-    var frontier = closure
+    // Accumulate checkpointed frontier frames; the anti-join target is
+    // their (lazy) union — each frame is already materialized, so the
+    // union is shallow and the whole closure is never re-materialized
+    // per round (one job per iteration instead of three).
+    var frames = List(base)
+    var frontier = base
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
+      val sofar = frames.reduce(_ union _)
       val next = frontier
         .join(e, frontier("descendant") === e("parent"))
         .select(frontier("ancestor"), e("child").as("descendant"))
         .distinct()
-        .join(closure, Seq("ancestor", "descendant"), "left_anti")
+        .join(sofar, Seq("ancestor", "descendant"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) converged = true
       else {
-        closure = closure.union(next).localCheckpoint()
+        frames ::= next
         frontier = next
       }
       iter += 1
     }
     require(converged, s"transitiveClosure did not converge in $maxIterations iterations")
-    closure
+    frames.reduce(_ union _)
   }
 
   /** A2 — per-ancestor distinct transitive descendant counts

@@ -93,6 +93,22 @@ object EventStream {
     spark.table(name).orderBy("user_id")
   }
 
+  /** Sessionization via Spark's native `session_window` (batch mode):
+    * one session row per (user, gap-merged window). Returns per-user
+    * session counts — must equal `sessionCountsBatch`.
+    */
+  def sessionCountsViaSessionWindow(events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    events
+      .withColumn("__ts", timestamp_micros(col("us")))
+      .groupBy(col("user_id"),
+        session_window(col("__ts"), s"${gapUs / 1000000} seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) as a batch
     * window computation: a session starts where the lag gap exceeds
     * the threshold. One shuffle on user_id; in-partition sort.

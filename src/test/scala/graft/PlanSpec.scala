@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Golden-plan assertions (SURVEY.md §4.2): the physical plans must
+  * keep the properties the 100 TB design depends on — predicate
+  * pushdown into the parquet scan, column pruning, and broadcast
+  * joins for dimension tables.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    Registry.all(name).impl(spark, dir)
+      .queryExecution.executedPlan.toString
+  }
+
+  test("q01: both predicates reach the parquet scan; columns pruned") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate not pushed")
+    assert(p.contains("GreaterThan(l_discount"), "discount not pushed")
+    // pruned read schema must not include unused columns like l_tax
+    assert(!p.contains("l_tax"), "column pruning failed: l_tax read")
+  }
+
+  test("q02: dimension joins are broadcast, not shuffled") {
+    val p = plan("q02_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q07: binned interval join is an equi hash join, not a cartesian range join") {
+    val p = plan("q07_interval_join_binned")
+    assert(!p.contains("CartesianProduct"), "interval join fell back to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join fell back to nested-loop")
+  }
+
+  test("q30: KNN scoring uses the codegen'd custom dot product") {
+    val p = plan("q30_embed_knn")
+    assert(p.contains("long_array_dot"), "custom expression not in plan")
+  }
+}

@@ -24,6 +24,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming === batch)
   }
 
+  test("native session_window sessionization equals batch window-lag") {
+    val viaWindow = EventStream.sessionCountsViaSessionWindow(
+        Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStream.sessionCountsBatch(Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaWindow === batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals batch window-lag") {
     val stateful = EventStream.sessionCountsStateful(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
