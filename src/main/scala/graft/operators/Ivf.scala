@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * scale path for vector search: a k-means coarse quantizer assigns
+  * every vector to a cell; a query only scores vectors in its
+  * `nprobe` nearest cells, turning the cross join into an equi-join
+  * on cell id.
+  *
+  * Scale shape: training samples a bounded set to the driver (KMeans
+  * on a sample is standard); assignment is a pure Column expression —
+  * k quantized-centroid dot products via the codegen'd
+  * `long_array_dot`, argmin via `array_min` over (distance, id)
+  * structs — so the big table never leaves codegen. Search is
+  * explode(nprobe cells) → equi-join on cell → exact scoring → top-k.
+  */
+object Ivf {
+
+  final case class Model(centroidsQ: Seq[Seq[Long]]) {
+    def k: Int = centroidsQ.size
+  }
+
+  /** Train the coarse quantizer (deterministic: fixed seed). */
+  def train(data: DataFrame, vecCol: String, k: Int, seed: Long = 42L): Model = {
+    val feats = data.select(
+      array_to_vector(transform(col(vecCol), x => x.cast("double")))
+        .as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+    Model(km.clusterCenters.toSeq.map(c =>
+      c.toArray.toSeq.map(x => math.round(x * VecFns.Scale))))
+  }
+
+  /** Squared-distance-ordered (dist, cellId) structs for a quantized
+    * vector column against every centroid. Common `|v|²` term omitted
+    * (constant per row): score_j = |c_j|² − 2·v·c_j.
+    */
+  private def cellScores(vq: Column, model: Model): Seq[Column] =
+    model.centroidsQ.zipWithIndex.map { case (c, j) =>
+      val cLit = typedlit(c)
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(cNorm) - lit(2L) * VecFns.dotQFast(vq, cLit)).as("d"),
+        lit(j).as("cell"))
+    }
+
+  /** Nearest cell per vector (for the inverted file). */
+  def assignCell(vq: Column, model: Model): Column =
+    array_min(array(cellScores(vq, model): _*)).getField("cell")
+
+  /** The `nprobe` nearest cells per query vector, as an array. */
+  def probeCells(vq: Column, model: Model, nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cellScores(vq, model): _*)), 1, nprobe),
+      s => s.getField("cell"))
+
+  /** ANN search: top-k by exact quantized cosine among vectors in the
+    * query's nprobe cells.
+    * @param data (idCol, vq, nsq) quantized corpus
+    * @param queries (idCol, vq, nsq) query subset
+    */
+  def search(data: DataFrame, queries: DataFrame, idCol: String,
+      model: Model, nprobe: Int, topK: Int): DataFrame = {
+    val cells = data.withColumn("cell", assignCell(col("vq"), model))
+      .toDF("n_id", "n_vq", "n_nsq", "cell")
+    val probed = queries
+      .withColumn("cell", explode(probeCells(col("vq"), model, nprobe)))
+      .toDF("q_id", "q_vq", "q_nsq", "cell")
+    val scored = cells.join(broadcast(probed), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", VecFns.cosineFromQ(
+        VecFns.dotQFast(col("q_vq"), col("n_vq")), col("q_nsq"), col("n_nsq")))
+    TopK.perGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("n_id").asc), topK)
+      .select(col("q_id"), col("rk"), col("n_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
+}

@@ -58,6 +58,19 @@ object VectorQueries {
         FROM ranked WHERE rk <= $K ORDER BY q_id, rk"""
 
   val queries: Map[String, Q] = Map(
+    // ---- IVF ANN (k-means coarse quantizer; rows-only — the trained
+    // quantizer is not SQL-expressible; recall pinned by VectorSpec) -
+    "q54_ann_ivf" -> Q(
+      impl = (s, d) => {
+        val all = quantized(s, d)
+        val model = graft.operators.Ivf.train(
+          Tables.load(s, d, "embeddings"), "embedding", k = 16)
+        val q = all.filter(col("vec_id") < NQueries)
+        graft.operators.Ivf.search(all, q, "vec_id", model,
+          nprobe = 4, topK = K)
+      },
+      oracle = None),
+
     // ---- brute-force cosine top-k ----------------------------------
     "q30_embed_knn" -> Q(
       impl = (s, d) => {

