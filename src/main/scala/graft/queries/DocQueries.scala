@@ -241,6 +241,88 @@ object DocQueries {
         FROM tk GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // ---- end-to-end corpus cleaning: the composed training-data
+    // pipeline — quality filter → language filter → exact dedup →
+    // LSH near-dup removal → surviving document ids ------------------
+    "q58_corpus_pipeline" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+        val filtered = docs.filter(
+          TextFns.punctRatio(col("text")) < 0.1
+            && size(col("t")) >= 10
+            && TextFns.langIdentify(col("text")) === "en")
+        // exact dedup: keep the smallest doc_id per content hash
+        val keepIds = filtered
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val kept = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+          .persist()
+        // near-dup removal: LSH candidates with est >= 0.5 drop the
+        // larger id of each pair
+        val sh = kept.select(col("doc_id"),
+          explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val dropIds = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
+          .filter(col("est") >= 0.5)
+          .select(col("b").as("doc_id")).distinct()
+        kept.join(dropIds, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val r = MinhashK / Bands
+        val bandRows = (0 until Bands).map { b =>
+          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+            (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+        }.mkString("\n UNION ALL\n ")
+        val matches = (0 until MinhashK)
+          .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH filtered AS (
+          SELECT doc_id, text FROM documents
+          WHERE round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  / length(text), 4) < 0.1
+            AND len(string_split(text, ' ')) >= 10
+            AND (CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      >= len(list_filter(string_split(text, ' '),
+                        x -> x IN ('der', 'die', 'das', 'und', 'ist')))
+                   AND len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      >= len(list_filter(string_split(text, ' '),
+                        x -> x IN ('le', 'la', 'les', 'et', 'est')))
+                 THEN 'en'
+                 WHEN len(list_filter(string_split(text, ' '),
+                        x -> x IN ('der', 'die', 'das', 'und', 'ist')))
+                      >= len(list_filter(string_split(text, ' '),
+                        x -> x IN ('le', 'la', 'les', 'et', 'est')))
+                 THEN 'de' ELSE 'fr' END) = 'en'),
+        kept AS (
+          SELECT doc_id, text FROM filtered
+          WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY md5(text))),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+        band AS ($bandRows),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                 round(($matches) / ${MinhashK.toDouble}, 4) AS est
+          FROM band l JOIN band r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        dropids AS (SELECT DISTINCT b AS doc_id FROM pairs WHERE est >= 0.5)
+        SELECT doc_id FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+        ORDER BY doc_id"""
+      },
+      bench = true),
+
     // ---- multimodal binary-column stub -----------------------------
     "q32_multimodal_stub" -> Q(
       impl = (s, d) => Multimodal.decodeStats(s, d),

@@ -217,6 +217,66 @@ object Extended {
             JOIN norms nb ON nb.vec_id = b)
         SELECT a, b, cos_r FROM cosv WHERE cos_r >= 0.4 ORDER BY a, b""")),
 
+    // ---- sliding windows via Spark's native window() ----------------
+    "q55_window_sliding" -> Q(
+      impl = (s, d) => {
+        val SlideUs = 900000000L
+        Tables.events(s, d)
+          .withColumn("__ts", timestamp_micros(col("us")))
+          .groupBy(window(col("__ts"), "1800 seconds", "900 seconds"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
+          .select(unix_micros(col("window.start")).as("w_start_us"),
+            col("event_type"), col("n"), col("v"))
+          .orderBy("w_start_us", "event_type")
+      },
+      oracle = Some {
+        val S = 900000000L
+        s"""
+        WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        w2 AS (
+          SELECT (us // $S) * $S AS w_start_us, event_type, value FROM e
+          UNION ALL
+          SELECT ((us // $S) - 1) * $S AS w_start_us, event_type, value FROM e)
+        SELECT w_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS v
+        FROM w2 GROUP BY 1, 2 ORDER BY w_start_us, event_type"""
+      }),
+
+    // ---- cube (full grouping-sets lattice) -------------------------
+    "q56_cube" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- exact interpolated percentiles (bit-identical both engines)
+    "q57_percentile" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- stateful streaming sessionization (flatMapGroupsWithState)
     "q39_stream_sessionize" -> Q(
       impl = (s, d) => EventStream.sessionCountsStateful(s, d),

@@ -33,6 +33,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaWindow === batch)
   }
 
+  test("streaming exact dedup removes duplicates across a unioned stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.parque*")
+    val deduped = src.union(src).dropDuplicates("event_id")
+    val name = s"graft_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table(name).count()
+    val exact = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(n === exact) // 2x input rows deduped back to the originals
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals batch window-lag") {
     val stateful = EventStream.sessionCountsStateful(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
