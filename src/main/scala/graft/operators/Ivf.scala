@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VecFns
@@ -25,14 +23,50 @@ object Ivf {
     def k: Int = centroidsQ.size
   }
 
-  /** Train the coarse quantizer (deterministic: fixed seed). */
-  def train(data: DataFrame, vecCol: String, k: Int, seed: Long = 42L): Model = {
-    val feats = data.select(
-      array_to_vector(transform(col(vecCol), x => x.cast("double")))
-        .as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feats)
-    Model(km.clusterCenters.toSeq.map(c =>
-      c.toArray.toSeq.map(x => math.round(x * VecFns.Scale))))
+  /** Train the coarse quantizer: Lloyd's k-means on a bounded sample
+    * collected to the driver. A coarse quantizer only needs a sample —
+    * distributed iterative k-means would cost one Spark job per
+    * iteration for no quality gain at this granularity. Deterministic:
+    * first-k init over a seed-ordered sample.
+    */
+  def train(data: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxSample: Int = 100000, iters: Int = 15): Model = {
+    val sample = data
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"need >= $k vectors to train")
+    // deterministic shuffle of the sample by a seeded hash of contents
+    val rng = new scala.util.Random(seed)
+    val shuffled = rng.shuffle(sample.toSeq.zipWithIndex).map(_._1)
+    val dim = shuffled.head.length
+    var centers = shuffled.take(k).map(_.clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      for (v <- shuffled) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centers(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(k) { j =>
+        if (counts(j) == 0) centers(j)
+        else { val c = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { c(i) = sums(j)(i) / counts(j); i += 1 }
+          c }
+      }
+    }
+    Model(centers.toSeq.map(c => c.toSeq.map(x => math.round(x * VecFns.Scale))))
   }
 
   /** Squared-distance-ordered (dist, cellId) structs for a quantized
