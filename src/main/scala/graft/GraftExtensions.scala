@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_array_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
       exprs => LongArrayDot(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.BinnedIntervalJoinRule)
   }
 }

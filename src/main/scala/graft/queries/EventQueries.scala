@@ -76,6 +76,42 @@ object EventQueries {
         ORDER BY a.event_type"""),
       bench = true),
 
+    // ---- pure overlap join via the optimizer rule ------------------
+    // No equi key at all: Catalyst alone would plan a nested-loop
+    // product; graft.plans.BinnedIntervalJoinRule rewrites it into the
+    // binned equi-join automatically. The DataFrame code is the naive
+    // declarative join — the rule supplies the scale path.
+    "q59_interval_rule" -> Q(
+      impl = (s, d) => {
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.BinnedIntervalJoinRule)) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.BinnedIntervalJoinRule
+        }
+        s.conf.set("spark.graft.intervalJoin.binWidth", "300000000")
+        val iv = Tables.events(s, d).select(
+          col("event_id"),
+          col("us").as("s_us"),
+          (col("us") + round(col("value") * 1000000, 0).cast("long")).as("e_us"))
+        val a = iv.toDF("a_id", "a_s", "a_e")
+        val b = iv.toDF("b_id", "b_s", "b_e")
+        a.join(b, col("a_id") < col("b_id")
+            && col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+          .groupBy(expr("a_s div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT event_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+          FROM events)
+        SELECT (a.s // 86400000000) AS day, CAST(count(*) AS BIGINT) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+        GROUP BY 1 ORDER BY day"""),
+      bench = true),
+
     // ---- 15. tumbling-window aggregation (batch) -------------------
     "q19_window_tumbling" -> Q(
       impl = (s, d) =>
