@@ -31,6 +31,16 @@ object Tables {
     load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** Same single-file→single-partition hazard for `embeddings`: the
+    * brute-force / bucketed similarity joins stream this side through
+    * a broadcast join, so its partition count IS the join's
+    * parallelism — one input file would put the whole O(N·dim)
+    * scoring loop on one core.
+    */
+  def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** The `events` table carries parquet TIMESTAMP(NANOS) which Spark 4
     * rejects by default. We read nanos as raw longs
     * (`spark.sql.legacy.parquet.nanosAsLong`) and derive epoch-micros

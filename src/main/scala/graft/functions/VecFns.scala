@@ -57,10 +57,12 @@ object VecFns {
   }
 
   def hyperplaneBit(vq: Column, j: Int, dim: Int): Column = {
-    val signedSum = (0 until dim).map { i =>
-      element_at(vq, i + 1) * lit(hyperplaneWeight(j, i))
-    }.reduce(_ + _)
-    when(signedSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    // The projection is a dot product against a literal ±1 weight
+    // vector — one codegen'd long_array_dot call instead of a
+    // dim-term element_at sum (the wide tree made Catalyst
+    // analysis/codegen the dominant cost, not the data).
+    val w = typedlit((0 until dim).map(i => hyperplaneWeight(j, i)))
+    when(dotQFast(vq, w) >= 0, lit(1L << j)).otherwise(lit(0L))
   }
 
   /** LSH bucket id: `nPlanes`-bit signature of hyperplane sign bits. */

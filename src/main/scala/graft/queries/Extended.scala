@@ -187,7 +187,10 @@ object Extended {
     // ---- embedding-cosine near-duplicate pairs ---------------------
     "q53_embed_neardup" -> Q(
       impl = (s, d) => {
-        val all = Tables.load(s, d, "embeddings")
+        // Parallel read: this frame streams through a broadcast
+        // nested-loop join, so its partition count is the O(N²·dim)
+        // scoring parallelism (Tables.embeddingsParallel).
+        val all = Tables.embeddingsParallel(s, d)
           .select(col("vec_id"),
             graft.functions.VecFns.quantize(col("embedding")).as("vq"))
         graft.functions.expressions.GraftFunctions.register(s)

@@ -26,7 +26,10 @@ object VectorQueries {
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.load(s, d, "embeddings")
+    // Parallel read matters here: this frame is the *streamed* side of
+    // every broadcast scoring join below, so its partition count is
+    // the scoring parallelism (Tables.embeddingsParallel).
+    Tables.embeddingsParallel(s, d)
       .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
       .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
   }
