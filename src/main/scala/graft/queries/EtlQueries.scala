@@ -29,6 +29,34 @@ object EtlQueries {
         'c6':'VARCHAR','c7':'VARCHAR','c8':'VARCHAR'})
       WHERE c0 NOT LIKE '#%')"""
 
+  /** DuckDB CTEs: OBO stanza parse of the two ontology fixtures into
+    * `terms` (obsolete-filtered) and `edges` (child→parent is_a, with
+    * edges before an `is_obsolete: true` marker kept — the reference's
+    * module-global is_a dict behavior). Part of a `WITH RECURSIVE`
+    * prefix so callers can append a closure CTE.
+    */
+  private def oboCtes: String = s"""
+    files AS (
+      SELECT content FROM read_text('$Fx/ontology_go.obo')
+      UNION ALL
+      SELECT content FROM read_text('$Fx/ontology_mp.obo')),
+    chunks AS (
+      SELECT unnest(string_split(content, '[Term]')) AS ch FROM files),
+    stanzas AS (
+      SELECT string_split(ch, chr(10) || '[')[1] AS st FROM chunks
+      WHERE regexp_matches(ch, '(?m)^id: ')),
+    terms AS (
+      SELECT regexp_extract(st, '(?m)^id: (\\S+)', 1) AS id,
+             nullif(regexp_extract(st, '(?m)^name: ([^\\n]*)', 1), '') AS name,
+             nullif(regexp_extract(st, '(?m)^namespace: ([^\\n]*)', 1), '') AS namespace,
+             nullif(regexp_extract(st, '(?m)^def: ([^\\n]*)', 1), '') AS "def"
+      FROM stanzas WHERE NOT st LIKE '%is_obsolete: true%'),
+    edges AS (
+      SELECT regexp_extract(st, '(?m)^id: (\\S+)', 1) AS child,
+             unnest(regexp_extract_all(string_split(st, 'is_obsolete: true')[1],
+                    '(?m)^is_a: (\\S+)', 1)) AS parent
+      FROM stanzas)"""
+
   /** DuckDB: trimmed value of one GFF3 attribute, null when missing. */
   private def dAttr(name: String): String =
     s"nullif(trim(regexp_extract(c8, '(^|;)\\s*$name\\s*=\\s*([^;]*)', 2)), '')"
@@ -237,20 +265,41 @@ object EtlQueries {
                ${dAttrFirst("Color")} AS color
         FROM raw ORDER BY chr, start""")),
 
-    // ---- S6/F6/X4/A1/A2/A3: OBO terms + closure (rows-only — the
-    // stateful stanza parse is not SQL-expressible; semantics pinned
-    // by EtlSpec golden tests) ---------------------------------------
+    // ---- S6/F6/X4/A1/A2/A3: OBO terms + closure. The oracle parses
+    // the stanza format in SQL: read_text → split on '[Term]' →
+    // truncate each chunk at the next section header → (?m)-anchored
+    // field extraction, with the reference's obsolete semantics
+    // (term discarded, but is_a edges seen before the marker kept —
+    // `import_ontology.py:252-256` vs the module-global is_a dict).
+    // Closure/descendant-counts via a recursive CTE ------------------
     "q48_etl_ontology_terms" -> Q(
       impl = (s, _) =>
         OntologyEtl.load(s,
             Seq(s"$Fx/ontology_go.obo", s"$Fx/ontology_mp.obo"), Nil)
           .terms.orderBy("id"),
-      oracle = None),
+      oracle = Some(s"""
+        WITH RECURSIVE $oboCtes,
+        cl(ancestor, descendant) AS (
+          SELECT parent, child FROM edges
+          UNION
+          SELECT cl.ancestor, e.child FROM cl JOIN edges e ON cl.descendant = e.parent),
+        cnt AS (SELECT ancestor, CAST(count(*) AS BIGINT) AS count
+                FROM cl GROUP BY ancestor)
+        SELECT t.id, t.name, t.namespace, t."def", cnt.count
+        FROM terms t LEFT JOIN cnt ON cnt.ancestor = t.id
+        ORDER BY t.id""")),
     "q49_etl_closure" -> Q(
       impl = (s, _) =>
         OntologyEtl.load(s,
             Seq(s"$Fx/ontology_go.obo", s"$Fx/ontology_mp.obo"), Nil)
           .pairs.orderBy("parent", "child"),
-      oracle = None)
+      oracle = Some(s"""
+        WITH RECURSIVE $oboCtes,
+        cl(ancestor, descendant) AS (
+          SELECT parent, child FROM edges
+          UNION
+          SELECT cl.ancestor, e.child FROM cl JOIN edges e ON cl.descendant = e.parent)
+        SELECT ancestor AS parent, descendant AS child, 'is_a' AS relationship
+        FROM cl ORDER BY parent, child"""))
   )
 }

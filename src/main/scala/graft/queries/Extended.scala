@@ -158,16 +158,27 @@ object Extended {
           ON c_custkey = o_custkey
         GROUP BY c_custkey ORDER BY c_custkey""")),
 
-    // ---- approximate distinct (HLL sketch) — engines' sketches
-    // differ, so rows-only here; accuracy pinned by a spec ------------
+    // ---- approximate distinct (HLL sketch). Engines' sketches differ
+    // numerically, so the oracle checks the *contract* instead: each
+    // engine's own approx_count_distinct must land within 10% of the
+    // exact count (Spark's default rsd is 5%, DuckDB's HLL ~1.6%) —
+    // the exact count and the pass/fail boolean are hash-comparable --
     "q51_approx_distinct" -> Q(
       impl = (s, d) =>
         Tables.load(s, d, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          .agg(approx_count_distinct("l_partkey").as("__approx"),
             countDistinct("l_partkey").as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("__approx") - col("exact_parts"))
+              <= col("exact_parts") * 0.10).as("approx_ok"))
           .orderBy("l_returnflag"),
-      oracle = None),
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                 <= count(DISTINCT l_partkey) * 0.10 AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- BPE-ish regex tokenization --------------------------------
     "q52_bpe_tokens" -> Q(
