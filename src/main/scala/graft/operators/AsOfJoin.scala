@@ -32,7 +32,31 @@ object AsOfJoin {
       keys: Seq[String],
       lTime: String,
       rTime: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    asOf(leftDf, rightDf, keys, lTime, rTime, payloadCols, forward = false)
+
+  /** Forward as-of: for each left row, the *earliest* right row at or
+    * after the left row's time, per key. Same carry-forward window as
+    * `lastBefore` but traversed in descending time order, so the
+    * carried value is the smallest right time ≥ the left time.
+    */
+  def firstAfter(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[String],
+      lTime: String,
+      rTime: String,
+      payloadCols: Seq[String]): DataFrame =
+    asOf(leftDf, rightDf, keys, lTime, rTime, payloadCols, forward = true)
+
+  private def asOf(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[String],
+      lTime: String,
+      rTime: String,
+      payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val keyCols = keys.map(col)
     val lExtra = leftDf.columns.filterNot(c => keys.contains(c) || c == lTime).toSeq
     val payloadType =
@@ -47,8 +71,13 @@ object AsOfJoin {
           .as("__payload"))
         ++ lExtra.map(c => lit(null).cast(leftDf.schema(c).dataType).as(c)): _*)
 
+    // Backward: ascending time, right rows (tag 0) before left rows at
+    // equal time → inclusive >=. Forward: descending time; at equal
+    // time tag still ascends, so right rows are seen first → inclusive
+    // <=.
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(timeOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lAligned.unionByName(rAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

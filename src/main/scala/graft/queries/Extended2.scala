@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{MinHashLsh, SimHash, TextFns}
+import graft.operators.{AsOfJoin, Components, Salted, TopK}
+import graft.streaming.EventStream
+
+/** Second extension batch: banded SimHash dedup, near-dup connected
+  * components, grouping sets, stream-stream join, deterministic hash
+  * sampling, forward as-of, TF-IDF, token frequency, lag/lead,
+  * ntile bucketing, ordered array aggregation, streaming dedup,
+  * frame-sampling plumbing, and salted aggregation.
+  */
+object Extended2 {
+
+  private val MinhashK = 12
+  private val Bands = 4
+
+  /** Shared doc→distinct-token→simhash pipeline (same as q29). */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.docsParallel(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(SimHash.simhashAgg(col("tok")).as("simhash"))
+
+  /** DuckDB CTE: 16-bit simhash per doc (identical to q29's oracle). */
+  private def simhashCte: String = {
+    val bitSums = (0 until SimHash.bits).map { b =>
+      val hexPos = 4 - b / 4
+      val pw = 1 << (b % 4)
+      val nib = s"(instr('0123456789abcdef', substr(md5(tok), $hexPos, 1)) - 1)"
+      s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+        sig AS (SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash
+                FROM tk GROUP BY doc_id)"""
+  }
+
+  /** DuckDB CTEs: word-3-gram MinHash signatures + banded LSH pairs
+    * with est >= `minEst` (same construction as q27/q58 oracles).
+    */
+  private def lshPairCtes(minEst: Double): String = {
+    val r = MinhashK / Bands
+    val sigSelect =
+      (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS s$i").mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+        (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    val matches = (0 until MinhashK)
+      .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+        band AS ($bandRows),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM band l JOIN band r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE ($matches) / ${MinhashK.toDouble} >= $minEst)"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- banded SimHash near-dup (Manku-style exact Hamming<=3):
+    // 4 bands x 4 bits — pigeonhole guarantees every pair within
+    // Hamming 3 shares a band, so the banded equi-join + post-filter
+    // is EXACT while scanning a fraction of the N^2 pairs. The oracle
+    // is the brute-force quadratic join — results must be identical --
+    "q60_simhash_pairs" -> Q(
+      impl = (s, d) => {
+        val sigs = simhashSigs(s, d)
+        val banded = sigs.select(col("doc_id"), col("simhash"),
+            explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+              (shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)))
+                .as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val l = banded.toDF("a", "a_sim", "band", "key")
+        val r = banded.toDF("b", "b_sim", "band", "key")
+        val cand = l.join(r, Seq("band", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b", "a_sim", "b_sim").distinct()
+        cand
+          .withColumn("hamming",
+            SimHash.hamming(col("a_sim"), col("b_sim")).cast("int"))
+          .filter(col("hamming") <= 3)
+          .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("hamming")
+      },
+      oracle = Some(s"""
+        WITH $simhashCte
+        SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        GROUP BY 1 ORDER BY hamming""")),
+
+    // ---- connected components over LSH near-dup pairs (est >= 0.5):
+    // distributed min-label propagation; the oracle re-derives the
+    // same clusters with a recursive reachability CTE ----------------
+    "q61_lsh_components" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val pairs = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
+          .filter(col("est") >= 0.5)
+        Components.connectedComponents(pairs, "a", "b")
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${lshPairCtes(0.5)},
+        sym AS (SELECT a AS x, b AS y FROM pairs
+                UNION SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT x, x FROM sym
+          UNION
+          SELECT s.x, r.lab FROM sym s JOIN reach r ON r.node = s.y)
+        SELECT node AS doc_id, min(lab) AS component
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // ---- explicit GROUPING SETS (beyond rollup/cube) ---------------
+    "q62_grouping_sets" -> Q(
+      impl = (s, d) => {
+        Tables.load(s, d, "lineitem").createOrReplaceTempView("__li")
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          FROM __li
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY rf, ls""")
+      },
+      oracle = Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")),
+
+    // ---- stream-stream interval join (watermarked both sides) ------
+    "q63_stream_stream_join" -> Q(
+      impl = (s, d) => EventStream.purchaseClickJoin(s, d),
+      oracle = Some("""
+        WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS cid, user_id AS cu, epoch_us(ts) AS cus
+                   FROM events WHERE event_type = 'click')
+        SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks_30m
+        FROM p JOIN c ON p.user_id = c.cu
+          AND c.cus >= p.pus - 1800000000 AND c.cus <= p.pus
+        GROUP BY pid ORDER BY pid""")),
+
+    // ---- deterministic cross-engine hash sampling: md5-prefix
+    // Bernoulli sample (p = 2/16), reproducible on any engine --------
+    "q64_hash_sample" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .filter(substring(md5(concat_ws("-",
+            col("l_orderkey"), col("l_linenumber"))), 1, 1) < "2")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 1) < '2'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- forward as-of join: first click at/after each purchase ----
+    "q65_asof_forward" -> Q(
+      impl = (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"), col("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("cid"), col("us").as("cus"))
+        AsOfJoin.firstAfter(purchases, clicks, Seq("user_id"),
+            lTime = "us", rTime = "cus", payloadCols = Seq("cid", "cus"))
+          .select(
+            col("pid"),
+            col("asof_match.cid").cast("long").as("cid"),
+            (col("asof_match.cus").cast("long") - col("us")).as("gap_us"))
+          .orderBy("pid")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS cid, user_id AS cu, epoch_us(ts) AS cus
+                   FROM events WHERE event_type = 'click')
+        SELECT pid, cid, cus - pus AS gap_us
+        FROM p ASOF JOIN c ON p.user_id = c.cu AND p.pus <= c.cus
+        ORDER BY pid""")),
+
+    // ---- TF-IDF: top-3 terms per document ---------------------------
+    "q66_tfidf" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df_ = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df_, "tok").crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs") / col("df")), 4))
+        TopK.perGroup(scored, Seq("doc_id"),
+            Seq(col("score").desc, col("tok").asc), 3)
+          .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok,
+                 round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, tok, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+          FROM scored)
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- corpus token frequency (Zipf head) ------------------------
+    "q67_token_zipf" -> Q(
+      impl = (s, d) => {
+        val counts = Tables.docsParallel(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+          .filter(col("rank") <= 50)
+          .select("rank", "tok", "cnt")
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+              FROM c)
+        SELECT CAST(rank AS BIGINT) AS rank, tok, cnt
+        FROM r WHERE rank <= 50 ORDER BY rank""")),
+
+    // ---- lag/lead navigation windows -------------------------------
+    "q68_lag_lead" -> Q(
+      impl = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("us"))
+          .withColumn("prev_id", lag("event_id", 1).over(w))
+          .withColumn("next_id", lead("event_id", 1).over(w))
+          .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+          .orderBy("user_id", "us", "event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        SELECT user_id, event_id, us,
+               lag(event_id) OVER w AS prev_id,
+               lead(event_id) OVER w AS next_id,
+               us - lag(us) OVER w AS gap_us
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ORDER BY user_id, us, event_id""")),
+
+    // ---- ntile decile bucketing ------------------------------------
+    "q69_ntile" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "orders")
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("decile"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM t GROUP BY decile ORDER BY decile""")),
+
+    // ---- ordered array aggregation ---------------------------------
+    "q70_array_agg" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(concat_ws(",",
+            sort_array(collect_list(col("o_orderkey")))).as("orders_csv"))
+          .select(col("o_custkey").as("custkey"), col("orders_csv"))
+          .orderBy("custkey"),
+      oracle = Some("""
+        SELECT o_custkey AS custkey,
+               string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orders_csv
+        FROM orders GROUP BY o_custkey ORDER BY custkey""")),
+
+    // ---- streaming exact dedup (dropDuplicates state store) --------
+    "q71_stream_dedup" -> Q(
+      impl = (s, d) => EventStream.streamDedupCounts(s, d),
+      oracle = Some("""
+        SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- multimodal frame sampling: binary payload → per-frame rows
+    // (sequence + posexplode = the UDTF-shaped fan-out a video frame
+    // sampler needs; frame extraction itself is the documented stub) -
+    "q72_frames" -> Q(
+      impl = (s, d) => {
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .withColumn("n_frames", expr("octet_length(payload) div 100"))
+        media.filter(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            explode(expr("sequence(0, n_frames - 1)")).as("frame_no"))
+          .withColumn("frame_off", col("frame_no") * 100)
+          .groupBy("doc_id", "n_frames")
+          .agg(sum("frame_off").as("sum_off"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames
+          FROM documents)
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(n_frames * (n_frames - 1) / 2 * 100 AS BIGINT) AS sum_off
+        FROM m WHERE n_frames > 0 ORDER BY doc_id""")),
+
+    // ---- salted two-phase aggregation (hot-key mitigation); result
+    // must equal the plain one-phase groupBy ------------------------
+    "q73_salted_agg" -> Q(
+      impl = (s, d) =>
+        Salted.aggregateSkewed(
+            Tables.events(s, d), keys = Seq("event_type"), saltBuckets = 8,
+            partialAggs = Seq(count(lit(1)).as("pn"),
+              sum(col("value")).as("pv")),
+            finalAggs = Seq(sum("pn").as("n"),
+              round(sum("pv"), 3).as("v")))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS v
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

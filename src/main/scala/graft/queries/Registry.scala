@@ -18,5 +18,6 @@ final case class Q(
 object Registry {
   lazy val all: Map[String, Q] =
     Relational.queries ++ EventQueries.queries ++ DocQueries.queries ++
-      VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries
+      VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries ++
+      Extended2.queries
 }

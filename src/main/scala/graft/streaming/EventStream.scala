@@ -93,6 +93,77 @@ object EventStream {
     spark.table(name).orderBy("user_id")
   }
 
+  /** Streamed `events` source with epoch-micros + event-time columns. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.parque*")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ets", timestamp_micros(col("us")))
+  }
+
+  /** Stream-stream interval join: per purchase, the same-user clicks
+    * in the 30 minutes up to the purchase. Both sides are watermarked
+    * and the join condition carries event-time bounds, so the state
+    * store evicts rows as the watermark advances — the unbounded-state
+    * hazard of stream-stream joins is handled, not ignored. Driven
+    * with `Trigger.AvailableNow` the result equals the batch interval
+    * join exactly; the per-purchase counts are aggregated from the
+    * sink table (batch), keeping the streaming query single-stateful-op.
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String,
+      windowUs: Long = 1800000000L): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("us").as("pus"), col("ets").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("cid"),
+        col("us").as("cus"), col("ets").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_uid") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+    val name = s"graft_ssjoin_${System.nanoTime()}"
+    val q = joined.select("pid", "cid").writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("pid").agg(count(lit(1)).as("n_clicks_30m"))
+      .orderBy("pid")
+  }
+
+  /** Streaming exact deduplication: the source unioned with itself
+    * (every event twice) → `dropDuplicates` on the event id → counts
+    * per type from the sink. The state store holds one entry per seen
+    * key — the streaming half of the exact-dedup operator family.
+    */
+  def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = eventStream(spark, dir).unionByName(eventStream(spark, dir))
+    val deduped = doubled
+      .select("event_id", "event_type")
+      .dropDuplicates("event_id")
+    val name = s"graft_sdedup_${System.nanoTime()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+  }
+
   /** Sessionization via Spark's native `session_window` (batch mode):
     * one session row per (user, gap-merged window). Returns per-user
     * session counts — must equal `sessionCountsBatch`.
