@@ -129,12 +129,21 @@ object EventStream {
         col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
         col("cts") <= col("pts"))
     val name = s"graft_ssjoin_${System.nanoTime()}"
-    val q = joined.select("pid", "cid").writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stream-stream join cost is dominated by per-partition state-store
+    // setup (4 stores per partition: left/right × keyToNumValues/
+    // keyWithIndexToValue), not data volume — size the stateful
+    // shuffle to the state, not the core count. On a real cluster this
+    // is the same per-query knob.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      joined.select("pid", "cid").writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     spark.table(name)
       .groupBy("pid").agg(count(lit(1)).as("n_clicks_30m"))
