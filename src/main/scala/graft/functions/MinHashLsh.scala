@@ -5,14 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection.
   *
-  * Hash family: h_i(shingle) = md5(i || "|" || shingle), compared as a
-  * *string* — MinHash only needs a total order on hash values, and the
-  * lexicographic order on hex digests is one, portable across engines
-  * with zero integer-conversion trickery. Signature component i is the
-  * min digest over the document's distinct shingles.
+  * Hash family: one 28-bit base hash per shingle (md5 hex prefix),
+  * then k draws from the 2-universal family g_i(x) = (a_i·x + b_i)
+  * mod p with p the largest prime < 2^28 and fixed per-i constants
+  * derived from md5(i) — signature component i = min over the
+  * document's shingles of g_i(x). One digest per shingle instead of
+  * one per (i, shingle), with *independent* per-i orderings (a naive
+  * h1 + i·h2 "two-hash" variant keeps nearly the same argmin across
+  * i, correlating the components and blowing up LSH false-positive
+  * candidates ~50×). All arithmetic stays ≤ 2^56 — exact in a Spark
+  * LongType, a DuckDB BIGINT, or even an IEEE double, so any engine
+  * reproduces the signatures bit-for-bit.
   *
   * LSH: the k signature components are cut into `bands` groups of
-  * k/bands rows; band key = md5 of the concatenated components.
+  * k/bands rows; band key = md5 of the '|'-joined components.
   * Documents sharing any band key become candidate pairs. The band
   * join is a pure equi-join on (band index, band key) — at 100 TB this
   * is one shuffle on a short string key, with near-duplicate clusters
@@ -20,17 +26,42 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  def minhashComponent(shingle: Column, i: Int): Column =
-    md5(concat(lit(s"$i|"), shingle))
+  /** Largest prime below 2^28. */
+  val P = 268435399L
+
+  private def md5PrefixLong(s: String, hexChars: Int): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take((hexChars + 1) / 2)
+        .map(b => f"$b%02x").mkString.take(hexChars), 16)
+
+  /** Multiplier for hash i: deterministic, in [1, P-1]. */
+  def aConst(i: Int): Long = md5PrefixLong(s"a|$i", 7) % (P - 1) + 1
+
+  /** Offset for hash i: deterministic, in [0, P-1]. */
+  def bConst(i: Int): Long = md5PrefixLong(s"b|$i", 7) % P
+
+  /** 28-bit base hash of a shingle (md5 hex prefix mod P) — portable:
+    * any ANSI-SQL engine computes the identical value.
+    */
+  def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 7), 16, 10).cast("long") % P
+
+  /** Signature component i from the base hash. */
+  def component(x: Column, i: Int): Column =
+    (x * aConst(i) + bConst(i)) % P
 
   /** Per-document MinHash signature.
     * @param shingles (idCol, shingleCol) rows, duplicates allowed
-    * @return one row per id: idCol, s0..s{k-1}
+    * @return one row per id: idCol, s0..s{k-1} (long components)
     */
   def signatures(shingles: DataFrame, idCol: String, shingleCol: String, k: Int): DataFrame = {
+    val withH = shingles.select(col(idCol),
+      baseHash(col(shingleCol)).as("__x"))
     val aggs = (0 until k).map(i =>
-      min(minhashComponent(col(shingleCol), i)).as(s"s$i"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(component(col("__x"), i)).as(s"s$i"))
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate near-duplicate pairs from banded signatures.
@@ -42,14 +73,15 @@ object MinHashLsh {
     val r = k / bands
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((b * r until (b + 1) * r).map(i => col(s"s$i")): _*)).as("key"))
+        md5(concat_ws("|",
+          (b * r until (b + 1) * r).map(i => col(s"s$i")): _*)).as("key"))
     }
     val bandedCols = Seq(col(idCol), col("__bk.band").as("band"),
       col("__bk.key").as("key")) ++ (0 until k).map(i => col(s"s$i"))
     // Persist before the self-join: both join sides reference this
     // subplan, and without materialization the whole shingle→minhash
     // pipeline would execute twice (signatures are the expensive part
-    // — k md5 aggregations over every shingle).
+    // — the md5 work over every shingle).
     val banded = sigs
       .withColumn("__bk", explode(array(bandKeys: _*)))
       .select(bandedCols: _*)

@@ -31,8 +31,19 @@ object DocQueries {
         sh AS (SELECT DISTINCT doc_id$src, $gram AS sh FROM idx WHERE i + ${n - 1} <= len(t))"""
   }
 
+  /** DuckDB CTE: 28-bit base hash per (doc_id, sh) — the same
+    * 2-universal MinHash family as `MinHashLsh.baseHash`.
+    */
+  private def hashCte: String = s"""
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh)"""
+
   private def sigSelect: String =
-    (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS s$i").mkString(", ")
+    (0 until MinhashK).map(i =>
+      s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+        s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy ---------------------------------
@@ -141,9 +152,9 @@ object DocQueries {
         MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK).orderBy("doc_id")
       },
       oracle = Some(s"""
-        WITH ${shingleCtes(3)}
+        WITH ${shingleCtes(3)}, $hashCte
         SELECT doc_id, $sigSelect
-        FROM sh GROUP BY doc_id ORDER BY doc_id"""),
+        FROM hh GROUP BY doc_id ORDER BY doc_id"""),
       bench = true),
 
     // ---- LSH candidate pairs (4 bands × 3 rows) --------------------
@@ -160,15 +171,16 @@ object DocQueries {
       oracle = Some {
         val r = MinhashK / Bands
         val bandRows = (0 until Bands).map { b =>
-          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")
+          val key = (b * r until (b + 1) * r).map(i => s"s$i")
+            .mkString(" || '|' || ")
           s"SELECT doc_id, $b AS band, md5($key) AS key, " +
             (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
         }.mkString("\n UNION ALL\n ")
         val matches = (0 until MinhashK)
           .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END").mkString(" + ")
         s"""
-        WITH ${shingleCtes(3)},
-        sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+        WITH ${shingleCtes(3)}, $hashCte,
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
         band AS ($bandRows)
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                round(($matches) / ${MinhashK.toDouble}, 4) AS est
@@ -274,7 +286,8 @@ object DocQueries {
       oracle = Some {
         val r = MinhashK / Bands
         val bandRows = (0 until Bands).map { b =>
-          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")
+          val key = (b * r until (b + 1) * r).map(i => s"s$i")
+            .mkString(" || '|' || ")
           s"SELECT doc_id, $b AS band, md5($key) AS key, " +
             (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
         }.mkString("\n UNION ALL\n ")
@@ -308,8 +321,8 @@ object DocQueries {
                        unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
         sh AS (SELECT DISTINCT doc_id,
                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-               FROM idx WHERE i + 2 <= len(t)),
-        sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+               FROM idx WHERE i + 2 <= len(t)), $hashCte,
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
         band AS ($bandRows),
         pairs AS (
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,

@@ -46,9 +46,11 @@ object Extended2 {
   private def lshPairCtes(minEst: Double): String = {
     val r = MinhashK / Bands
     val sigSelect =
-      (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS s$i").mkString(", ")
+      (0 until MinhashK).map(i =>
+        s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+          s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
     val bandRows = (0 until Bands).map { b =>
-      val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")
+      val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS key, " +
         (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
     }.mkString("\n UNION ALL\n ")
@@ -59,7 +61,11 @@ object Extended2 {
                        unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                FROM idx WHERE i + 2 <= len(t)),
-        sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
         band AS ($bandRows),
         pairs AS (
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
