@@ -83,12 +83,16 @@ object Extended2 {
     "q60_simhash_pairs" -> Q(
       impl = (s, d) => {
         val sigs = simhashSigs(s, d)
+        // Persist: both self-join sides consume this frame; without
+        // materialization the whole token-explode → 16-bit-sum
+        // signature pipeline would run twice.
         val banded = sigs.select(col("doc_id"), col("simhash"),
             explode(array((0 until 4).map(b => struct(lit(b).as("band"),
               (shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)))
                 .as("key"))): _*)).as("bk"))
           .select(col("doc_id"), col("simhash"),
             col("bk.band").as("band"), col("bk.key").as("key"))
+          .persist()
         val l = banded.toDF("a", "a_sim", "band", "key")
         val r = banded.toDF("b", "b_sim", "band", "key")
         val cand = l.join(r, Seq("band", "key"))
@@ -219,10 +223,17 @@ object Extended2 {
         val docs = Tables.docsParallel(s, d)
         val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
+        // One explode pass: tf has one row per (doc, token), so the
+        // document frequency is a count over tf — no second
+        // explode+distinct scan. Persisted because both the scoring
+        // join and the df aggregation consume it.
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df_ = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(df_, "tok").crossJoin(broadcast(n))
+          .persist()
+        val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = Tables.load(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        // vocab- and scalar-sized sides broadcast: the scoring join
+        // adds no shuffle beyond the tf aggregation's.
+        val scored = tf.join(broadcast(df_), "tok").crossJoin(broadcast(n))
           .withColumn("score",
             round(col("tf") * log(col("n_docs") / col("df")), 4))
         TopK.perGroup(scored, Seq("doc_id"),
@@ -290,7 +301,12 @@ object Extended2 {
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         ORDER BY user_id, us, event_id""")),
 
-    // ---- ntile decile bucketing ------------------------------------
+    // ---- ntile decile bucketing. A partition-less window is a total
+    // order — Spark funnels it into one task. Fine here (deciles are
+    // usually computed over an aggregate or a sample); the scale path
+    // for exact global ranks is range-repartition + per-partition
+    // offsets, and for quantiles approx_percentile (q57/q51 cover the
+    // sketch side) ---------------------------------------------------
     "q69_ntile" -> Q(
       impl = (s, d) =>
         Tables.load(s, d, "orders")
