@@ -194,11 +194,20 @@ object DocQueries {
       impl = (s, d) => {
         // Distinct is required here (Jaccard counts distinct shingle
         // sets); persist because the shingle set feeds three subplans
-        // (both self-join sides + sizes).
+        // (both self-join sides + sizes). Shingles are reduced to
+        // 60-bit md5-prefix ints *before* the distinct: every
+        // downstream shuffle (dedup, self-join, sizes) moves 8-byte
+        // keys instead of n-gram strings, and the oracle applies the
+        // identical reduction so intersection counts agree exactly
+        // (expected spurious collisions at 10^6 distinct shingles:
+        // ~10^12/2^61 ≈ 4·10^-7).
         val sh = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
           .select(col("doc_id"), col("source"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 2)).as("sh"))
+            explode(TextFns.wordShinglesFromTokens(col("t"), 2)).as("shs"))
+          .select(col("doc_id"), col("source"),
+            conv(substring(md5(col("shs")), 1, 15), 16, 10)
+              .cast("long").as("sh"))
           .distinct()
           .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -217,11 +226,14 @@ object DocQueries {
       },
       oracle = Some(s"""
         WITH ${shingleCtes(2, withSource = true)},
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        shh AS (SELECT DISTINCT doc_id, source,
+                       CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+                FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
         inter AS (
           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-          FROM sh x JOIN sh y
-            ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+          FROM shh x JOIN shh y
+            ON x.source = y.source AND x.h = y.h AND x.doc_id < y.doc_id
           GROUP BY 1, 2)
         SELECT a, b, round(c / (sa.n + sb.n - c), 4) AS jaccard
         FROM inter

@@ -138,6 +138,23 @@ object EventQueries {
         GROUP BY 1, 2
         ORDER BY w_start_us, event_type""")),
 
+    // ---- streaming parity for the sliding window (q55) -------------
+    "q74_stream_sliding" -> Q(
+      impl = (s, d) => EventStream.slidingCounts(s, d,
+        widthUs = 1800000000L, slideUs = 900000000L),
+      oracle = Some {
+        val S = 900000000L
+        s"""
+        WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        w2 AS (
+          SELECT (us // $S) * $S AS w_start_us, event_type, value FROM e
+          UNION ALL
+          SELECT ((us // $S) - 1) * $S AS w_start_us, event_type, value FROM e)
+        SELECT w_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS v
+        FROM w2 GROUP BY 1, 2 ORDER BY w_start_us, event_type"""
+      }),
+
     // ---- sessionization: 30-min-gap sessions per user --------------
     "q33_sessionize" -> Q(
       impl = (s, d) => EventStream.sessionCountsBatch(Tables.events(s, d)),

@@ -103,6 +103,31 @@ object EventStream {
       .withColumn("ets", timestamp_micros(col("us")))
   }
 
+  /** Sliding-window count/sum per (window, event_type) via streaming —
+    * each event lands in width/slide overlapping windows; Spark's
+    * `window()` does the fan-out inside the stateful aggregation.
+    * Equals the batch `window()` formulation (q55) exactly.
+    */
+  def slidingCounts(spark: SparkSession, dir: String,
+      widthUs: Long, slideUs: Long): DataFrame = {
+    val stream = eventStream(spark, dir)
+      .groupBy(window(col("ets"), s"${widthUs / 1000000} seconds",
+        s"${slideUs / 1000000} seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
+    val name = s"graft_sliding_${System.nanoTime()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("v"))
+      .orderBy("w_start_us", "event_type")
+  }
+
   /** Stream-stream interval join: per purchase, the same-user clicks
     * in the 30 minutes up to the purchase. Both sides are watermarked
     * and the join condition carries event-time bounds, so the state

@@ -1,0 +1,40 @@
+package graft.etl
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The CLI mirrors the reference's create-then-append family pattern
+  * (`create_database.sh:16-18`): `-c` overwrites the parquet table,
+  * a second invocation without `-c` appends.
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val fx = "/root/repo/src/test/resources/fixtures"
+
+  test("create-then-append matches the shell script's family pattern") {
+    val out = Files.createTempDirectory("graft_cli").toString
+    Main.run(spark, "genes-exons", create = true, out,
+      Array(s"$fx/genes_human.gff3", "9606"))
+    val n1 = spark.read.parquet(s"$out/gene").count()
+    assert(n1 > 0)
+    // append run (reference: mouse/rat appends; same file here)
+    Main.run(spark, "genes-exons", create = false, out,
+      Array(s"$fx/genes_human.gff3", "9606"))
+    assert(spark.read.parquet(s"$out/gene").count() == 2 * n1)
+    // -c drops and recreates
+    Main.run(spark, "genes-exons", create = true, out,
+      Array(s"$fx/genes_human.gff3", "9606"))
+    assert(spark.read.parquet(s"$out/gene").count() == n1)
+  }
+
+  test("ontology command loads terms, closure pairs, and GAF map") {
+    val out = Files.createTempDirectory("graft_cli_onto").toString
+    Main.run(spark, "ontology", create = true, out,
+      Array(s"$fx/ontology_go.obo,$fx/ontology_mp.obo",
+        s"$fx/annotations_go_human.gaf:9606"))
+    assert(spark.read.parquet(s"$out/on_terms").count() == 8)
+    assert(spark.read.parquet(s"$out/on_pairs").count() == 11)
+    assert(spark.read.parquet(s"$out/gene_ontology_map").count() > 0)
+  }
+}
