@@ -288,6 +288,24 @@ object EtlQueries {
         SELECT t.id, t.name, t.namespace, t."def", cnt.count
         FROM terms t LEFT JOIN cnt ON cnt.ancestor = t.id
         ORDER BY t.id""")),
+    // ---- DataSourceV2 GFF3 connector: typed scan with column
+    // pruning + pushed string-equality filter ------------------------
+    "q75_gff3_source" -> Q(
+      impl = (s, _) =>
+        s.read.format("gff3").load(s"$Fx/features_rat.gff3")
+          .filter(col("strand") === "+")
+          .groupBy("type")
+          .agg(count(lit(1)).as("n"),
+            min("start").as("min_start"), max("end").as("max_end"))
+          .orderBy("type"),
+      oracle = Some(s"""
+        WITH ${gffCte("features_rat.gff3")}
+        SELECT c2 AS type, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(CAST(nullif(c3, '.') AS BIGINT)) AS BIGINT) AS min_start,
+               CAST(max(CAST(nullif(c4, '.') AS BIGINT)) AS BIGINT) AS max_end
+        FROM raw WHERE c6 = '+'
+        GROUP BY c2 ORDER BY type""")),
+
     "q49_etl_closure" -> Q(
       impl = (s, _) =>
         OntologyEtl.load(s,
