@@ -372,6 +372,42 @@ object Extended2 {
                CAST(n_frames * (n_frames - 1) / 2 * 100 AS BIGINT) AS sum_off
         FROM m WHERE n_frames > 0 ORDER BY doc_id""")),
 
+    // ---- approximate quantiles (mergeable sketch). Like q51, the
+    // engines' sketches differ numerically (Spark: Greenwald-Khanna;
+    // DuckDB: t-digest), so the oracle checks the contract: each
+    // engine's p50/p90 estimate must land between the exact p±0.05
+    // quantiles. Exact quantile bounds + booleans are hash-comparable -
+    "q76_approx_quantile" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__a50"),
+            expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("__a90"),
+            expr("percentile(l_extendedprice, 0.45)").as("__lo50"),
+            expr("percentile(l_extendedprice, 0.55)").as("__hi50"),
+            expr("percentile(l_extendedprice, 0.85)").as("__lo90"),
+            expr("percentile(l_extendedprice, 0.95)").as("__hi90"))
+          .select(col("l_returnflag"),
+            round(col("__lo50"), 4).as("lo50"),
+            round(col("__hi90"), 4).as("hi90"),
+            (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+              .as("p50_ok"),
+            (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+              .as("p90_ok"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.45), 4) AS lo50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS hi90,
+               approx_quantile(l_extendedprice, 0.5)
+                 BETWEEN quantile_cont(l_extendedprice, 0.45)
+                     AND quantile_cont(l_extendedprice, 0.55) AS p50_ok,
+               approx_quantile(l_extendedprice, 0.9)
+                 BETWEEN quantile_cont(l_extendedprice, 0.85)
+                     AND quantile_cont(l_extendedprice, 0.95) AS p90_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- salted two-phase aggregation (hot-key mitigation); result
     // must equal the plain one-phase groupBy ------------------------
     "q73_salted_agg" -> Q(
