@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Third extension batch: the remaining join shapes (full outer,
+  * null-safe equality) and SQL subquery forms (correlated EXISTS,
+  * scalar subquery), plus deterministic per-group stratified sampling.
+  */
+object Extended3 {
+
+  val queries: Map[String, Q] = Map(
+    // ---- full outer join: suppliers vs customers per nation --------
+    "q77_full_outer" -> Q(
+      impl = (s, d) => {
+        val sup = Tables.load(s, d, "supplier")
+          .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_sup"))
+          .filter(col("nk") % 2 === 0)
+        val cust = Tables.load(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+          .filter(col("nk") % 3 === 0)
+        sup.withColumnRenamed("nk", "s_nk")
+          .join(cust.withColumnRenamed("nk", "c_nk"),
+            col("s_nk") === col("c_nk"), "full_outer")
+          .select(
+            coalesce(col("s_nk"), col("c_nk")).as("nationkey"),
+            coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy("nationkey")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_sup
+                   FROM supplier GROUP BY 1 HAVING (nk % 2) = 0),
+             c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+                   FROM customer GROUP BY 1 HAVING (nk % 3) = 0)
+        SELECT coalesce(s.nk, c.nk) AS nationkey,
+               coalesce(n_sup, 0) AS n_sup,
+               coalesce(n_cust, 0) AS n_cust
+        FROM s FULL OUTER JOIN c ON s.nk = c.nk
+        ORDER BY nationkey""")),
+
+    // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM) ------
+    "q78_nullsafe_join" -> Q(
+      impl = (s, d) => {
+        // trait_id-style nullable key: orders clerk digit, nulled for
+        // a deterministic slice — null keys must MATCH under <=>
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("o_orderkey") % 5).as("grp"))
+        val ref = s.range(5).select(col("id").as("grp"))
+          .unionByName(s.range(1).select(lit(null).cast("long").as("grp")))
+          .withColumn("label",
+            coalesce(col("grp").cast("string"), lit("none")))
+        o.join(ref, o("grp") <=> ref("grp"))
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_orderkey % 5 END AS grp
+          FROM orders),
+        ref AS (SELECT unnest(range(5)) AS grp UNION ALL SELECT NULL),
+        lab AS (SELECT grp, coalesce(CAST(grp AS VARCHAR), 'none') AS label
+                FROM ref)
+        SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM o JOIN lab ON o.grp IS NOT DISTINCT FROM lab.grp
+        GROUP BY label ORDER BY label""")),
+
+    // ---- correlated EXISTS subquery (Catalyst rewrites to semi join)
+    "q79_exists_subquery" -> Q(
+      impl = (s, d) => {
+        Tables.load(s, d, "customer").createOrReplaceTempView("__cust")
+        Tables.load(s, d, "orders").createOrReplaceTempView("__ord")
+        s.sql("""
+          SELECT c_mktsegment, count(*) AS n_with_urgent
+          FROM __cust
+          WHERE EXISTS (SELECT 1 FROM __ord
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_with_urgent
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- scalar subquery: orders above their segment's average -----
+    "q80_scalar_subquery" -> Q(
+      impl = (s, d) => {
+        Tables.load(s, d, "customer").createOrReplaceTempView("__cust2")
+        Tables.load(s, d, "orders").createOrReplaceTempView("__ord2")
+        s.sql("""
+          SELECT c_mktsegment,
+                 count(*) AS n_above,
+                 round(min(o_totalprice), 2) AS min_above
+          FROM __ord2 JOIN __cust2 ON o_custkey = c_custkey
+          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM __ord2)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_above,
+               round(min(o_totalprice), 2) AS min_above
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- deterministic stratified sampling: first-3-by-hash-order
+    // per stratum — the engine-portable form of per-group reservoir
+    // sampling (rank by md5(id), not by a stateful RNG) --------------
+    "q81_stratified_sample" -> Q(
+      impl = (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        Tables.load(s, d, "events")
+          .select(col("event_type"), col("event_id"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .orderBy("event_type", "rk")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+          FROM events)
+        SELECT event_type, event_id, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3 ORDER BY event_type, rk"""))
+  )
+}
