@@ -1,0 +1,63 @@
+package graft.etl
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The parquet layout written by `Pipeline.write` must deliver what
+  * the reference's B-tree indexes delivered (SURVEY.md §1.4): a
+  * per-species lookup touches one taxon partition (partition pruning
+  * visible in the scan), and rows inside each partition are sorted on
+  * (chr, start) for min/max row-group skipping.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val fx = "/root/repo/src/test/resources/fixtures"
+
+  test("taxon filter prunes partitions; rows sorted within partition") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_layout").toString
+    // two species of genes via the reference loaders (same file,
+    // different taxon — the layout is what's under test)
+    val g1 = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).genes
+    val g2 = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 10090).genes
+      .withColumn("gene_taxonid", lit(10090))
+    Pipeline.write(Map("gene" -> g1.unionByName(g2)), out)
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val schema = spark.read.parquet(s"$out/gene").schema
+    val q = spark.read.schema(schema).parquet(s"$out/gene")
+      .filter(col("gene_taxonid") === 9606)
+      .select("gene_chr", "gene_start_pos")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    assert(plan.contains("gene_taxonid"), plan.take(600))
+    val expected = q.count()
+    assert(expected > 0)
+
+    // in-partition sort order: (chr, start) ascending within the file
+    import spark.implicits._
+    val humanFiles = new java.io.File(s"$out/gene/gene_taxonid=9606")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val rows = spark.read.parquet(humanFiles: _*)
+      .select("gene_chr", "gene_start_pos")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == rows.sortBy(identity), "rows not sorted on (chr, start)")
+
+    // behavioral pruning proof: corrupt the mouse partition's files;
+    // the taxon-filtered scan must still succeed (it never opens
+    // them), while an unfiltered scan fails on the garbage
+    val mouseDir = new java.io.File(s"$out/gene/gene_taxonid=10090")
+    mouseDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      Files.write(f.toPath, "not a parquet file".getBytes)
+    }
+    val pruned = spark.read.schema(schema).parquet(s"$out/gene")
+      .filter(col("gene_taxonid") === 9606)
+      .select("gene_chr", "gene_start_pos")
+    assert(pruned.count() == expected)
+    val unpruned = spark.read.schema(schema).parquet(s"$out/gene")
+      .select("gene_chr", "gene_start_pos")
+    intercept[Exception](unpruned.count())
+  }
+}
