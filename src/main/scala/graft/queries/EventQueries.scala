@@ -155,6 +155,24 @@ object EventQueries {
         FROM w2 GROUP BY 1, 2 ORDER BY w_start_us, event_type"""
       }),
 
+    // ---- append-mode watermarked windows: only windows finalized by
+    // the watermark (max event time − 1 h, at Spark's millisecond
+    // watermark granularity) are emitted — late-data semantics as a
+    // deterministic, oracle-checkable function of the data -----------
+    "q82_stream_watermark" -> Q(
+      impl = (s, d) => EventStream.tumblingAppendWatermarked(s, d,
+        windowUs = WindowUs, delayUs = 3600000000L),
+      oracle = Some(s"""
+        WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        w AS (SELECT (us // $WindowUs) * $WindowUs AS w_start_us, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM e)
+        SELECT w_start_us, event_type, n
+        FROM w, wm WHERE w_start_us + $WindowUs <= wm_us
+        ORDER BY w_start_us, event_type"""),
+      bench = true),
+
     // ---- sessionization: 30-min-gap sessions per user --------------
     "q33_sessionize" -> Q(
       impl = (s, d) => EventStream.sessionCountsBatch(Tables.events(s, d)),

@@ -128,6 +128,33 @@ object EventStream {
       .orderBy("w_start_us", "event_type")
   }
 
+  /** Append-mode tumbling aggregation with a watermark: only windows
+    * whose end falls at or below the final watermark (max event time −
+    * delay) are emitted — the cross-engine-checkable core of late-data
+    * semantics. Deterministic under `AvailableNow`: the final
+    * watermark is a pure function of the data.
+    */
+  def tumblingAppendWatermarked(spark: SparkSession, dir: String,
+      windowUs: Long, delayUs: Long): DataFrame = {
+    val stream = eventStream(spark, dir)
+      .withWatermark("ets", s"${delayUs / 1000000} seconds")
+      .groupBy(window(col("ets"), s"${windowUs / 1000000} seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_wm_${System.nanoTime()}"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("w_start_us", "event_type")
+  }
+
   /** Stream-stream interval join: per purchase, the same-user clicks
     * in the 30 minutes up to the purchase. Both sides are watermarked
     * and the join condition carries event-time bounds, so the state
