@@ -18,6 +18,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStream {
 
+  /** Start a streaming query with the stateful shuffle sized to the
+    * state, not the core count: every stateful partition carries
+    * state-store setup/commit cost per micro-batch, which dominates
+    * these bounded-input queries. On a real cluster this is the same
+    * per-query `shuffle.partitions` knob, sized to state volume.
+    */
+  private def startSized[T](spark: SparkSession, partitions: Int = 8)(
+      start: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      start
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling count/sum per (window, event_type), via streaming. */
   def tumblingCounts(spark: SparkSession, dir: String, windowUs: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,12 +47,14 @@ object EventStream {
       .groupBy("w_start_us", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
     val name = s"graft_tumbling_${System.nanoTime()}"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startSized(spark) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy("w_start_us", "event_type")
   }
@@ -83,12 +100,14 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
       .toDF("user_id", "n_sessions")
     val name = s"graft_sessions_${System.nanoTime()}"
-    val q = counted.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startSized(spark) {
+      counted.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy("user_id")
   }
@@ -115,12 +134,14 @@ object EventStream {
         s"${slideUs / 1000000} seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
     val name = s"graft_sliding_${System.nanoTime()}"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startSized(spark) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
       .select(unix_micros(col("window.start")).as("w_start_us"),
@@ -142,12 +163,14 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"graft_wm_${System.nanoTime()}"
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startSized(spark) {
+      stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
       .select(unix_micros(col("window.start")).as("w_start_us"),
@@ -181,21 +204,17 @@ object EventStream {
         col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
         col("cts") <= col("pts"))
     val name = s"graft_ssjoin_${System.nanoTime()}"
-    // Stream-stream join cost is dominated by per-partition state-store
-    // setup (4 stores per partition: left/right × keyToNumValues/
-    // keyWithIndexToValue), not data volume — size the stateful
-    // shuffle to the state, not the core count. On a real cluster this
-    // is the same per-query knob.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Stream-stream join state cost is 4 stores per partition
+    // (left/right × keyToNumValues/keyWithIndexToValue) — the
+    // heaviest beneficiary of the sized stateful shuffle.
+    val q = startSized(spark) {
       joined.select("pid", "cid").writeStream
         .outputMode("append")
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     q.awaitTermination()
     spark.table(name)
       .groupBy("pid").agg(count(lit(1)).as("n_clicks_30m"))
@@ -213,12 +232,14 @@ object EventStream {
       .select("event_id", "event_type")
       .dropDuplicates("event_id")
     val name = s"graft_sdedup_${System.nanoTime()}"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startSized(spark) {
+      deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
       .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
