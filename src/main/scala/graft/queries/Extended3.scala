@@ -111,6 +111,37 @@ object Extended3 {
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- RANGE window frames + rank-family functions: per-user
+    // 5-minute trailing event count (range frame over event time),
+    // percent_rank and cume_dist over the user's value ordering ------
+    "q83_range_frame" -> Q(
+      impl = (s, d) => {
+        val byTime = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-300000000L, 0)
+        val byValue = Window.partitionBy("user_id")
+          .orderBy("value", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("us"), col("value"))
+          .withColumn("n_5min", count(lit(1)).over(byTime))
+          .withColumn("pr", round(percent_rank().over(byValue), 6))
+          .withColumn("cd", round(cume_dist().over(byValue), 6))
+          .select("user_id", "event_id", "n_5min", "pr", "cd")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST(count(*) OVER (
+                 PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_5min,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY user_id, event_id""")),
+
     // ---- deterministic stratified sampling: first-3-by-hash-order
     // per stratum — the engine-portable form of per-group reservoir
     // sampling (rank by md5(id), not by a stateful RNG) --------------
