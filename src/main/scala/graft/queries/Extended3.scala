@@ -111,6 +111,84 @@ object Extended3 {
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- winnowing document fingerprints (MOSS-style): hash every
+    // word 4-gram, slide a 5-gram window over the hash sequence, keep
+    // the window minimum (ties → rightmost = smallest position works
+    // identically in both engines via (hash, -pos) ordering), distinct
+    // per doc. Robust local fingerprints for plagiarism/overlap
+    // detection — selection is a windowed min, one shuffle on doc_id -
+    "q84_winnowing" -> Q(
+      impl = (s, d) => {
+        val W = 5
+        val grams = Tables.docsParallel(s, d)
+          .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextFns.wordShinglesFromTokens(col("t"), 4)))
+          .select(col("doc_id"), col("pos"),
+            conv(substring(md5(col("col")), 1, 12), 16, 10)
+              .cast("long").as("h"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, W - 1)
+        grams
+          .withColumn("wmin", min(struct(col("h"), (-col("pos")).as("np")))
+            .over(w))
+          .withColumn("n_grams", count(lit(1)).over(
+            Window.partitionBy("doc_id")))
+          .filter(col("pos") <= col("n_grams") - W) // full windows only
+          .select(col("doc_id"), col("wmin.h").as("fp"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+            max("fp").as("max_fp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1))) AS i
+                FROM toks),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     CAST('0x' || substr(md5(
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                     ), 1, 12) AS BIGINT) AS h
+              FROM idx WHERE i + 3 <= len(t)),
+        wm AS (SELECT doc_id, pos,
+                      min(struct_pack(h := h, np := -pos)) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+                      count(*) OVER (PARTITION BY doc_id) AS n_grams
+               FROM g),
+        fp AS (SELECT DISTINCT doc_id, wmin.h AS fp
+               FROM wm WHERE pos <= n_grams - 5)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               min(fp) AS min_fp, max(fp) AS max_fp
+        FROM fp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- native session_window (batch): per-session event counts ---
+    "q85_session_window" -> Q(
+      impl = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("__ts", timestamp_micros(col("us")))
+          .groupBy(col("user_id"),
+            session_window(col("__ts"), "1800 seconds"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("s_start_us"),
+            col("n_events"))
+          .orderBy("user_id", "s_start_us"),
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        m AS (SELECT user_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0
+                     END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        s AS (SELECT user_id, us, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id, min(us) AS s_start_us, CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us""")),
+
     // ---- RANGE window frames + rank-family functions: per-user
     // 5-minute trailing event count (range frame over event time),
     // percent_rank and cume_dist over the user's value ordering ------
