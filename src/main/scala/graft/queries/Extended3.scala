@@ -10,7 +10,49 @@ import graft.Tables
   */
 object Extended3 {
 
+  /** Typed row for the cogroup query. */
+  final case class Ev(user_id: Long, us: Long)
+
   val queries: Map[String, Q] = Map(
+    // ---- typed cogroup (KeyValueGroupedDataset.cogroup): per user,
+    // clicks strictly inside the [first purchase, last purchase] span
+    // — imperative per-key logic over two co-partitioned streams, the
+    // Dataset API's escape hatch when a join won't express it --------
+    "q86_cogroup" -> Q(
+      impl = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us")).as[Ev]
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us")).as[Ev]
+        purchases.groupByKey(_.user_id)
+          .cogroup(clicks.groupByKey(_.user_id)) { (uid, ps, cs) =>
+            val pTimes = ps.map(_.us).toSeq
+            if (pTimes.isEmpty) Iterator.empty
+            else {
+              val lo = pTimes.min
+              val hi = pTimes.max
+              val n = cs.count(c => c.us > lo && c.us < hi)
+              Iterator.single((uid, n.toLong))
+            }
+          }
+          .toDF("user_id", "n_clicks_between")
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT user_id, min(epoch_us(ts)) AS lo,
+                          max(epoch_us(ts)) AS hi
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id),
+             c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click')
+        SELECT p.user_id,
+               CAST(count(c.us) FILTER (c.us > p.lo AND c.us < p.hi)
+                 AS BIGINT) AS n_clicks_between
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+        GROUP BY p.user_id ORDER BY p.user_id""")),
+
     // ---- full outer join: suppliers vs customers per nation --------
     "q77_full_outer" -> Q(
       impl = (s, d) => {
