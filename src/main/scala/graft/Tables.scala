@@ -15,8 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // `events` carries TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // nanos are read as raw longs — set it on every events read so a
+    // query is self-contained (not dependent on an earlier query in
+    // the session having set it). See `events` below.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `documents` ships as one small parquet file → one input
     * partition, which would serialize the CPU-heavy fan-out work
