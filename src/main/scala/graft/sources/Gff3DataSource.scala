@@ -4,54 +4,80 @@ import java.util
 import scala.collection.JavaConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSourceV2 connector for GFF3: `spark.read.format("gff3")
-  * .load(path)` — the Spark-native packaging of the reference's main
-  * input format (SURVEY.md §2.1 S1/S2).
+/** DataSourceV2 connectors for the reference's line-based formats:
+  * `spark.read.format("gff3")` and `spark.read.format("vcf")`
+  * (SURVEY.md §2.1 S1/S2/S5).
   *
-  * Typed 9-column schema (positions Long, score Double), `#`-comment
-  * and blank-line skip, `.`→NULL per the GFF3 spec, gzip-transparent
-  * per file (reference `flex_open.py:10-20`, S8). Column pruning and
+  * Typed fixed schemas (positions Long, score/qual Double),
+  * comment-prefix and blank-line skip, `.`→NULL, gzip-transparent per
+  * file (reference `flex_open.py:10-20`, S8). Column pruning and
   * equality/IN filter pushdown on the string columns reach the parser
   * (pruned fields are never materialized; filtered rows never build an
   * InternalRow) — `.explain` shows the pruned ReadSchema and
-  * PushedFilters like any native source.
+  * PushedFilters like any native source. Shared scan machinery in
+  * `LineFileSource`.
   *
-  * Partitioning: one input split per file. GFF3 ships as per-species
-  * files of O(10-100 MB) — file-level parallelism matches the data;
-  * byte-range splitting (Hadoop line-boundary alignment) is the
-  * obvious extension if single multi-GB files ever appear.
+  * Partitioning: one input split per file. These formats ship as
+  * per-species files of O(10-100 MB) — file-level parallelism matches
+  * the data; byte-range splitting (Hadoop line-boundary alignment) is
+  * the obvious extension if single multi-GB files ever appear.
   */
-class Gff3DataSource extends TableProvider with DataSourceRegister {
-  override def shortName(): String = "gff3"
+abstract class LineFileProvider extends TableProvider {
+  def formatName: String
+  def formatSchema: StructType
+  def commentPrefix: Char
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Gff3DataSource.schema
+    formatSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new Gff3Table(properties.asScala.toMap)
+    new LineFileTable(this, properties.asScala.toMap)
 }
 
-object Gff3DataSource {
-  val schema: StructType = StructType(Seq(
-    StructField("seqid", StringType),
-    StructField("source", StringType),
-    StructField("type", StringType),
-    StructField("start", LongType),
-    StructField("end", LongType),
-    StructField("score", DoubleType),
-    StructField("strand", StringType),
-    StructField("phase", IntegerType),
-    StructField("attributes", StringType)))
+private class LineFileTable(fmt: LineFileProvider, options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"${fmt.formatName}(${options.getOrElse("path", "?")})"
+  override def schema(): StructType = fmt.formatSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new LineFileScanBuilder(fmt, options)
+}
 
+private class LineFileScanBuilder(fmt: LineFileProvider, options: Map[String, String])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = fmt.formatSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept equality/IN on the directly-parsed string columns; Spark
+    * re-evaluates everything left in the returned (unsupported) array,
+    * so pushing is purely an optimization.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = LineFileSource.splitFilters(filters, fmt.formatSchema)
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new LineFileScan(LineFileProvider.resolvePaths(options),
+      fmt.formatSchema, required, pushed, fmt.commentPrefix, fmt.formatName)
+}
+
+object LineFileProvider {
   private[sources] def resolvePaths(options: Map[String, String]): Seq[String] = {
     val spark = SparkSession.active
     val raw = options.get("path").toSeq ++
@@ -70,129 +96,48 @@ object Gff3DataSource {
   }
 }
 
-private class Gff3Table(options: Map[String, String])
-    extends Table with SupportsRead {
-  override def name(): String = s"gff3(${options.getOrElse("path", "?")})"
-  override def schema(): StructType = Gff3DataSource.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new Gff3ScanBuilder(options)
+/** `spark.read.format("gff3")`: the 9 GFF3 columns. */
+class Gff3DataSource extends LineFileProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "gff3"
+  override def formatName: String = "gff3"
+  override def commentPrefix: Char = '#'
+  override def formatSchema: StructType = Gff3DataSource.schema
 }
 
-private class Gff3ScanBuilder(options: Map[String, String])
-    extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-  private var required: StructType = Gff3DataSource.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  /** Accept equality/IN on the directly-parsed string columns; Spark
-    * re-evaluates everything we leave in the returned (unsupported)
-    * array, so pushing is purely an optimization.
-    */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val stringCols = Set("seqid", "source", "type", "strand")
-    val (sup, unsup) = filters.partition {
-      case EqualTo(a, _: String) => stringCols(a)
-      case In(a, vs) => stringCols(a) && vs.forall(_.isInstanceOf[String])
-      case _ => false
-    }
-    pushed = sup
-    unsup
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def build(): Scan =
-    new Gff3Scan(Gff3DataSource.resolvePaths(options), required, pushed)
+object Gff3DataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("seqid", StringType),
+    StructField("source", StringType),
+    StructField("type", StringType),
+    StructField("start", LongType),
+    StructField("end", LongType),
+    StructField("score", DoubleType),
+    StructField("strand", StringType),
+    StructField("phase", IntegerType),
+    StructField("attributes", StringType)))
 }
 
-private class Gff3Scan(paths: Seq[String], required: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def description(): String =
-    s"gff3 PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
-      s"ReadSchema: ${required.catalogString}"
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => Gff3InputPartition(p): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new Gff3ReaderFactory(required, filters)
+/** `spark.read.format("vcf")`: the 8 fixed VCF body columns (INFO
+  * stays a string — parse with `str_to_map` downstream, exactly as
+  * `VariantsEtl` does).
+  */
+class VcfDataSource extends LineFileProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "vcf"
+  override def formatName: String = "vcf"
+  override def commentPrefix: Char = '#'
+  override def formatSchema: StructType = VcfDataSource.schema
 }
 
-private case class Gff3InputPartition(path: String) extends InputPartition
-
-private class Gff3ReaderFactory(required: StructType, filters: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new Gff3PartitionReader(
-      partition.asInstanceOf[Gff3InputPartition].path, required, filters)
-}
-
-private class Gff3PartitionReader(path: String, required: StructType,
-    filters: Array[Filter]) extends PartitionReader[InternalRow] {
-
-  private val stream = {
-    val hPath = new Path(path)
-    // Executor-side Hadoop conf: default FS resolution is enough here
-    // (paths arrive fully qualified from the driver's glob expansion).
-    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val raw = fs.open(hPath)
-    // S8 gzip transparency, by suffix like the reference's flex_open
-    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
-  }
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(stream, "UTF-8"))
-
-  private val colIndex: Map[String, Int] =
-    Gff3DataSource.schema.fieldNames.zipWithIndex.toMap
-  private val outIndexes: Array[Int] =
-    required.fieldNames.map(colIndex)
-
-  private def rowPasses(cols: Array[String]): Boolean =
-    filters.forall {
-      case EqualTo(a, v: String) => cols(colIndex(a)) == v
-      case In(a, vs) => vs.exists(_ == cols(colIndex(a)))
-      case _ => true
-    }
-
-  private var current: InternalRow = _
-
-  override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
-      if (line.nonEmpty && line.charAt(0) != '#' && line.trim.nonEmpty) {
-        val cols = line.split("\t", -1)
-        if (cols.length >= 9 && rowPasses(cols)) {
-          current = project(cols)
-          return true
-        }
-      }
-      line = reader.readLine()
-    }
-    false
-  }
-
-  private def project(cols: Array[String]): InternalRow = {
-    val row = new GenericInternalRow(outIndexes.length)
-    var i = 0
-    while (i < outIndexes.length) {
-      val src = outIndexes(i)
-      val v = cols(src)
-      if (v == "." || v.isEmpty) row.setNullAt(i)
-      else src match {
-        case 3 | 4 => row.setLong(i, v.toLong) // start, end
-        case 5 => row.setDouble(i, v.toDouble) // score
-        case 7 => row.setInt(i, v.toInt) // phase
-        case _ => row.update(i, UTF8String.fromString(v))
-      }
-      i += 1
-    }
-    row
-  }
-
-  override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+object VcfDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("pos", LongType),
+    StructField("id", StringType),
+    StructField("ref", StringType),
+    StructField("alt", StringType),
+    StructField("qual", DoubleType),
+    StructField("filter", StringType),
+    StructField("info", StringType)))
 }

@@ -40,6 +40,22 @@ class Gff3DataSourceSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getString(1) == "QTL"))
   }
 
+  test("vcf source reads typed rows matching the csv-based VariantsEtl input") {
+    val v2 = spark.read.format("vcf").load(s"$fx/variants_human.vcf")
+    assert(v2.schema == VcfDataSource.schema)
+    val rows = v2.select("chrom", "pos", "qual", "info")
+      .collect()
+    assert(rows.nonEmpty)
+    // typed columns parse; '.' → null propagated
+    assert(rows.forall(_.getLong(1) > 0))
+    // VariantsEtl explodes per gene, but the distinct position set
+    // must be identical between the two read paths
+    val viaCsv = graft.etl.VariantsEtl.load(spark, s"$fx/variants_human.vcf", 9606)
+      .select("pos").distinct().collect().map(_.getLong(0)).toSet
+    val viaV2 = v2.select("pos").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaV2 == viaCsv && viaV2.nonEmpty)
+  }
+
   test("gzip files decompress transparently") {
     import java.nio.file.{Files, Paths}
     val gz = Files.createTempFile("graft_gff", ".gff3.gz")

@@ -56,4 +56,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stateful === batch)
   }
+
+  test("RocksDB state store produces identical results to the default provider") {
+    // the production state-store backend at 100 TB state volumes:
+    // spill-to-disk per partition instead of JVM-heap HDFSBackedStateStore
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val default = EventStream.tumblingCounts(spark, dir, 900000000L)
+      .collect().toSet
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val viaRocks = EventStream.tumblingCounts(spark, dir, 900000000L)
+        .collect().toSet
+      assert(viaRocks === default && viaRocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
