@@ -44,4 +44,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q30_embed_knn")
     assert(p.contains("long_array_dot"), "custom expression not in plan")
   }
+
+  test("q34: as-of join plans with no join operator at all") {
+    // the union + carry-forward-window formulation: one shuffle on the
+    // key, one in-partition sort — never a quadratic per-key range join
+    val p = plan("q34_asof_join")
+    assert(!p.contains("Join"), "as-of degraded to a join:\n" + p.take(600))
+    assert(p.contains("Window"), p.take(400))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 key shuffle, found $exchanges")
+  }
+
+  test("q26: minhash signatures aggregate in a single shuffle") {
+    val p = plan("q26_minhash_sig")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle (partial+final agg), found $exchanges")
+  }
 }
