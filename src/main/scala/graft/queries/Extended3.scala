@@ -153,6 +153,36 @@ object Extended3 {
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- higher-order array functions over embeddings: transform /
+    // filter / aggregate on the vector column, all inside codegen —
+    // the declarative path for per-vector feature engineering --------
+    "q87_vector_stats" -> Q(
+      impl = (s, d) =>
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.VecFns.quantize(col("embedding")).as("vq"))
+          .select(col("vec_id"),
+            size(col("vq")).cast("long").as("dim"),
+            aggregate(col("vq"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+            size(filter(col("vq"), _ > 0)).cast("long").as("n_pos"),
+            array_max(col("vq")).as("max_q"),
+            array_min(col("vq")).as("min_q"))
+          .orderBy("vec_id"),
+      oracle = Some(s"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * ${graft.functions.VecFns.Scale})
+                        AS BIGINT)) AS vq
+          FROM embeddings)
+        SELECT vec_id,
+               len(vq) AS dim,
+               CAST(list_sum(vq) AS BIGINT) AS sum_q,
+               len(list_filter(vq, x -> x > 0)) AS n_pos,
+               CAST(list_max(vq) AS BIGINT) AS max_q,
+               CAST(list_min(vq) AS BIGINT) AS min_q
+        FROM q ORDER BY vec_id""")),
+
     // ---- winnowing document fingerprints (MOSS-style): hash every
     // word 4-gram, slide a 5-gram window over the hash sequence, keep
     // the window minimum (ties → rightmost = smallest position works
