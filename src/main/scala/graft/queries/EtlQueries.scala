@@ -265,6 +265,48 @@ object EtlQueries {
                ${dAttrFirst("Color")} AS color
         FROM raw ORDER BY chr, start""")),
 
+    // ---- V1-style validation at scale: classify rows of a dirty
+    // input instead of dying on the first bad one — arity check +
+    // try_cast per typed column, the tolerant counterpart of the
+    // reference's abort-on-assert loaders (EtlSpec covers the
+    // abort/skip modes; this pins the classification dataflow) -------
+    "q88_dirty_input" -> Q(
+      impl = (s, _) => {
+        val lines = s.read.textFile(s"$Fx/variants_dirty.vcf")
+          .filter(!col("value").startsWith("#"))
+        lines
+          .withColumn("c", split(col("value"), "\t"))
+          .withColumn("arity_ok", size(col("c")) >= 8)
+          .withColumn("pos_ok", expr("try_cast(c[1] AS BIGINT)").isNotNull)
+          .withColumn("qual_ok",
+            expr("c[5] = '.' OR try_cast(c[5] AS DOUBLE) IS NOT NULL"))
+          .withColumn("status", when(!col("arity_ok"), "bad_arity")
+            .when(!col("pos_ok"), "bad_pos")
+            .when(!col("qual_ok"), "bad_qual")
+            .otherwise("ok"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT unnest(string_split(content, chr(10))) AS value
+          FROM read_text('$Fx/variants_dirty.vcf')),
+        body AS (
+          SELECT value FROM raw
+          WHERE value <> '' AND value NOT LIKE '#%'),
+        c AS (SELECT string_split(value, chr(9)) AS c FROM body),
+        f AS (SELECT len(c) >= 8 AS arity_ok,
+                     TRY_CAST(c[2] AS BIGINT) IS NOT NULL AS pos_ok,
+                     (c[6] = '.' OR TRY_CAST(c[6] AS DOUBLE) IS NOT NULL)
+                       AS qual_ok
+              FROM c)
+        SELECT CASE WHEN NOT arity_ok THEN 'bad_arity'
+                    WHEN NOT pos_ok THEN 'bad_pos'
+                    WHEN NOT qual_ok THEN 'bad_qual'
+                    ELSE 'ok' END AS status,
+               CAST(count(*) AS BIGINT) AS n
+        FROM f GROUP BY 1 ORDER BY status""")),
+
     // ---- S6/F6/X4/A1/A2/A3: OBO terms + closure. The oracle parses
     // the stanza format in SQL: read_text → split on '[Term]' →
     // truncate each chunk at the next section header → (?m)-anchored
