@@ -32,22 +32,36 @@ object Bench {
     // JIT warm-up of the generated classes) and would otherwise
     // dominate sub-second queries; the warm run measures the actual
     // dataflow.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query persisted frames so later timings aren't
-        // skewed by accumulated block-manager state
-        spark.catalog.clearCache()
-        dt
+    // A query that throws is recorded as "err", never as a timing — a
+    // regression must show up as a failure, not as a fast run.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val outcome =
+            try { fn(spark, sfDir).count(); Right(()) }
+            catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop per-query persisted frames so later timings aren't
+          // skewed by accumulated block-manager state
+          spark.catalog.clearCache()
+          outcome.map(_ => dt)
+        }
+        val best = runs.collect { case Right(t) => t } match {
+          case ts if ts.nonEmpty => Right(ts.min)
+          case _ => Left(runs.collectFirst { case Left(e) => e }.getOrElse("err"))
+        }
+        name -> best
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map {
+      case (k, Right(t)) => "\"" + k + "\":" + t
+      case (k, Left(_)) => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

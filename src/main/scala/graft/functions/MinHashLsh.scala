@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * one per (i, shingle), with *independent* per-i orderings (a naive
   * h1 + i·h2 "two-hash" variant keeps nearly the same argmin across
   * i, correlating the components and blowing up LSH false-positive
-  * candidates ~50×). All arithmetic stays ≤ 2^56 — exact in a Spark
-  * LongType, a DuckDB BIGINT, or even an IEEE double, so any engine
-  * reproduces the signatures bit-for-bit.
+  * candidates ~50×). Products reach (P-1)² ≈ 7.2e16 (56 bits) — exact
+  * in any 64-bit integer type (Spark LongType, DuckDB BIGINT), but
+  * past the 2^53 exact-integer range of an IEEE double, so an engine
+  * computing in doubles would NOT reproduce the signatures
+  * bit-for-bit. (Shrink P to < 2^26 if double-engine portability is
+  * ever required.)
   *
   * LSH: the k signature components are cut into `bands` groups of
   * k/bands rows; band key = md5 of the '|'-joined components.

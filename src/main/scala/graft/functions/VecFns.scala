@@ -68,4 +68,18 @@ object VecFns {
   /** LSH bucket id: `nPlanes`-bit signature of hyperplane sign bits. */
   def lshBucket(vq: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map(j => hyperplaneBit(vq, j, dim)).reduce(_ + _).cast("long")
+
+  /** Banded LSH key: the `planesPerBand`-bit signature of band `b`
+    * (global planes b·r .. b·r+r-1, bits packed band-locally). Two
+    * vectors are banded-LSH candidates iff they share the key of at
+    * least one band — the OR-of-ANDs construction that trades a single
+    * bucket's all-or-nothing recall for tunable recall at an equi-join
+    * cost.
+    */
+  def lshBandKey(vq: Column, band: Int, planesPerBand: Int, dim: Int): Column =
+    (0 until planesPerBand).map { k =>
+      val j = band * planesPerBand + k
+      val w = typedlit((0 until dim).map(i => hyperplaneWeight(j, i)))
+      when(dotQFast(vq, w) >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
 }

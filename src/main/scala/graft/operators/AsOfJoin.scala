@@ -23,7 +23,8 @@ object AsOfJoin {
   /** @param leftDf rows to enrich; must contain `keys` + `lTime`
     * @param rightDf lookup stream; must contain `keys` + `rTime`
     * @param payloadCols rightDf columns carried to matched left rows
-    *                    (stringified into the `asof_match` struct)
+    *                    in the `asof_match` struct, keeping their
+    *                    native types
     * @return left rows that have a match, plus `asof_match` struct
     */
   def lastBefore(
@@ -59,16 +60,17 @@ object AsOfJoin {
       forward: Boolean): DataFrame = {
     val keyCols = keys.map(col)
     val lExtra = leftDf.columns.filterNot(c => keys.contains(c) || c == lTime).toSeq
-    val payloadType =
-      s"struct<${payloadCols.map(c => s"$c:string").mkString(",")}>"
+    // Payload struct keeps the right side's native column types — no
+    // stringification, nothing for the caller to cast back.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => rightDf.schema(c)))
 
     val lAligned = leftDf.select(
       keyCols ++ Seq(col(lTime).cast("long").as("__t"), lit(1).as("__tag"),
         lit(null).cast(payloadType).as("__payload")) ++ lExtra.map(col): _*)
     val rAligned = rightDf.select(
       keyCols ++ Seq(col(rTime).cast("long").as("__t"), lit(0).as("__tag"),
-        struct(payloadCols.map(c => col(c).cast("string").as(c)): _*)
-          .as("__payload"))
+        struct(payloadCols.map(c => col(c).as(c)): _*).as("__payload"))
         ++ lExtra.map(c => lit(null).cast(leftDf.schema(c).dataType).as(c)): _*)
 
     // Backward: ascending time, right rows (tag 0) before left rows at

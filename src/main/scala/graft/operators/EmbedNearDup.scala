@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+
+/** Embedding-cosine near-duplicate pairs.
+  *
+  * `bandedPairs` is the default and the 100 TB shape: banded
+  * random-hyperplane LSH candidate generation — a pure equi-join on
+  * (band, key), one shuffle on a short key, skew handled by AQE —
+  * followed by exact quantized-cosine verification of the candidates
+  * only. The O(N²) pair space is never materialized, nothing is
+  * broadcast, and every reported score is exact (the LSH stage only
+  * bounds which pairs are *examined*).
+  *
+  * `allPairs` is the exact quadratic baseline. It broadcasts one full
+  * side, so it is guarded to small inputs: its job is to oracle-check
+  * `bandedPairs`' verification arithmetic and measure band recall on
+  * bounded fixtures (see VectorSpec), not to run on a corpus.
+  */
+object EmbedNearDup {
+
+  /** Candidate pairs sharing at least one of `bands` keys of
+    * `planesPerBand` hyperplane sign bits, verified with the exact
+    * integer dot product.
+    *
+    * @param vecs   (idCol, vq, nsq): quantized vectors + squared norms
+    *               (VecFns.quantize / dotQFast)
+    * @param minCos keep pairs with round(cos, 6) >= minCos
+    * @return (a, b, cos_r) with a < b, each candidate pair scored once
+    */
+  def bandedPairs(vecs: DataFrame, idCol: String, bands: Int,
+      planesPerBand: Int, dim: Int, minCos: Double): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        VecFns.lshBandKey(col("vq"), b, planesPerBand, dim).as("key"))
+    }
+    // Persist: both self-join sides consume the banded frame; without
+    // materialization the scan + bands·planesPerBand dot products per
+    // row would run twice.
+    val banded = vecs
+      .withColumn("__bk", explode(array(bandKeys: _*)))
+      .select(col(idCol), col("vq"), col("nsq"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
+      .persist()
+    val l = banded.toDF("a", "a_vq", "a_nsq", "band", "key")
+    val r = banded.toDF("b", "b_vq", "b_nsq", "band", "key")
+    // distinct before scoring: a pair sharing several bands must be
+    // examined (and emitted) exactly once
+    val cand = l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
+      .distinct()
+    verify(cand, minCos)
+  }
+
+  /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.
+    * Guarded: refuses inputs above `maxRows` (the scale path is
+    * `bandedPairs`).
+    */
+  def allPairs(vecs: DataFrame, idCol: String, minCos: Double,
+      maxRows: Long = 20000): DataFrame = {
+    val n = vecs.count()
+    require(n <= maxRows,
+      s"allPairs is O(N²) and broadcasts a full side — guarded to" +
+        s" N <= $maxRows, got $n; use bandedPairs for large inputs")
+    val a = vecs.toDF("a", "a_vq", "a_nsq")
+    val b = broadcast(vecs.toDF("b", "b_vq", "b_nsq"))
+    verify(a.join(b, col("a") < col("b")), minCos)
+  }
+
+  private def verify(cand: DataFrame, minCos: Double): DataFrame =
+    cand
+      .withColumn("cos", VecFns.cosineFromQ(
+        VecFns.dotQFast(col("a_vq"), col("b_vq")),
+        col("a_nsq"), col("b_nsq")))
+      .withColumn("cos_r", round(col("cos"), 6))
+      .filter(col("cos_r") >= minCos)
+      .select("a", "b", "cos_r")
+}

@@ -26,14 +26,26 @@ object Ivf {
   /** Train the coarse quantizer: Lloyd's k-means on a bounded sample
     * collected to the driver. A coarse quantizer only needs a sample —
     * distributed iterative k-means would cost one Spark job per
-    * iteration for no quality gain at this granularity. Deterministic:
-    * first-k init over a seed-ordered sample.
+    * iteration for no quality gain at this granularity.
+    *
+    * The sample is *hash-ordered*, not `limit`-ordered: a bare
+    * `limit(n)` takes whatever partitions answer first — i.e. the file
+    * head — so a sorted/clustered layout would train skewed centroids
+    * and silently drop recall. Ordering by an md5 of the vector
+    * contents (the q64 deterministic-sampling trick) makes the sample
+    * uniform over the corpus regardless of physical layout, still
+    * fully deterministic, and the orderBy+limit pair executes as a
+    * distributed partial top-k (TakeOrdered), not a global sort.
     */
   def train(data: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
       maxSample: Int = 100000, iters: Int = 15): Model = {
     val sample = data
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("__h",
+        md5(concat_ws(",", lit(seed), concat_ws(",", col("v").cast("array<string>")))))
+      .orderBy("__h")
       .limit(maxSample)
+      .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"need >= $k vectors to train")

@@ -272,8 +272,11 @@ object EtlQueries {
     // abort/skip modes; this pins the classification dataflow) -------
     "q88_dirty_input" -> Q(
       impl = (s, _) => {
+        // Blank lines are dropped (not classified) to mirror the
+        // oracle's `value <> ''` filter — both engines must see the
+        // identical row set.
         val lines = s.read.textFile(s"$Fx/variants_dirty.vcf")
-          .filter(!col("value").startsWith("#"))
+          .filter(!col("value").startsWith("#") && length(col("value")) > 0)
         lines
           .withColumn("c", split(col("value"), "\t"))
           .withColumn("arity_ok", size(col("c")) >= 8)

@@ -13,6 +13,10 @@ import graft.streaming.EventStream
 object Extended {
 
   private val DayUs = 86400000000L
+  // q53 banded-LSH geometry: 16 hyperplanes in 4 bands of 4 bits.
+  private val NearDupBands = 4
+  private val NearDupPlanesPerBand = 4
+  private val EmbDim = 64
 
   /** Quantized-vector CTEs for the near-dup oracle (same construction
     * as VectorQueries).
@@ -40,8 +44,8 @@ object Extended {
             lTime = "us", rTime = "cus", payloadCols = Seq("cid", "cus"))
           .select(
             col("pid"),
-            col("asof_match.cid").cast("long").as("cid"),
-            (col("us") - col("asof_match.cus").cast("long")).as("gap_us"))
+            col("asof_match.cid").as("cid"),
+            (col("us") - col("asof_match.cus")).as("gap_us"))
           .orderBy("pid")
       },
       oracle = Some("""
@@ -195,33 +199,56 @@ object Extended {
                  AS n_bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
-    // ---- embedding-cosine near-duplicate pairs ---------------------
+    // ---- embedding-cosine near-duplicate pairs (banded hyperplane
+    // LSH candidates + exact verify — the 100 TB shape: candidate
+    // generation is an equi-join on (band, key), never an all-pairs
+    // broadcast; scores of examined pairs are exact. The oracle
+    // replicates the identical band construction in SQL (the q31
+    // pattern), so results hash-match by construction. The exact
+    // quadratic baseline survives as the guarded
+    // EmbedNearDup.allPairs, recall-checked in VectorSpec ------------
     "q53_embed_neardup" -> Q(
       impl = (s, d) => {
-        // Parallel read: this frame streams through a broadcast
-        // nested-loop join, so its partition count is the O(N²·dim)
-        // scoring parallelism (Tables.embeddingsParallel).
-        val all = Tables.embeddingsParallel(s, d)
-          .select(col("vec_id"),
-            graft.functions.VecFns.quantize(col("embedding")).as("vq"))
         graft.functions.expressions.GraftFunctions.register(s)
         import graft.functions.VecFns
-        val withNorm = all.withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
-        val a = withNorm.toDF("a", "a_vq", "a_nsq")
-        val b = broadcast(withNorm.toDF("b", "b_vq", "b_nsq"))
-        a.join(b, col("a") < col("b"))
-          .withColumn("cos", VecFns.cosineFromQ(
-            VecFns.dotQFast(col("a_vq"), col("b_vq")), col("a_nsq"), col("b_nsq")))
-          .withColumn("cos_r", round(col("cos"), 6))
-          .filter(col("cos_r") >= 0.4)
-          .select("a", "b", "cos_r")
+        val all = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+          .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+        graft.operators.EmbedNearDup.bandedPairs(all, "vec_id",
+            bands = NearDupBands, planesPerBand = NearDupPlanesPerBand,
+            dim = EmbDim, minCos = 0.4)
           .orderBy("a", "b")
       },
-      oracle = Some(s"""
+      oracle = Some {
+        val nPlanes = NearDupBands * NearDupPlanesPerBand
+        val weightRows = (for {
+          j <- 0 until nPlanes
+          i <- 1 to EmbDim
+        } yield s"($j,$i,${graft.functions.VecFns.hyperplaneWeight(j, i - 1)})")
+          .mkString(",")
+        val pw = (0 until NearDupPlanesPerBand)
+          .map(m => s"($m,${1L << m})").mkString(",")
+        s"""
         WITH $quantCtesForDup,
+        w(j, i, wt) AS (VALUES $weightRows),
+        pw(m, pv) AS (VALUES $pw),
+        proj AS (
+          SELECT qv.vec_id, w.j, CAST(sum(qv.e * w.wt) AS BIGINT) AS p
+          FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
+        bk AS (
+          SELECT vec_id, j // $NearDupPlanesPerBand AS band,
+                 CAST(sum(CASE WHEN p >= 0 THEN pv ELSE 0 END) AS BIGINT) AS key
+          FROM proj JOIN pw ON pw.m = j % $NearDupPlanesPerBand
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM bk x JOIN bk y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
         dots AS (
-          SELECT x.vec_id AS a, y.vec_id AS b, CAST(sum(x.e * y.e) AS BIGINT) AS dot
-          FROM qv x JOIN qv y ON x.i = y.i AND x.vec_id < y.vec_id
+          SELECT p.a, p.b, CAST(sum(xa.e * xb.e) AS BIGINT) AS dot
+          FROM pairs p
+            JOIN qv xa ON xa.vec_id = p.a
+            JOIN qv xb ON xb.vec_id = p.b AND xb.i = xa.i
           GROUP BY 1, 2),
         cosv AS (
           SELECT a, b, round(CAST(dot AS DOUBLE)
@@ -229,7 +256,8 @@ object Extended {
           FROM dots
             JOIN norms na ON na.vec_id = a
             JOIN norms nb ON nb.vec_id = b)
-        SELECT a, b, cos_r FROM cosv WHERE cos_r >= 0.4 ORDER BY a, b""")),
+        SELECT a, b, cos_r FROM cosv WHERE cos_r >= 0.4 ORDER BY a, b"""
+      }),
 
     // ---- sliding windows via Spark's native window() ----------------
     "q55_window_sliding" -> Q(

@@ -204,8 +204,8 @@ object Extended2 {
             lTime = "us", rTime = "cus", payloadCols = Seq("cid", "cus"))
           .select(
             col("pid"),
-            col("asof_match.cid").cast("long").as("cid"),
-            (col("asof_match.cus").cast("long") - col("us")).as("gap_us"))
+            col("asof_match.cid").as("cid"),
+            (col("asof_match.cus") - col("us")).as("gap_us"))
           .orderBy("pid")
       },
       oracle = Some("""
@@ -258,16 +258,21 @@ object Extended2 {
         SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
-    // ---- corpus token frequency (Zipf head) ------------------------
+    // ---- corpus token frequency (Zipf head). The head is taken with
+    // orderBy().limit(50) — per-partition partial top-k + one 50-row
+    // merge (TakeOrderedAndProject) — so the full vocabulary never
+    // funnels through a single-task window; the rank window then runs
+    // over just the 50 surviving rows -------------------------------
     "q67_token_zipf" -> Q(
       impl = (s, d) => {
-        val counts = Tables.docsParallel(s, d)
+        val head = Tables.docsParallel(s, d)
           .select(explode(split(col("text"), " ")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        counts
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(50)
+        head
           .withColumn("rank", row_number().over(
             Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
-          .filter(col("rank") <= 50)
           .select("rank", "tok", "cnt")
           .orderBy("rank")
       },

@@ -70,7 +70,7 @@ object VectorQueries {
           Tables.load(s, d, "embeddings"), "embedding", k = 16)
         val q = all.filter(col("vec_id") < NQueries)
         graft.operators.Ivf.search(all, q, "vec_id", model,
-          nprobe = 4, topK = K)
+          nprobe = 6, topK = K)
       },
       oracle = None),
 

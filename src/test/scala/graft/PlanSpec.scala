@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 key shuffle, found $exchanges")
   }
 
+  test("q53: near-dup candidates come from an equi-join, never a nested loop over the corpus") {
+    val p = plan("q53_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup degraded to a full-corpus nested loop:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), "near-dup fell back to cartesian")
+  }
+
   test("q26: minhash signatures aggregate in a single shuffle") {
     val p = plan("q26_minhash_sig")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
