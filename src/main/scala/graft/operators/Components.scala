@@ -3,23 +3,29 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the
-  * distributed union-find used to collapse near-duplicate candidate
-  * pairs (LSH output) into dedup clusters.
+/** Connected components by min-label propagation with pointer
+  * doubling — the distributed union-find used to collapse
+  * near-duplicate candidate pairs (LSH output) into dedup clusters.
   *
   * Each round every node takes the minimum label among itself and its
-  * neighbors; convergence in O(component diameter) rounds. Each round
-  * is one equi-join + one aggregation — both shuffles on the node id,
-  * so the partitioning is reused across rounds. `localCheckpoint`
-  * truncates lineage per round (same plan-growth control as
-  * `Closure`). For graphs with giant components the classic
-  * large-star/small-star contraction halves the rounds, but LSH
-  * near-dup clusters are shallow (duplicates of one document), where
-  * plain propagation already converges in 2–3 rounds.
+  * neighbors (propagation), then replaces its label with its label's
+  * label (the pointer-doubling shortcut: labels are node ids, so
+  * `label(label(u))` is defined). Propagation alone converges in
+  * O(component diameter) rounds; the shortcut roughly doubles the
+  * propagated distance each round, giving O(log diameter) — a
+  * 200-node path graph converges in ~9 rounds instead of ~200
+  * (pinned by ComponentsAsOfSpec). Each round is two equi-joins + one
+  * aggregation, all shuffling on the node id, so the partitioning is
+  * reused across rounds. `localCheckpoint` truncates lineage per
+  * round (same plan-growth control as `Closure`).
   */
 object Components {
 
   /** @param edges undirected edges as (`aCol`, `bCol`) rows
+    * @param maxIterations convergence bound: covers any component of
+    *        diameter ≲ 2^maxIterations (pointer doubling), so the
+    *        default 32 is effectively unbounded; the `require` below
+    *        only guards against a logic regression
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
@@ -41,8 +47,16 @@ object Components {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "y"), "y")
         .select(col("x").as("node"), col("component"))
-      val next = labels.union(viaNeighbors)
+      val propagated = labels.union(viaNeighbors)
         .groupBy("node").agg(min("component").as("component"))
+      // Pointer-doubling shortcut: component := label(component).
+      // Labels are node ids, so the lookup is a self-join; the
+      // coalesce is only for safety (every label is a node).
+      val next = propagated
+        .join(propagated.select(col("node").as("__c"),
+          col("component").as("__cc")), col("component") === col("__c"), "left")
+        .select(col("node"),
+          coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
       // Min-propagation is monotone: converged iff no label shrank.
       converged = next

@@ -309,9 +309,10 @@ object Extended2 {
     // ---- ntile decile bucketing. A partition-less window is a total
     // order — Spark funnels it into one task. Fine here (deciles are
     // usually computed over an aggregate or a sample); the scale path
-    // for exact global ranks is range-repartition + per-partition
-    // offsets, and for quantiles approx_percentile (q57/q51 cover the
-    // sketch side) ---------------------------------------------------
+    // for exact global ranks is `operators.GlobalRank`
+    // (range-repartition + per-partition offsets, exercised by q89),
+    // and for quantiles approx_percentile (q57/q51 cover the sketch
+    // side) ----------------------------------------------------------
     "q69_ntile" -> Q(
       impl = (s, d) =>
         Tables.load(s, d, "orders")

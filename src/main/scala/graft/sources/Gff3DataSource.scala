@@ -24,10 +24,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * PushedFilters like any native source. Shared scan machinery in
   * `LineFileSource`.
   *
-  * Partitioning: one input split per file. These formats ship as
-  * per-species files of O(10-100 MB) — file-level parallelism matches
-  * the data; byte-range splitting (Hadoop line-boundary alignment) is
-  * the obvious extension if single multi-GB files ever appear.
+  * Partitioning: uncompressed files are split into line-aligned byte
+  * ranges of `spark.sql.files.maxPartitionBytes` (override per read
+  * with option `maxSplitBytes`), so one multi-GB GFF3/VCF fans out
+  * across the cluster instead of serializing onto a single core;
+  * gzip files are unsplittable and plan as one partition each. The
+  * driver's full Hadoop configuration (incl. `spark.hadoop.*` object-
+  * store credentials) ships to executor readers.
   */
 abstract class LineFileProvider extends TableProvider {
   def formatName: String
@@ -72,16 +75,36 @@ private class LineFileScanBuilder(fmt: LineFileProvider, options: Map[String, St
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new LineFileScan(LineFileProvider.resolvePaths(options),
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    new LineFileScan(LineFileProvider.resolveSplits(options),
+      new SerializableHadoopConf(conf),
       fmt.formatSchema, required, pushed, fmt.commentPrefix, fmt.formatName)
+  }
 }
 
 object LineFileProvider {
-  private[sources] def resolvePaths(options: Map[String, String]): Seq[String] = {
+
+  /** `paths` arrives as a JSON array string when the load came from
+    * `DataFrameReader.load(p1, p2, ...)` (that is how Spark encodes
+    * multi-path loads in DSv2 options); accept that, a bare path, or
+    * a comma-separated list.
+    */
+  private[sources] def parsePathsOption(raw: String): Seq[String] = {
+    val t = raw.trim
+    if (t.startsWith("[")) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(t)
+      (0 until node.size()).map(node.get(_).asText())
+    } else t.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[sources] def resolvePaths(rawOptions: Map[String, String]): Seq[String] = {
     val spark = SparkSession.active
+    val options = rawOptions.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val raw = options.get("path").toSeq ++
-      options.get("paths").toSeq.flatMap(_.split(","))
+      options.get("paths").toSeq.flatMap(parsePathsOption)
     raw.flatMap { p =>
       val hPath = new Path(p)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,6 +115,29 @@ object LineFileProvider {
           .filter(_.isFile).map(_.getPath.toString)
         else Seq(st.getPath.toString)
       }
+    }
+  }
+
+  /** Plan line-aligned byte-range splits: uncompressed files cut at
+    * `maxSplitBytes` boundaries (the reader re-aligns to line starts),
+    * gzip files whole.
+    */
+  private[sources] def resolveSplits(rawOptions: Map[String, String]): Seq[LineFilePartition] = {
+    val spark = SparkSession.active
+    val options = rawOptions.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val splitBytes = options.get("maxsplitbytes").map(_.toLong)
+      .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
+    resolvePaths(options).flatMap { p =>
+      val hPath = new Path(p)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val size = try fs.getFileStatus(hPath).getLen catch { case _: Exception => -1L }
+      if (p.endsWith(".gz") || size <= 0)
+        Seq(LineFilePartition(p, 0L, Long.MaxValue))
+      else
+        (0L until size by splitBytes).map { start =>
+          LineFilePartition(p, start, math.min(start + splitBytes, size))
+        }
     }
   }
 }

@@ -1,6 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
@@ -9,10 +12,19 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared scan machinery for the tab-separated genomics formats
-  * (GFF3, VCF): per-file input splits, comment/blank skip, `.`→NULL,
-  * gzip transparency by suffix, schema-driven typed projection with
-  * column pruning, and equality/IN row filters applied before any
-  * InternalRow is allocated.
+  * (GFF3, VCF): line-aligned byte-range input splits, comment/blank
+  * skip, `.`→NULL, gzip transparency by suffix, schema-driven typed
+  * projection with column pruning, and equality/IN row filters applied
+  * before any InternalRow is allocated.
+  *
+  * Splitting follows Hadoop LineRecordReader semantics: a split
+  * `[start, end)` owns every line whose first byte is in `(start,
+  * end]` (plus the line at byte 0 for the first split) — a reader with
+  * `start > 0` seeks and discards the partial first line, and every
+  * reader consumes one line past `end`, so each line is parsed exactly
+  * once across splits. Gzip files are not splittable and plan as one
+  * split. This is what keeps a single multi-GB uncompressed GFF3/VCF
+  * from serializing onto one core.
   */
 private[sources] object LineFileSource {
 
@@ -30,8 +42,28 @@ private[sources] object LineFileSource {
   }
 }
 
+/** Minimal serializable Hadoop `Configuration` carrier (the standard
+  * DSv2 pattern): the driver's full configuration — including
+  * `spark.hadoop.*` filesystem credentials — reaches every executor
+  * reader, instead of executors falling back to default-FS-only
+  * config.
+  */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class LineFileScan(
-    paths: Seq[String],
+    splits: Seq[LineFilePartition],
+    confSer: SerializableHadoopConf,
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
@@ -43,38 +75,51 @@ private[sources] class LineFileScan(
       s"ReadSchema: ${required.catalogString}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => LineFilePartition(p): InputPartition).toArray
+    splits.map(p => p: InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new LineFileReaderFactory(fullSchema, required, filters, commentPrefix)
+    new LineFileReaderFactory(confSer, fullSchema, required, filters, commentPrefix)
 }
 
-private[sources] case class LineFilePartition(path: String) extends InputPartition
+/** One line-aligned byte range of one file; `end == Long.MaxValue`
+  * means "whole file" (unsplittable / compressed).
+  */
+private[sources] case class LineFilePartition(path: String, start: Long, end: Long)
+    extends InputPartition
 
 private[sources] class LineFileReaderFactory(
+    confSer: SerializableHadoopConf,
     fullSchema: StructType, required: StructType,
     filters: Array[Filter], commentPrefix: Char)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LineFileReader(partition.asInstanceOf[LineFilePartition].path,
-      fullSchema, required, filters, commentPrefix)
+    new LineFileReader(partition.asInstanceOf[LineFilePartition],
+      confSer.value, fullSchema, required, filters, commentPrefix)
 }
 
 private[sources] class LineFileReader(
-    path: String, fullSchema: StructType, required: StructType,
+    split: LineFilePartition, conf: Configuration,
+    fullSchema: StructType, required: StructType,
     filters: Array[Filter], commentPrefix: Char)
     extends PartitionReader[InternalRow] {
 
-  private val stream = {
-    val hPath = new Path(path)
-    // Executor-side Hadoop conf: default FS resolution is enough here
-    // (paths arrive fully qualified from the driver's glob expansion).
-    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val gzipped = split.path.endsWith(".gz")
+  private var pos: Long = split.start
+  private val lineReader: LineReader = {
+    val hPath = new Path(split.path)
+    val fs = hPath.getFileSystem(conf)
     val raw = fs.open(hPath)
-    // S8 gzip transparency, by suffix like the reference's flex_open
-    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+    if (gzipped) {
+      // not splittable: planner guarantees start == 0, end == MaxValue
+      new LineReader(new java.util.zip.GZIPInputStream(raw))
+    } else {
+      if (split.start > 0) raw.seek(split.start)
+      val lr = new LineReader(raw)
+      // discard the partial line the previous split owns
+      if (split.start > 0) pos += lr.readLine(new Text())
+      lr
+    }
   }
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(stream, "UTF-8"))
+  private val text = new Text()
 
   private val colIndex: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
@@ -92,8 +137,12 @@ private[sources] class LineFileReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
+    // read lines while the line START is within (start, end]
+    while (pos <= split.end) {
+      val consumed = lineReader.readLine(text)
+      if (consumed == 0) return false // EOF
+      pos += consumed
+      val line = text.toString
       if (line.nonEmpty && line.charAt(0) != commentPrefix && line.trim.nonEmpty) {
         val cols = line.split("\t", -1)
         if (cols.length >= fullSchema.size && rowPasses(cols)) {
@@ -101,7 +150,6 @@ private[sources] class LineFileReader(
           return true
         }
       }
-      line = reader.readLine()
     }
     false
   }
@@ -124,5 +172,5 @@ private[sources] class LineFileReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = lineReader.close()
 }

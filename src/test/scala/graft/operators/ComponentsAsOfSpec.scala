@@ -51,6 +51,15 @@ class ComponentsAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("path graph (diameter 199) converges in O(log n) rounds via pointer doubling") {
+    // plain propagation would need ~199 rounds; doubling needs ~9 —
+    // the 12-round cap proves the shortcut is doing the work
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b", maxIterations = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
   test("firstAfter picks the earliest right row at-or-after, per key") {
     val left = Seq((1L, 100L, "p1"), (1L, 205L, "p2"), (2L, 50L, "p3"),
       (2L, 400L, "p4")).toDF("k", "t", "pid")

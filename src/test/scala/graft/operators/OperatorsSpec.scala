@@ -114,4 +114,18 @@ class OperatorsSpec extends AnyFunSuite {
       .select("k", "v").as[(Int, String)].collect().toSet
     assert(got === Set((1, "a"), (2, "d")))
   }
+
+  test("GlobalRank assigns exact 1..N ranks across many range partitions") {
+    val rng = new scala.util.Random(3)
+    val vals = rng.shuffle((1L to 5000L).toVector).map(v => (v, s"p$v"))
+    val df = vals.toDF("v", "payload").repartition(16)
+    val ranked = GlobalRank.withRank(df, Seq(col("v")), "rank",
+      numPartitions = Some(8))
+    // more than one range partition actually participated
+    assert(ranked.rdd.getNumPartitions > 1)
+    val got = ranked.select("v", "rank").as[(Long, Long)].collect()
+    assert(got.length == 5000)
+    // exact global rank = the value itself (values are 1..N)
+    assert(got.forall { case (v, r) => v == r })
+  }
 }

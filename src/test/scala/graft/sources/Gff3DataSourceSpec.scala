@@ -56,6 +56,40 @@ class Gff3DataSourceSpec extends AnyFunSuite {
     assert(viaV2 == viaCsv && viaV2.nonEmpty)
   }
 
+  test("byte-range splits: one large file fans out to many partitions with identical rows") {
+    import java.nio.file.{Files, Paths}
+    // build a "large" file: the fixture body repeated 200× (~ hundreds
+    // of KB), then read with a 4 KiB split size to force many ranges
+    val base = new String(
+      Files.readAllBytes(Paths.get(s"$fx/genes_human.gff3")), "UTF-8")
+    val big = Files.createTempFile("graft_big", ".gff3")
+    val body = (1 to 200).map(_ => base).mkString("\n")
+    Files.write(big, body.getBytes("UTF-8"))
+    val whole = spark.read.format("gff3").load(big.toString)
+    val split = spark.read.format("gff3")
+      .option("maxSplitBytes", "4096").load(big.toString)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected >1 split, got ${split.rdd.getNumPartitions}")
+    assert(whole.rdd.getNumPartitions < split.rdd.getNumPartitions)
+    // every line lands in exactly one split: counts and full row
+    // multisets agree between the split and unsplit reads
+    assert(split.count() == whole.count() && whole.count() > 0)
+    val key = concat_ws("|", col("seqid"), col("start"), col("attributes"))
+    val a = split.select(key.as("k")).groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = whole.select(key.as("k")).groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("multi-path load (DataFrameReader encodes paths as a JSON array)") {
+    val two = spark.read.format("gff3")
+      .load(s"$fx/genes_human.gff3", s"$fx/features_rat.gff3")
+    val one = spark.read.format("gff3").load(s"$fx/genes_human.gff3").count() +
+      spark.read.format("gff3").load(s"$fx/features_rat.gff3").count()
+    assert(two.count() == one && one > 0)
+  }
+
   test("gzip files decompress transparently") {
     import java.nio.file.{Files, Paths}
     val gz = Files.createTempFile("graft_gff", ".gff3.gz")
