@@ -26,6 +26,11 @@ import graft.model.EtlOptions
   * working verbatim; for new deployments `Pipeline.run` + `write`
   * loads every family in one session with the partitioned/sorted
   * layout (preferred: one job, no per-invocation session cost).
+  *
+  * Passing a `jdbc:` URL as `<outDir>` routes every table through the
+  * SQLite-parity JDBC sink instead of parquet (`Pipeline.writeJdbc`) —
+  * e.g. `jdbc:sqlite:synteny.db` with sqlite-jdbc on the classpath, or
+  * `jdbc:derby:out.db;create=true` with the Derby jars Spark ships.
   */
 object Main {
 
@@ -60,8 +65,15 @@ object Main {
       outDir: String, inputs: Array[String],
       opts: EtlOptions = EtlOptions()): Unit = {
     val mode = if (create) SaveMode.Overwrite else SaveMode.Append
+    // A jdbc: URL in the outDir position selects the SQLite-parity
+    // JDBC sink (single-writer, see Pipeline.writeJdbc); anything else
+    // is a parquet table directory.
     def save(name: String, df: DataFrame): Unit = {
-      df.write.mode(mode).parquet(s"$outDir/$name")
+      if (outDir.startsWith("jdbc:"))
+        df.coalesce(1).write.mode(mode)
+          .jdbc(outDir, name, new java.util.Properties())
+      else
+        df.write.mode(mode).parquet(s"$outDir/$name")
       println(s"[graft-etl] $name: ${mode.toString.toLowerCase} OK")
     }
     cmd match {

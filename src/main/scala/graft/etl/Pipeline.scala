@@ -61,7 +61,9 @@ object Pipeline {
       variants.map("snp_variant" -> _) ++
       ontology.map("on_terms" -> _.terms) ++
       ontology.map("on_pairs" -> _.pairs) ++
-      ontology.map("gene_ontology_map" -> _.geneMap) ++
+      // no GAF inputs → no gene_ontology_map table (a zero-column
+      // frame is unwritable by any sink)
+      ontology.filter(_ => in.gaf.nonEmpty).map("gene_ontology_map" -> _.geneMap) ++
       homologs.map("homolog" -> _)).toMap
   }
 
@@ -70,7 +72,10 @@ object Pipeline {
     */
   private val layout: Map[String, (Option[String], Seq[String])] = Map(
     "gene" -> (Some("gene_taxonid"), Seq("gene_chr", "gene_start_pos")),
-    "exon" -> (Some("taxonid"), Seq("exon_chr", "exon_start_pos")),
+    // mirrors index exon(parent_gene, exon_start_pos)
+    // (reference import_genes_exons.py:76): ordered exon-of-gene
+    // retrieval skips row groups on the parent_gene min/max stats
+    "exon" -> (Some("taxonid"), Seq("parent_gene", "exon_start_pos")),
     "feature" -> (Some("taxon_id"), Seq("type", "name")),
     "cytogenetic_band" -> (Some("taxon_id"), Seq("chr", "start")),
     "snp_variant" -> (Some("taxon_id"), Seq("chr", "pos")),
@@ -92,5 +97,26 @@ object Pipeline {
           df.sortWithinPartitions(sortCols.map(col): _*).write
       }
       writer.mode("overwrite").parquet(s"$outDir/$name")
+    }
+
+  /** S9 parity sink: every table through Spark's JDBC writer — the
+    * drop-in replacement for the reference's single SQLite `.db`
+    * deliverable (`create_database.sh:9`). Works with any JDBC driver
+    * on the classpath (SQLite via sqlite-jdbc when present; Derby
+    * embedded ships with Spark and is what CliSpec round-trips).
+    *
+    * Embedded single-file engines are single-writer, so each table is
+    * coalesced to one partition by default — this sink is a
+    * small-deliverable parity convenience; the scale path is the
+    * partitioned/sorted parquet layout in `write`. Pass
+    * `singleWriter = false` for a server-grade target (Postgres etc.)
+    * to keep parallel partition writes.
+    */
+  def writeJdbc(tables: Map[String, DataFrame], url: String,
+      singleWriter: Boolean = true,
+      properties: java.util.Properties = new java.util.Properties()): Unit =
+    tables.foreach { case (name, df) =>
+      val out = if (singleWriter) df.coalesce(1) else df
+      out.write.mode("overwrite").jdbc(url, name, properties)
     }
 }

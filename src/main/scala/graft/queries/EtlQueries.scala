@@ -265,6 +265,59 @@ object EtlQueries {
                ${dAttrFirst("Color")} AS color
         FROM raw ORDER BY chr, start""")),
 
+    // ---- the reference's gene(gene_taxonid, gene_symbol, gene_chr,
+    // gene_type) index (import_genes_exons.py:62) implies a symbol/
+    // type search; in the parquet layout the taxon partition + the
+    // symbol predicate pushed into the scan serve the same lookup ----
+    "q90_symbol_search" -> Q(
+      impl = (s, _) =>
+        GenesExonsEtl.load(s, s"$Fx/genes_human.gff3", 9606).genes
+          .filter(col("gene_taxonid") === 9606 &&
+            col("gene_type") === "gene" &&
+            col("gene_symbol") >= "B" && col("gene_symbol") < "E")
+          .select("gene_id", "gene_symbol", "gene_chr", "gene_type")
+          .orderBy("gene_symbol"),
+      oracle = Some(s"""
+        WITH ${gffCte("genes_human.gff3")},
+        g AS (
+          SELECT ${dAttrFirst("Dbxref")} AS gene_id,
+                 ${dAttrFirst("Symbol")} AS gene_symbol,
+                 regexp_replace(c0, 'chr', '', 'g') AS gene_chr,
+                 c2 AS gene_type
+          FROM raw
+          WHERE ${dAttr("Parent")} IS NULL AND ${dAttr("Dbxref")} IS NOT NULL)
+        SELECT gene_id, gene_symbol, gene_chr, gene_type
+        FROM g
+        WHERE gene_type = 'gene' AND gene_symbol >= 'B' AND gene_symbol < 'E'
+        ORDER BY gene_symbol""")),
+
+    // ---- the reference's exon(parent_gene, exon_start_pos) index
+    // (import_genes_exons.py:76): ordered exon-of-gene retrieval; the
+    // exon parquet is sorted by exactly this pair within each taxon
+    // partition (Pipeline.layout, LayoutSpec) ------------------------
+    "q91_exons_of_gene" -> Q(
+      impl = (s, _) =>
+        GenesExonsEtl.load(s, s"$Fx/genes_human.gff3", 9606).exons
+          .filter(col("parent_gene") === "GeneID:100")
+          .select("exon_id", "parent_gene", "exon_start_pos", "exon_end_pos")
+          .orderBy("exon_start_pos", "exon_id"),
+      oracle = Some(s"""
+        WITH ${gffCte("genes_human.gff3")},
+        ex AS (
+          SELECT ${dAttr("ID")} AS exon_id, ${dAttr("Parent")} AS parent_attr,
+                 CAST(c3 AS BIGINT) - 1 AS exon_start_pos,
+                 CAST(c4 AS BIGINT) AS exon_end_pos
+          FROM raw WHERE ${dAttr("Parent")} IS NOT NULL),
+        gn AS (
+          SELECT ${dAttr("ID")} AS gene_row_id,
+                 ${dAttrFirst("Dbxref")} AS parent_gene
+          FROM raw
+          WHERE ${dAttr("Parent")} IS NULL AND ${dAttr("Dbxref")} IS NOT NULL)
+        SELECT exon_id, parent_gene, exon_start_pos, exon_end_pos
+        FROM ex JOIN gn ON ex.parent_attr = gn.gene_row_id
+        WHERE parent_gene = 'GeneID:100'
+        ORDER BY exon_start_pos, exon_id""")),
+
     // ---- V1-style validation at scale: classify rows of a dirty
     // input instead of dying on the first bad one — arity check +
     // try_cast per typed column, the tolerant counterpart of the

@@ -28,6 +28,36 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/gene").count() == n1)
   }
 
+  test("jdbc sink: Derby round-trip equals the direct load, append appends") {
+    val dir = Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/graft.db;create=true"
+    Main.run(spark, "genes-exons", create = true, url,
+      Array(s"$fx/genes_human.gff3", "9606"))
+    val direct = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).genes
+    val back = spark.read.jdbc(url, "gene", new java.util.Properties())
+      .select(direct.columns.map(org.apache.spark.sql.functions.col): _*)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(canon(back) == canon(direct) && direct.count() > 0)
+    // append run doubles the rows (reference family pattern over jdbc)
+    Main.run(spark, "genes-exons", create = false, url,
+      Array(s"$fx/genes_human.gff3", "9606"))
+    assert(spark.read.jdbc(url, "gene", new java.util.Properties()).count()
+      == 2 * direct.count())
+  }
+
+  test("Pipeline.writeJdbc lands every table of a run") {
+    val dir = Files.createTempDirectory("graft_jdbc_pipe").toString
+    val url = s"jdbc:derby:$dir/pipe.db;create=true"
+    val tables = Pipeline.run(spark, Pipeline.Inputs(
+      genes = Seq(Pipeline.SpeciesFile(s"$fx/genes_human.gff3", 9606)),
+      obo = Seq(s"$fx/ontology_go.obo")))
+    Pipeline.writeJdbc(tables, url)
+    for ((name, df) <- tables)
+      assert(spark.read.jdbc(url, name, new java.util.Properties()).count()
+        == df.count(), s"table $name row count mismatch after jdbc round-trip")
+  }
+
   test("ontology command loads terms, closure pairs, and GAF map") {
     val out = Files.createTempDirectory("graft_cli_onto").toString
     Main.run(spark, "ontology", create = true, out,

@@ -60,4 +60,19 @@ class LayoutSpec extends AnyFunSuite {
       .select("gene_chr", "gene_start_pos")
     intercept[Exception](unpruned.count())
   }
+
+  test("exon layout mirrors index exon(parent_gene, exon_start_pos)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_layout_exon").toString
+    val exons = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).exons
+    Pipeline.write(Map("exon" -> exons), out)
+    val files = new java.io.File(s"$out/exon/taxonid=9606")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val rows = spark.read.parquet(files: _*)
+      .select("parent_gene", "exon_start_pos")
+      .as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty &&
+      rows == rows.sortBy(identity),
+      "exon rows not sorted on (parent_gene, exon_start_pos)")
+  }
 }
