@@ -41,6 +41,16 @@ object Components {
     var labels = sym.select(col("x").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+
+    // Labels only ever decrease, so the exact (decimal, overflow-free)
+    // sum of all labels strictly decreases until the fixpoint — a
+    // one-scalar aggregation per round replaces a join-based
+    // changed-rows check.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -58,11 +68,9 @@ object Components {
         .select(col("node"),
           coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
-      // Min-propagation is monotone: converged iff no label shrank.
-      converged = next
-        .join(labels.withColumnRenamed("component", "__old"), Seq("node"))
-        .filter(col("component") =!= col("__old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

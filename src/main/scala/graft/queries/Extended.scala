@@ -115,18 +115,24 @@ object Extended {
                round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
 
-    // ---- frame-based running window (exact integer running sum) ----
+    // ---- frame-based running window (exact integer running sum).
+    // l_quantity is the last ORDER BY key because the harness data
+    // contains duplicated (suppkey, shipdate, orderkey, linenumber)
+    // rows with different quantities — without it the window order is
+    // not total and each engine picks its own prefix-sum order for
+    // the tied pair ---------------------------------------------------
     "q38_window_running" -> Q(
       impl = (s, d) => {
+        val orderCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity").map(col)
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy(orderCols: _*)
           .rowsBetween(Window.unboundedPreceding, 0)
         Tables.load(s, d, "lineitem")
           .select(
             col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             row_number().over(
-              Window.partitionBy("l_suppkey")
-                .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+              Window.partitionBy("l_suppkey").orderBy(orderCols: _*))
               .cast("long").as("rn"),
             sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
           .orderBy("l_suppkey", "rn")
@@ -137,7 +143,7 @@ object Extended {
                CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS running_qty
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY l_suppkey, rn"""),
       bench = true),

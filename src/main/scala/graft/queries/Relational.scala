@@ -24,12 +24,17 @@ object Relational {
             && col("l_discount") > 0.05)
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
             "l_extendedprice")
-          .orderBy("l_orderkey", "l_linenumber"),
+          // the harness lineitem deliberately contains duplicated
+          // (orderkey, linenumber) rows with different payloads —
+          // order by every projected column so the positional
+          // row-compare never depends on engine tie order
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_extendedprice"),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice"""),
       bench = true),
 
     // ---- 2. multi-way equi-join + aggregation ----------------------

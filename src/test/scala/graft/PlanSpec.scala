@@ -62,6 +62,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "near-dup fell back to cartesian")
   }
 
+  test("q67: Zipf head is a distributed top-k merge, not a vocab-wide window") {
+    val p = plan("q67_token_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected per-partition partial top-k + merge:\n" + p.take(600))
+  }
+
   test("q26: minhash signatures aggregate in a single shuffle") {
     val p = plan("q26_minhash_sig")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
