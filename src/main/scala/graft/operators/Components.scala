@@ -47,7 +47,8 @@ object Components {
     // one-scalar aggregation per round replaces a join-based
     // changed-rows check.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
         .head.getDecimal(0)
 
     var prevSum = labelSum(labels)

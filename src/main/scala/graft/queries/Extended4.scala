@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.GlobalRank
+import graft.functions.VecFns
+import graft.operators.{Components, EmbedNearDup, GlobalRank}
 
 /** Fourth extension batch (round 3): exact global ranking at scale via
   * `GlobalRank` (range-repartition + per-partition offsets), and the
@@ -11,6 +12,12 @@ import graft.operators.GlobalRank
   * fixture-based ETL queries themselves.
   */
 object Extended4 {
+
+  // q92 banded-LSH geometry (same 16-plane family as q53). Declared
+  // before `queries`: the oracle SQL embeds these at Map construction.
+  private val DupBands = 4
+  private val DupPlanesPerBand = 4
+  private val EmbDim = 64
 
   val queries: Map[String, Q] = Map(
     // ---- exact global rank without a global window: the scale path
@@ -30,6 +37,79 @@ object Extended4 {
         SELECT o_orderkey, o_totalprice,
                CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
                  AS BIGINT) AS rank
-        FROM orders ORDER BY rank"""))
+        FROM orders ORDER BY rank""")),
+
+    // ---- embedding near-dup clustering: the full scale-shape
+    // composition — banded hyperplane LSH candidates (equi-join) →
+    // exact cosine verify → pointer-doubling connected components.
+    // The oracle replicates the band construction and clusters with a
+    // recursive reachability CTE -------------------------------------
+    "q92_embed_components" -> Q(
+      impl = (s, d) => {
+        graft.functions.expressions.GraftFunctions.register(s)
+        val all = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+          .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+        val pairs = EmbedNearDup.bandedPairs(all, "vec_id",
+          bands = DupBands, planesPerBand = DupPlanesPerBand,
+          dim = EmbDim, minCos = 0.4)
+        Components.connectedComponents(pairs, "a", "b")
+          .select(col("node").as("vec_id"), col("component"))
+          .orderBy("vec_id")
+      },
+      oracle = Some {
+        val nPlanes = DupBands * DupPlanesPerBand
+        val weightRows = (for {
+          j <- 0 until nPlanes
+          i <- 1 to EmbDim
+        } yield s"($j,$i,${VecFns.hyperplaneWeight(j, i - 1)})").mkString(",")
+        val pw = (0 until DupPlanesPerBand)
+          .map(m => s"($m,${1L << m})").mkString(",")
+        s"""
+        WITH RECURSIVE
+        f AS (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+        qv AS (SELECT vec_id, i,
+                      CAST(round(CAST(x AS DOUBLE) * ${VecFns.Scale}) AS BIGINT) AS e
+               FROM f),
+        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS nsq
+                  FROM qv GROUP BY vec_id),
+        w(j, i, wt) AS (VALUES $weightRows),
+        pw(m, pv) AS (VALUES $pw),
+        proj AS (
+          SELECT qv.vec_id, w.j, CAST(sum(qv.e * w.wt) AS BIGINT) AS p
+          FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
+        bk AS (
+          SELECT vec_id, j // $DupPlanesPerBand AS band,
+                 CAST(sum(CASE WHEN p >= 0 THEN pv ELSE 0 END) AS BIGINT) AS key
+          FROM proj JOIN pw ON pw.m = j % $DupPlanesPerBand
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM bk x JOIN bk y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        dots AS (
+          SELECT c.a, c.b, CAST(sum(xa.e * xb.e) AS BIGINT) AS dot
+          FROM cand c
+            JOIN qv xa ON xa.vec_id = c.a
+            JOIN qv xb ON xb.vec_id = c.b AND xb.i = xa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a, b FROM dots
+            JOIN norms na ON na.vec_id = a
+            JOIN norms nb ON nb.vec_id = b
+          WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+            >= 0.4),
+        sym AS (SELECT a AS x, b AS y FROM pairs
+                UNION SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT x, x FROM sym
+          UNION
+          SELECT s.x, r.lab FROM sym s JOIN reach r ON r.node = s.y)
+        SELECT node AS vec_id, min(lab) AS component
+        FROM reach GROUP BY node ORDER BY vec_id"""
+      })
   )
 }
