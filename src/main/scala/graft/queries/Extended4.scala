@@ -52,7 +52,7 @@ object Extended4 {
           .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
         val pairs = EmbedNearDup.bandedPairs(all, "vec_id",
           bands = DupBands, planesPerBand = DupPlanesPerBand,
-          dim = EmbDim, minCos = 0.4)
+          dim = EmbDim, minCos = 0.45)
         Components.connectedComponents(pairs, "a", "b")
           .select(col("node").as("vec_id"), col("component"))
           .orderBy("vec_id")
@@ -95,14 +95,14 @@ object Extended4 {
             JOIN qv xa ON xa.vec_id = c.a
             JOIN qv xb ON xb.vec_id = c.b AND xb.i = xa.i
           GROUP BY 1, 2),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT a, b FROM dots
             JOIN norms na ON na.vec_id = a
             JOIN norms nb ON nb.vec_id = b
           WHERE round(CAST(dot AS DOUBLE)
             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
-            >= 0.4),
-        sym AS (SELECT a AS x, b AS y FROM pairs
+            >= 0.45),
+        sym AS MATERIALIZED (SELECT a AS x, b AS y FROM pairs
                 UNION SELECT b, a FROM pairs),
         reach(node, lab) AS (
           SELECT x, x FROM sym
