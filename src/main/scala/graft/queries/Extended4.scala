@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VecFns
+import graft.functions.{TextFns, VecFns}
 import graft.operators.{Components, EmbedNearDup, GlobalRank}
 
 /** Fourth extension batch (round 3): exact global ranking at scale via
@@ -18,6 +19,10 @@ object Extended4 {
   private val DupBands = 4
   private val DupPlanesPerBand = 4
   private val EmbDim = 64
+  // q93/q94 packing geometry: 4096-token windows, 20k-token budget
+  // (same declare-before-the-Map rule).
+  private val PackWindow = 4096L
+  private val TokenBudget = 20000L
 
   val queries: Map[String, Q] = Map(
     // ---- exact global rank without a global window: the scale path
@@ -110,6 +115,78 @@ object Extended4 {
           SELECT s.x, r.lab FROM sym s JOIN reach r ON r.node = s.y)
         SELECT node AS vec_id, min(lab) AS component
         FROM reach GROUP BY node ORDER BY vec_id"""
-      })
+      }),
+
+    // ---- sequence packing (concat-and-chunk, the standard LLM
+    // pretraining layout): documents are concatenated per source in
+    // doc_id order and cut into fixed 4096-token windows; each doc is
+    // assigned the window its first token lands in. One running-sum
+    // window per source partition — no global order, scales with the
+    // number of sources × docs ---------------------------------------
+    "q93_sequence_packing" -> Q(
+      impl = (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div $PackWindow"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+          .orderBy("source", "bin")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT source, n_tok,
+                 CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM t)
+        SELECT source, cum_before // $PackWindow AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // ---- token-budget corpus sampling: per source, take documents in
+    // deterministic hash order until a token budget is filled — the
+    // standard "N tokens per domain" curation step. Hash order makes
+    // the sample uniform and engine-reproducible; the running-sum
+    // cutoff is per-source, so no global coordination ----------------
+    "q94_token_budget_sample" -> Q(
+      impl = (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("h", md5(concat(lit("budget|"), col("doc_id"))))
+          .withColumn("cum", sum("n_tok").over(w))
+          .filter(col("cum") <= TokenBudget)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sampled_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 md5('budget|' || doc_id) AS h
+          FROM documents),
+        c AS (
+          SELECT source, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source
+                   ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+        FROM c WHERE cum <= $TokenBudget
+        GROUP BY source ORDER BY source"""))
   )
 }
