@@ -23,6 +23,8 @@ object Extended4 {
   // (same declare-before-the-Map rule).
   private val PackWindow = 4096L
   private val TokenBudget = 20000L
+  // q95 repetition flag threshold (duplicate-shingle fraction).
+  private val RepThreshold = 0.2
 
   val queries: Map[String, Q] = Map(
     // ---- exact global rank without a global window: the scale path
@@ -187,6 +189,42 @@ object Extended4 {
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
         FROM c WHERE cum <= $TokenBudget
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- repetition filter (Gopher-style quality signal): fraction
+    // of duplicated word-3-gram shingles per document — high values
+    // flag boilerplate/spam for removal. One explode + one groupBy,
+    // shuffle on doc_id only ----------------------------------------
+    "q95_repetition_filter" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+        sh.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            countDistinct("sh").as("n_unique"))
+          .withColumn("rep_ratio",
+            round(lit(1.0) - col("n_unique") / col("n_shingles"), 4))
+          .withColumn("flagged", col("rep_ratio") > RepThreshold)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                       CAST(count(DISTINCT sh) AS BIGINT) AS n_unique
+                FROM sh GROUP BY doc_id)
+        SELECT doc_id, n_shingles, n_unique,
+               round(1.0 - CAST(n_unique AS DOUBLE) / n_shingles, 4)
+                 AS rep_ratio,
+               round(1.0 - CAST(n_unique AS DOUBLE) / n_shingles, 4)
+                 > $RepThreshold AS flagged
+        FROM agg ORDER BY doc_id"""))
   )
 }
