@@ -85,7 +85,15 @@ object Pipeline {
     "on_pairs" -> (None, Seq("parent", "child")),
     "gene_ontology_map" -> (None, Seq("ontology_id", "gene_id")))
 
-  def write(tables: Map[String, DataFrame], outDir: String): Unit =
+  /** @param dynamicPartitionOverwrite when true, an overwrite replaces
+    *        only the taxon partitions present in the incoming frame
+    *        (Spark's dynamic partitionOverwriteMode) — the per-species
+    *        reload the reference does by re-running one loader, without
+    *        rewriting every other species' data. Default (static)
+    *        overwrites the whole table.
+    */
+  def write(tables: Map[String, DataFrame], outDir: String,
+      dynamicPartitionOverwrite: Boolean = false): Unit =
     tables.foreach { case (name, df) =>
       val (partCol, sortCols) = layout.getOrElse(name, (None, Nil))
       val writer = partCol match {
@@ -93,6 +101,8 @@ object Pipeline {
           df.repartition(col(p))
             .sortWithinPartitions(sortCols.map(col): _*)
             .write.partitionBy(p)
+            .option("partitionOverwriteMode",
+              if (dynamicPartitionOverwrite) "dynamic" else "static")
         case None =>
           df.sortWithinPartitions(sortCols.map(col): _*).write
       }

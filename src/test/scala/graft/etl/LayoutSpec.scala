@@ -61,6 +61,31 @@ class LayoutSpec extends AnyFunSuite {
     intercept[Exception](unpruned.count())
   }
 
+  test("dynamic partition overwrite replaces one taxon, leaves the others intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_layout_dyn").toString
+    val human = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).genes
+    val mouse = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 10090).genes
+      .withColumn("gene_taxonid", lit(10090))
+    Pipeline.write(Map("gene" -> human.unionByName(mouse)), out)
+    val humanBefore = spark.read.parquet(s"$out/gene")
+      .filter(col("gene_taxonid") === 9606).count()
+    // per-species reload: only the mouse partition in the frame;
+    // dynamic overwrite must not touch the human partition
+    val mouseHalf = mouse.filter(col("gene_chr") === "2")
+    Pipeline.write(Map("gene" -> mouseHalf), out,
+      dynamicPartitionOverwrite = true)
+    val after = spark.read.parquet(s"$out/gene")
+    assert(after.filter(col("gene_taxonid") === 9606).count() == humanBefore,
+      "human partition was clobbered by a mouse-only reload")
+    assert(after.filter(col("gene_taxonid") === 10090).count()
+      == mouseHalf.count(), "mouse partition not replaced")
+    // static overwrite (default) drops every partition not in the frame
+    Pipeline.write(Map("gene" -> mouseHalf), out)
+    assert(spark.read.parquet(s"$out/gene")
+      .filter(col("gene_taxonid") === 9606).count() == 0)
+  }
+
   test("exon layout mirrors index exon(parent_gene, exon_start_pos)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_layout_exon").toString
