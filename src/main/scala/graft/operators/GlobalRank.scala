@@ -31,13 +31,14 @@ object GlobalRank {
       numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    // Persist: the per-partition count job and the ranking pass both
-    // consume the ranged frame; without it the range shuffle + sort
-    // would run twice.
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .persist()
-    val sizes = ranged.rdd
+    // Both the count job and the ranking pass consume the SAME RDD
+    // value, so the range shuffle's map output is written once and its
+    // stage skipped on the second job — no persist() (which would leak
+    // cached blocks to library callers and cannot fit 100 TB anyway).
+    val rangedRdd = ranged.rdd
+    val sizes = rangedRdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect().toMap
     val numParts = sizes.keys.foldLeft(0)(math.max) + 1
@@ -46,7 +47,7 @@ object GlobalRank {
     var i = 0
     while (i < numParts) { offsets(i) = acc; acc += sizes.getOrElse(i, 0L); i += 1 }
     val schema = ranged.schema.add(rankCol, LongType, nullable = false)
-    val ranked = ranged.rdd.mapPartitionsWithIndex { case (p, it) =>
+    val ranked = rangedRdd.mapPartitionsWithIndex { case (p, it) =>
       var r = offsets(p)
       it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
     }

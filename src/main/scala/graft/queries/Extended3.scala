@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.GroupedTopK
 
 /** Third extension batch: the remaining join shapes (full outer,
   * null-safe equality) and SQL subquery forms (correlated EXISTS,
@@ -294,15 +295,20 @@ object Extended3 {
 
     // ---- deterministic stratified sampling: first-3-by-hash-order
     // per stratum — the engine-portable form of per-group reservoir
-    // sampling (rank by md5(id), not by a stateful RNG) --------------
+    // sampling (rank by md5(id), not by a stateful RNG). Scale shape:
+    // a `row_number` window partitioned by the ~5 event types would
+    // fully sort each stratum in ONE task (5 tasks × 20 TB at the
+    // 100 TB target); `GroupedTopK` instead prunes to ≤ k candidates
+    // per input partition (narrow), then merges inside a hash agg —
+    // no partition-wide sort keyed on the stratum ---------------------
     "q81_stratified_sample" -> Q(
       impl = (s, d) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-        Tables.load(s, d, "events")
+        val ev = Tables.load(s, d, "events")
           .select(col("event_type"), col("event_id"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
+        GroupedTopK.withRowNumber(ev, "event_type",
+            Seq(md5(col("event_id").cast("string")), col("event_id")),
+            k = 3, rankCol = "rk")
+          .select("event_type", "event_id", "rk")
           .orderBy("event_type", "rk")
       },
       oracle = Some("""

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFns, VecFns}
-import graft.operators.{Components, EmbedNearDup, GlobalRank}
+import graft.operators.{Components, EmbedNearDup, GlobalRank, GroupedPrefixSum}
 
 /** Fourth extension batch (round 3): exact global ranking at scale via
   * `GlobalRank` (range-repartition + per-partition offsets), and the
@@ -122,17 +122,20 @@ object Extended4 {
     // ---- sequence packing (concat-and-chunk, the standard LLM
     // pretraining layout): documents are concatenated per source in
     // doc_id order and cut into fixed 4096-token windows; each doc is
-    // assigned the window its first token lands in. One running-sum
-    // window per source partition — no global order, scales with the
-    // number of sources × docs ---------------------------------------
+    // assigned the window its first token lands in. Scale shape: a
+    // running-sum window partitioned by the ~20 sources would
+    // serialize each source through ONE task; `GroupedPrefixSum`
+    // range-partitions on (source, doc_id) so a 10 TB source spans
+    // many tasks, with per-partition partials + broadcast offsets
+    // supplying the carry — the GlobalRank pattern generalized to
+    // grouped running sums --------------------------------------------
     "q93_sequence_packing" -> Q(
       impl = (s, d) => {
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.load(s, d, "documents")
+        val toks = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"),
             TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
-          .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        GroupedPrefixSum.withRunningSum(toks, "source", Seq(col("doc_id")),
+            "n_tok", "cum_before", inclusive = false)
           .withColumn("bin", expr(s"cum_before div $PackWindow"))
           .groupBy("source", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
@@ -158,17 +161,17 @@ object Extended4 {
     // deterministic hash order until a token budget is filled — the
     // standard "N tokens per domain" curation step. Hash order makes
     // the sample uniform and engine-reproducible; the running-sum
-    // cutoff is per-source, so no global coordination ----------------
+    // cutoff is per-source, so no global coordination. Same
+    // `GroupedPrefixSum` scale shape as q93: range-partitioned on
+    // (source, h, doc_id), never one task per source ------------------
     "q94_token_budget_sample" -> Q(
       impl = (s, d) => {
-        val w = Window.partitionBy("source")
-          .orderBy("h", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        Tables.load(s, d, "documents")
+        val t = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"),
             TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
           .withColumn("h", md5(concat(lit("budget|"), col("doc_id"))))
-          .withColumn("cum", sum("n_tok").over(w))
+        GroupedPrefixSum.withRunningSum(t, "source",
+            Seq(col("h"), col("doc_id")), "n_tok", "cum", inclusive = true)
           .filter(col("cum") <= TokenBudget)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sampled_tokens"))

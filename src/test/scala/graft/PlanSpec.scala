@@ -68,6 +68,32 @@ class PlanSpec extends AnyFunSuite {
       "expected per-partition partial top-k + merge:\n" + p.take(600))
   }
 
+  test("q81/q93/q94: no per-group single-task sort (the 100 TB scale-killer)") {
+    // A Window partitioned only by the low-cardinality group column
+    // executes as ONE task per group. After the GroupedTopK /
+    // GroupedPrefixSum rewrites, none of these plans may contain a
+    // window at all, nor a sort whose required distribution is a hash
+    // partitioning on just the group column.
+    // (The final groupBy("source") agg DOES hash-partition on the
+    // group — that is fine: map-side partial agg reduces each task to
+    // ~|groups| rows before the exchange. The banned node is the
+    // window sort, not the agg.)
+    for (q <- Seq("q81_stratified_sample", "q93_sequence_packing",
+        "q94_token_budget_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q still plans a per-group window:\n" + p.take(600))
+    }
+    // positive signature: q81's merge phase is an in-agg array sort
+    // over bounded candidates (the grouped TakeOrdered analogue). The
+    // physical toString hides the aggregate's result projection, so
+    // check the optimized logical plan.
+    val opt = Registry.all("q81_stratified_sample").impl(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("array_sort"),
+      "q81 merge phase is not the bounded in-agg sort")
+  }
+
   test("q26: minhash signatures aggregate in a single shuffle") {
     val p = plan("q26_minhash_sig")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
