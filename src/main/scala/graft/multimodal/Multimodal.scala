@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,10 +11,16 @@ import org.apache.spark.sql.functions._
   * decode library executor-side: one iterator per partition, no
   * per-row JNI setup, no driver collect).
   *
-  * The decode itself is a STUB — image/audio codecs aren't in this
-  * container — but it is a *deterministic* function of the bytes, so
-  * the surrounding plumbing (schema, encoders, partition batching,
-  * downstream aggregation) is real, tested, and oracle-checkable.
+  * The header DECODE is real: [[parseHeader]] sniffs the magic bytes
+  * and extracts pixel dimensions with each format's own layout —
+  * PNG's big-endian IHDR, GIF's little-endian logical screen, BMP's
+  * little-endian DIB — by pure byte arithmetic, no codec library.
+  * Only the payloads are synthetic (no media files ship in the test
+  * environment): [[syntheticPayload]] builds a byte-exact format
+  * header followed by the document text as body, standing in for
+  * bytes read off object storage. The oracle recomputes the same
+  * dimensions and byte counts independently, so a wrong offset or
+  * endianness in either build or parse fails the hash compare.
   */
 object Multimodal {
 
@@ -22,39 +30,140 @@ object Multimodal {
     */
   case class MediaRow(doc_id: Long, source: String, payload: Array[Byte])
 
-  /** Stub "decoded" features. A real decoder would return pixel dims,
-    * channels, duration, …
+  /** Header-decoded features: sniffed container format, pixel
+    * dimensions, and total payload size.
     */
-  case class Decoded(doc_id: Long, source: String, width: Int, height: Int)
+  case class Decoded(doc_id: Long, source: String, format: String,
+      width: Int, height: Int, n_bytes: Long)
 
-  /** STUB decode: deterministic fake features from the byte length.
-    * Replace the body with a real codec call; the iterator-in /
-    * iterator-out shape is what a native decoder needs.
+  // ---- synthetic payload construction (ingest stand-in) ------------
+
+  /** Deterministic media geometry per document. */
+  def widthOf(docId: Long): Int = (1 + docId % 1920).toInt
+  def heightOf(docId: Long): Int = (1 + (docId * 7) % 1080).toInt
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** 8-byte PNG signature + IHDR chunk (length, type, 13-byte data,
+    * zeroed CRC) = 33 bytes; width/height big-endian at offsets 16/20.
     */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[Decoded] =
+  def pngHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      be32(13) ++ "IHDR".getBytes(StandardCharsets.US_ASCII) ++
+      be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+
+  /** GIF89a signature + logical-screen descriptor = 13 bytes;
+    * width/height little-endian u16 at offsets 6/8.
+    */
+  def gifHeader(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes(StandardCharsets.US_ASCII) ++
+      le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  /** BM file header + BITMAPINFOHEADER prefix = 26 bytes here
+    * (enough through the dimension fields); width/height
+    * little-endian i32 at offsets 18/22.
+    */
+  def bmpHeader(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes(StandardCharsets.US_ASCII) ++
+      le32(0) ++ le32(0) ++ le32(54) ++ le32(40) ++ le32(w) ++ le32(h)
+
+  /** Format rotates by doc_id; body is the text bytes (stand-in for
+    * compressed pixel/sample data — the decoder must skip it by
+    * header knowledge, not by trailing-byte inspection).
+    */
+  def syntheticPayload(docId: Long, text: String): Array[Byte] = {
+    val body = text.getBytes(StandardCharsets.UTF_8)
+    val w = widthOf(docId)
+    val h = heightOf(docId)
+    (docId % 3) match {
+      case 0 => pngHeader(w, h) ++ body
+      case 1 => gifHeader(w, h) ++ body
+      case _ => bmpHeader(w, h) ++ body
+    }
+  }
+
+  // ---- real header decode ------------------------------------------
+
+  private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
+  private def beI32(p: Array[Byte], i: Int): Int =
+    (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+  private def leI32(p: Array[Byte], i: Int): Int =
+    u8(p, i) | (u8(p, i + 1) << 8) | (u8(p, i + 2) << 16) | (u8(p, i + 3) << 24)
+  private def leU16(p: Array[Byte], i: Int): Int =
+    u8(p, i) | (u8(p, i + 1) << 8)
+
+  private val PngMagic =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def startsWith(p: Array[Byte], magic: Array[Byte]): Boolean =
+    p.length >= magic.length && {
+      var i = 0
+      while (i < magic.length && p(i) == magic(i)) i += 1
+      i == magic.length
+    }
+
+  /** Sniff the container from its magic bytes and extract pixel
+    * dimensions at the format's documented offsets/endianness.
+    * Unknown or truncated payloads classify as ("unknown", 0, 0)
+    * rather than throwing — at 100 TB a corrupt object must not kill
+    * the stage.
+    */
+  def parseHeader(p: Array[Byte]): (String, Int, Int) =
+    if (startsWith(p, PngMagic) && p.length >= 24 &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      ("png", beI32(p, 16), beI32(p, 20))
+    else if (p.length >= 10 &&
+        (startsWith(p, "GIF89a".getBytes(StandardCharsets.US_ASCII)) ||
+         startsWith(p, "GIF87a".getBytes(StandardCharsets.US_ASCII))))
+      ("gif", leU16(p, 6), leU16(p, 8))
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      ("bmp", leI32(p, 18), leI32(p, 22))
+    else ("unknown", 0, 0)
+
+  /** Batch decode: iterator-in / iterator-out per partition — the
+    * shape a native codec binding needs (shared per-partition setup,
+    * streaming rows, no driver involvement).
+    */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[Decoded] =
     rows.map { r =>
-      val len = r.payload.length
-      Decoded(r.doc_id, r.source, len % 64, len / 64)
+      val (fmt, w, h) = parseHeader(r.payload)
+      Decoded(r.doc_id, r.source, fmt, w, h, r.payload.length.toLong)
     }
 
   def decode(ds: Dataset[MediaRow]): Dataset[Decoded] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(decodeStub)
+    ds.mapPartitions(decodeBatch)
   }
 
-  /** documents → binary payloads → stub decode → per-source stats. */
+  /** documents → synthetic media payloads → REAL header decode →
+    * per-(source, format) stats. The oracle recomputes dimensions
+    * from the generator formulas and payload size from text length +
+    * per-format header size, so any byte-layout error in build or
+    * parse breaks the hash match.
+    */
   def decodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        MediaRow(id, src, syntheticPayload(id, text))
+      }
     decode(media)
-      .groupBy("source")
+      .groupBy("source", "format")
       .agg(
-        count(lit(1)).as("n_docs"),
+        count(lit(1)).as("n_media"),
         sum("width").cast("long").as("sum_width"),
-        sum("height").cast("long").as("sum_height"))
-      .orderBy("source")
+        sum("height").cast("long").as("sum_height"),
+        sum("n_bytes").cast("long").as("sum_bytes"))
+      .orderBy("source", "format")
   }
 }

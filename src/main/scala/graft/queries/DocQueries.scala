@@ -348,13 +348,26 @@ object DocQueries {
       },
       bench = true),
 
-    // ---- multimodal binary-column stub -----------------------------
-    "q32_multimodal_stub" -> Q(
+    // ---- multimodal binary columns: REAL header decode. Payloads
+    // carry byte-exact PNG/GIF/BMP headers (format rotates by doc_id)
+    // and the decoder sniffs magic bytes + extracts dimensions at each
+    // format's offsets/endianness. The oracle recomputes dims from the
+    // generator formulas and size from text length + per-format header
+    // size — a wrong offset or endianness on either side breaks the
+    // hash match -----------------------------------------------------
+    "q32_media_decode" -> Q(
       impl = (s, d) => Multimodal.decodeStats(s, d),
       oracle = Some("""
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(octet_length(encode(text)) % 64) AS BIGINT) AS sum_width,
-               CAST(sum(octet_length(encode(text)) // 64) AS BIGINT) AS sum_height
-        FROM documents GROUP BY source ORDER BY source"""))
+        SELECT source,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                 ELSE 'bmp' END AS format,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(1 + doc_id % 1920) AS BIGINT) AS sum_width,
+               CAST(sum(1 + (doc_id * 7) % 1080) AS BIGINT) AS sum_height,
+               CAST(sum(octet_length(encode(text)) +
+                 CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13
+                   ELSE 26 END) AS BIGINT) AS sum_bytes
+        FROM documents
+        GROUP BY 1, 2 ORDER BY source, format"""))
   )
 }
