@@ -1,14 +1,28 @@
 package graft.sources
 
 import scala.collection.mutable
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** OBO ontology source (SURVEY.md §2.1 S6, §7.4): `[Term]`-delimited
   * multi-line stanzas. Stanzas span lines, so this is not a line-based
-  * csv read; ontology files are small (≤ tens of MB), so we read the
-  * text single-partition and run a pure, unit-testable stateful parser
-  * in `mapPartitions`. Distribution happens downstream (closure,
-  * joins), where the data actually fans out.
+  * csv read — the scan distributes on `LineFileProvider`'s byte-range
+  * splits with STANZA-boundary ownership: a split owns a stanza iff it
+  * owns the stanza's `[Term]` line (the same first-byte-in-range rule
+  * Hadoop uses for lines), and a reader keeps consuming past its range
+  * end until the next split's first `[Term]` so every stanza is parsed
+  * exactly once. Real ontologies are ≤ tens of MB (one split), but a
+  * multi-GB OBO fans out across the cluster instead of serializing
+  * onto one core. Gzip files are unsplittable and read whole.
+  *
+  * Splitting is transparent to the stanza parser because every bit of
+  * parser state is confined to the segment between consecutive
+  * `[Term]` lines: a pending term flushes exactly when the next
+  * `[Term]` opens (= the next split's first owned line) or at EOF, and
+  * intervening non-Term stanzas only stop line processing within the
+  * segment.
   *
   * Faithful to the reference parser (`import_ontology.py:192-268`):
   *  - a pending term is flushed when the next `[Term]` opens, and once
@@ -69,8 +83,86 @@ object Obo {
     out.iterator
   }
 
-  def read(spark: SparkSession, path: String): Dataset[OboEvent] = {
+  /** The segment of lines a split owns: from its first owned `[Term]`
+    * line through the line before the next split's first `[Term]`.
+    * Ownership follows `LineFileReader`'s convention — seek to
+    * `start`, discard the partial first line when `start > 0`, own
+    * lines whose first byte is ≤ `end` — extended to stanzas via their
+    * `[Term]` header line. Lazy: lines stream off the open file and
+    * the handle closes at segment end.
+    */
+  private def stanzaLines(split: LineFilePartition,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[String] = {
+    val hPath = new Path(split.path)
+    val fs = hPath.getFileSystem(conf)
+    val raw = fs.open(hPath)
+    var pos = split.start
+    val lr =
+      if (split.path.endsWith(".gz")) {
+        // unsplittable: planner guarantees start == 0, end == MaxValue
+        new LineReader(new java.util.zip.GZIPInputStream(raw))
+      } else {
+        if (split.start > 0) raw.seek(split.start)
+        val r = new LineReader(raw)
+        if (split.start > 0) pos += r.readLine(new Text())
+        r
+      }
+    val text = new Text()
+    new Iterator[String] {
+      private var collecting = false
+      private var nextLine: String = null
+      private var done = false
+
+      private def isTermHeader(s: String) = s.trim.startsWith("[Term]")
+
+      private def advance(): Unit = {
+        while (nextLine == null && !done) {
+          val lineStart = pos
+          if (!collecting && lineStart > split.end) { finish(); return }
+          val n = lr.readLine(text)
+          if (n == 0) { finish(); return } // EOF
+          pos += n
+          val line = text.toString
+          if (!collecting) {
+            if (isTermHeader(line)) { collecting = true; nextLine = line }
+          } else {
+            if (isTermHeader(line) && lineStart > split.end) finish()
+            else nextLine = line
+          }
+        }
+      }
+
+      private def finish(): Unit = { done = true; lr.close() }
+
+      override def hasNext: Boolean = {
+        if (nextLine == null && !done) advance()
+        nextLine != null
+      }
+      override def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val l = nextLine; nextLine = null; l
+      }
+    }
+  }
+
+  /** Distributed stanza scan: plan the same line-aligned byte-range
+    * splits as the GFF3/VCF sources, parse each split's owned stanzas
+    * executor-side. Split order = byte order, so the event stream is
+    * identical to a sequential parse of the whole file.
+    *
+    * @param maxSplitBytes override split size (default:
+    *                      `spark.sql.files.maxPartitionBytes`)
+    */
+  def read(spark: SparkSession, path: String,
+      maxSplitBytes: Option[Long] = None): Dataset[OboEvent] = {
     import spark.implicits._
-    spark.read.textFile(path).coalesce(1).mapPartitions(parseLines)
+    val options = Map("path" -> path) ++
+      maxSplitBytes.map(b => "maxsplitbytes" -> b.toString)
+    val splits = LineFileProvider.resolveSplits(options)
+    val confSer = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val events = spark.sparkContext
+      .parallelize(splits, math.max(splits.size, 1))
+      .flatMap(sp => parseLines(stanzaLines(sp, confSer.value)))
+    spark.createDataset(events)
   }
 }
