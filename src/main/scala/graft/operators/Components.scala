@@ -42,16 +42,27 @@ object Components {
       .withColumn("component", col("node"))
       .localCheckpoint()
 
-    // Labels only ever decrease, so the exact (decimal, overflow-free)
-    // sum of all labels strictly decreases until the fixpoint — a
-    // one-scalar aggregation per round replaces a join-based
-    // changed-rows check.
+    // Labels only ever decrease, so for NUMERIC node ids the exact
+    // (decimal, overflow-free) sum of all labels strictly decreases
+    // until the fixpoint — a one-scalar aggregation per round replaces
+    // a join-based changed-rows check. For non-numeric ids (string doc
+    // ids) the cast would yield null and declare convergence after one
+    // round, so those fall back to the changed-rows check.
+    val numericIds =
+      edges.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      edges.schema(bCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO)))
         .head.getDecimal(0)
 
-    var prevSum = labelSum(labels)
+    def anyLabelChanged(prev: DataFrame, next: DataFrame): Boolean =
+      !next.join(prev.select(col("node"), col("component").as("__prev")), "node")
+        .filter(col("component") =!= col("__prev"))
+        .isEmpty
+
+    var prevSum = if (numericIds) labelSum(labels) else null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -69,9 +80,13 @@ object Components {
         .select(col("node"),
           coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = !anyLabelChanged(labels, next)
+      }
       labels = next
       iter += 1
     }

@@ -38,21 +38,27 @@ object EmbedNearDup {
     }
     // Persist: both self-join sides consume the banded frame; without
     // materialization the scan + bands·planesPerBand dot products per
-    // row would run twice.
+    // row would run twice. The persist is SCOPED to this call: the
+    // candidate set (tiny next to the banded corpus) is eagerly
+    // materialized below, after which the banded blocks are released —
+    // library callers do not accumulate cached corpus blocks.
     val banded = vecs
       .withColumn("__bk", explode(array(bandKeys: _*)))
       .select(col(idCol), col("vq"), col("nsq"),
         col("__bk.band").as("band"), col("__bk.key").as("key"))
       .persist()
-    val l = banded.toDF("a", "a_vq", "a_nsq", "band", "key")
-    val r = banded.toDF("b", "b_vq", "b_nsq", "band", "key")
-    // distinct before scoring: a pair sharing several bands must be
-    // examined (and emitted) exactly once
-    val cand = l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
-      .distinct()
-    verify(cand, minCos)
+    try {
+      val l = banded.toDF("a", "a_vq", "a_nsq", "band", "key")
+      val r = banded.toDF("b", "b_vq", "b_nsq", "band", "key")
+      // distinct before scoring: a pair sharing several bands must be
+      // examined (and emitted) exactly once
+      val cand = l.join(r, Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
+        .distinct()
+        .localCheckpoint() // eager; lineage cut from the banded frame
+      verify(cand, minCos)
+    } finally banded.unpersist(blocking = false)
   }
 
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.

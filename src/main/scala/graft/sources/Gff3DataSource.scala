@@ -89,15 +89,22 @@ object LineFileProvider {
   /** `paths` arrives as a JSON array string when the load came from
     * `DataFrameReader.load(p1, p2, ...)` (that is how Spark encodes
     * multi-path loads in DSv2 options); accept that, a bare path, or
-    * a comma-separated list.
+    * a comma-separated list. A leading '[' is only treated as JSON if
+    * it actually parses as a JSON array — a Hadoop glob starting with
+    * a character class (`[ab]*.gff3`) falls through to the path
+    * interpretation instead of throwing.
     */
   private[sources] def parsePathsOption(raw: String): Seq[String] = {
     val t = raw.trim
-    if (t.startsWith("[")) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(t)
-      (0 until node.size()).map(node.get(_).asText())
-    } else t.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val asJsonArray: Option[Seq[String]] =
+      if (t.startsWith("[") && t.endsWith("]")) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+          if (node.isArray) Some((0 until node.size()).map(node.get(_).asText()))
+          else None
+        } catch { case _: Exception => None }
+      } else None
+    asJsonArray.getOrElse(t.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
   }
 
   private[sources] def resolvePaths(rawOptions: Map[String, String]): Seq[String] = {

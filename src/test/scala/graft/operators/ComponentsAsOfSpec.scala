@@ -51,6 +51,20 @@ class ComponentsAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("string node ids compute correct components (changed-rows convergence fallback)") {
+    // the decimal-sum convergence check is numeric-only — string ids
+    // cast to null and would declare convergence after one round; the
+    // fallback must still propagate fully on a 12-hop string path
+    val edges = (0 until 12)
+      .map(i => (f"doc$i%03d", f"doc${i + 1}%03d")) ++
+      Seq(("zzz1", "zzz2"))
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(got.size == 15)
+    assert((0 to 12).forall(i => got(f"doc$i%03d") == "doc000"))
+    assert(got("zzz1") == "zzz1" && got("zzz2") == "zzz1")
+  }
+
   test("path graph (diameter 199) converges in O(log n) rounds via pointer doubling") {
     // plain propagation would need ~199 rounds; doubling needs ~9 —
     // the 12-round cap proves the shortcut is doing the work

@@ -19,7 +19,12 @@ class RuntimeBloomFilterSpec extends AnyFunSuite {
   test("selective shuffle join gets a runtime bloom filter on the probe side") {
     val saved = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+      "spark.sql.autoBroadcastJoinThreshold",
+      // toggled mid-test below — must be restored even if an assert
+      // throws between the two set() calls, or every later test runs
+      // with runtime bloom filters disabled
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
+      .map(k => k -> spark.conf.get(k))
     try {
       // force a shuffle join (no broadcast) and let the small scan
       // qualify as the application side at test scale

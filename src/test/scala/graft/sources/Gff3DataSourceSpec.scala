@@ -90,6 +90,20 @@ class Gff3DataSourceSpec extends AnyFunSuite {
     assert(two.count() == one && one > 0)
   }
 
+  test("paths option: glob starting with a character class is not mistaken for JSON") {
+    // `[ab]*.gff3` starts with '[' but is a Hadoop glob, not a JSON
+    // array — it must fall through to path interpretation, not throw
+    assert(LineFileProvider.parsePathsOption("[gf]*.gff3") == Seq("[gf]*.gff3"))
+    assert(LineFileProvider.parsePathsOption("""["p1.gff3","p2.gff3"]""") ==
+      Seq("p1.gff3", "p2.gff3"))
+    assert(LineFileProvider.parsePathsOption("a.gff3, b.gff3") ==
+      Seq("a.gff3", "b.gff3"))
+    // glob resolves end-to-end through the reader
+    val n = spark.read.format("gff3").load(s"$fx/[gf]enes_human.gff3").count()
+    val plain = spark.read.format("gff3").load(s"$fx/genes_human.gff3").count()
+    assert(n == plain && n > 0)
+  }
+
   test("gzip files decompress transparently") {
     import java.nio.file.{Files, Paths}
     val gz = Files.createTempFile("graft_gff", ".gff3.gz")
