@@ -70,4 +70,42 @@ object IntervalJoin {
       .filter(overlap && anchorBin && extraCondition)
       .select((leftCols ++ rightCols).toSeq: _*)
   }
+
+  /** `binned` with a per-row bin-count cap: the adversarial-scale
+    * guard. `binned`'s per-row cost is O(interval_len / binWidth) — a
+    * single interval spanning a whole chromosome explodes into
+    * thousands of bin rows and its bin keys all collide with every
+    * overlapping row's. Here rows wider than `maxBinsPerRow` bins
+    * (outliers by construction: binWidth targets the MEDIAN length)
+    * are pulled out of the bin explosion and joined by the residual
+    * `naive` strategy instead, where the outlier side is small enough
+    * to broadcast. The three branches partition the pair space —
+    * (short×short) binned, (long×all) residual, (short×long)
+    * residual — so the union equals `naive` exactly, each pair
+    * produced once.
+    */
+  def binnedCapped(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[String],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binWidth: Long,
+      maxBinsPerRow: Long = 1024,
+      extraCondition: Column = lit(true)): DataFrame = {
+    require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+    def nBins(s: String, e: String): Column =
+      floor(greatest(col(e), col(s)) / binWidth).cast("long") -
+        floor(col(s) / binWidth).cast("long") + lit(1L)
+    val lShort = leftDf.filter(nBins(lStart, lEnd) <= maxBinsPerRow)
+    val lLong = leftDf.filter(nBins(lStart, lEnd) > maxBinsPerRow)
+    val rShort = rightDf.filter(nBins(rStart, rEnd) <= maxBinsPerRow)
+    val rLong = rightDf.filter(nBins(rStart, rEnd) > maxBinsPerRow)
+    binned(lShort, rShort, keys, lStart, lEnd, rStart, rEnd, binWidth,
+        extraCondition)
+      .unionByName(naive(lLong, rightDf, keys, lStart, lEnd, rStart, rEnd,
+        extraCondition))
+      .unionByName(naive(lShort, rLong, keys, lStart, lEnd, rStart, rEnd,
+        extraCondition))
+  }
 }

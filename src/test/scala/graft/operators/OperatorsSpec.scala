@@ -107,6 +107,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("binnedCapped ≡ naive under pathological whole-chromosome intervals") {
+    // adversarial mixture: mostly median-length intervals plus rows
+    // spanning ~the entire coordinate space — uncapped binning would
+    // explode those into thousands of bin rows each
+    val ivGen = Gen.listOfN(40, for {
+      key <- Gen.oneOf("a", "b")
+      whole <- Gen.frequency(4 -> false, 1 -> true)
+      s <- Gen.choose(0L, if (whole) 2000L else 90000L)
+      len <- if (whole) Gen.choose(80000L, 100000L) else Gen.choose(0L, 40L)
+    } yield (key, s, s + len))
+    for (ivs <- samples(ivGen, 4)) {
+      val left = ivs.zipWithIndex.map { case ((k, s, e), i) => (k, i, s, e) }
+        .toDF("key", "l_id", "l_s", "l_e")
+      val right = ivs.zipWithIndex.map { case ((k, s, e), i) => (k, i + 1000, s, e) }
+        .toDF("key", "r_id", "r_s", "r_e")
+      val expected = IntervalJoin.naive(left, right, Seq("key"),
+          "l_s", "l_e", "r_s", "r_e")
+        .select("l_id", "r_id").as[(Int, Int)].collect().toSet
+      // cap forces every whole-range row down the residual path
+      // (binWidth 16 → whole-range rows would be ~5000 bins each)
+      for (cap <- Seq(1L, 64L, 1000000L)) {
+        val got = IntervalJoin.binnedCapped(left, right, Seq("key"),
+            "l_s", "l_e", "r_s", "r_e", binWidth = 16L, maxBinsPerRow = cap)
+          .select("l_id", "r_id").as[(Int, Int)].collect().toSet
+        assert(got === expected, s"cap=$cap")
+      }
+    }
+  }
+
   test("keepFirst keeps the first row in ordinal order per key") {
     val df = Seq((1, "a", 0L), (1, "b", 1L), (2, "c", 5L), (2, "d", 3L))
       .toDF("k", "v", "ord")
