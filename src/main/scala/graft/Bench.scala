@@ -61,7 +61,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver's BENCH_rN.json artifact truncates the
+    // per-query map, so also write the full line to a repo-committed
+    // file (SPARK_GRAFT_BENCH_OUT overrides the default path).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

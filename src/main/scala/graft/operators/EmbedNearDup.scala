@@ -25,40 +25,51 @@ object EmbedNearDup {
     * `planesPerBand` hyperplane sign bits, verified with the exact
     * integer dot product.
     *
+    * CACHING CONTRACT: the banded frame is `persist()`ed because both
+    * self-join sides consume it — without materialization the scan +
+    * bands·planesPerBand dot products per row would run twice. The
+    * cached blocks live until the session caches are cleared; batch
+    * callers issuing many independent `bandedPairs` calls should
+    * either `spark.catalog.clearCache()` between calls (what
+    * `graft.Bench` does) or use [[bandedPairsWithCleanup]] and invoke
+    * the handle once the returned frame has been consumed. (The
+    * banded frame is the input × bands in size — at true 100 TB
+    * corpus scale prefer MEMORY_AND_DISK spill, which `persist()`'s
+    * default level already is.)
+    *
     * @param vecs   (idCol, vq, nsq): quantized vectors + squared norms
     *               (VecFns.quantize / dotQFast)
     * @param minCos keep pairs with round(cos, 6) >= minCos
     * @return (a, b, cos_r) with a < b, each candidate pair scored once
     */
   def bandedPairs(vecs: DataFrame, idCol: String, bands: Int,
-      planesPerBand: Int, dim: Int, minCos: Double): DataFrame = {
+      planesPerBand: Int, dim: Int, minCos: Double): DataFrame =
+    bandedPairsWithCleanup(vecs, idCol, bands, planesPerBand, dim, minCos)._1
+
+  /** [[bandedPairs]] plus an unpersist handle for the banded frame —
+    * call it after the consuming action to release the cached blocks
+    * deterministically (idempotent, non-blocking).
+    */
+  def bandedPairsWithCleanup(vecs: DataFrame, idCol: String, bands: Int,
+      planesPerBand: Int, dim: Int, minCos: Double): (DataFrame, () => Unit) = {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         VecFns.lshBandKey(col("vq"), b, planesPerBand, dim).as("key"))
     }
-    // Persist: both self-join sides consume the banded frame; without
-    // materialization the scan + bands·planesPerBand dot products per
-    // row would run twice. The persist is SCOPED to this call: the
-    // candidate set (tiny next to the banded corpus) is eagerly
-    // materialized below, after which the banded blocks are released —
-    // library callers do not accumulate cached corpus blocks.
     val banded = vecs
       .withColumn("__bk", explode(array(bandKeys: _*)))
       .select(col(idCol), col("vq"), col("nsq"),
         col("__bk.band").as("band"), col("__bk.key").as("key"))
       .persist()
-    try {
-      val l = banded.toDF("a", "a_vq", "a_nsq", "band", "key")
-      val r = banded.toDF("b", "b_vq", "b_nsq", "band", "key")
-      // distinct before scoring: a pair sharing several bands must be
-      // examined (and emitted) exactly once
-      val cand = l.join(r, Seq("band", "key"))
-        .filter(col("a") < col("b"))
-        .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
-        .distinct()
-        .localCheckpoint() // eager; lineage cut from the banded frame
-      verify(cand, minCos)
-    } finally banded.unpersist(blocking = false)
+    val l = banded.toDF("a", "a_vq", "a_nsq", "band", "key")
+    val r = banded.toDF("b", "b_vq", "b_nsq", "band", "key")
+    // distinct before scoring: a pair sharing several bands must be
+    // examined (and emitted) exactly once
+    val cand = l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
+      .distinct()
+    (verify(cand, minCos), () => { banded.unpersist(blocking = false); () })
   }
 
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.
