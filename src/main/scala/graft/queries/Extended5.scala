@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Fifth extension batch (round 4): corpus-curation operators a
+  * training-data pipeline runs before every release — benchmark
+  * contamination detection and source-priority exact dedup.
+  */
+object Extended5 {
+
+  // q96: the held-out "benchmark" source and the contamination flag
+  // threshold. Declared before `queries`: the oracle SQL embeds these
+  // at Map construction.
+  private val EvalSource = "src00"
+  private val ContamThreshold = 0.1
+
+  val queries: Map[String, Q] = Map(
+    // ---- benchmark contamination check: fraction of each training
+    // document's distinct word-3-gram shingles that appear anywhere in
+    // the held-out eval source — the standard pre-release test-set
+    // leakage scan. Scale shape: shingles are md5-prefix-reduced to
+    // 60-bit ints BEFORE the distinct/join (8-byte shuffle keys, same
+    // reduction as q28), and the eval shingle set — tiny next to the
+    // training corpus — is broadcast, so the corpus-side scan never
+    // shuffles for the probe ------------------------------------------
+    "q96_contamination_check" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("shs"))
+          .select(col("doc_id"), col("source"),
+            conv(substring(md5(col("shs")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .distinct()
+          .persist() // feeds both the eval set and the training side
+        val evalSh = sh.filter(col("source") === EvalSource)
+          .select("h").distinct()
+        val train = sh.filter(col("source") =!= EvalSource)
+        val sizes = train.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"))
+        val hits = train.join(broadcast(evalSh), "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+        sizes.join(hits, Seq("doc_id"), "left")
+          .withColumn("n_contam", coalesce(col("__hits"), lit(0L)))
+          .withColumn("contam_frac",
+            round(col("n_contam") / col("n_shingles"), 4))
+          .withColumn("flagged", col("contam_frac") > ContamThreshold)
+          .select("doc_id", "n_shingles", "n_contam", "contam_frac", "flagged")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, source, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id, source,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        shh AS (SELECT DISTINCT doc_id, source,
+                       CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+                FROM sh),
+        ev AS (SELECT DISTINCT h FROM shh WHERE source = '$EvalSource'),
+        train AS (SELECT doc_id, h FROM shh WHERE source <> '$EvalSource'),
+        sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY 1),
+        hits AS (SELECT t.doc_id, count(*) AS c
+                 FROM train t JOIN ev e ON e.h = t.h GROUP BY 1)
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_contam,
+               round(coalesce(h.c, 0) / s.n, 4) AS contam_frac,
+               round(coalesce(h.c, 0) / s.n, 4) > $ContamThreshold AS flagged
+        FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        ORDER BY s.doc_id""")),
+
+    // ---- source-priority exact dedup: when identical content appears
+    // in several sources, keep the copy from the most-trusted source
+    // (curated beats crawl) — min over (priority, doc_id) per content
+    // hash, doc_id as the total-order tiebreak. One hash-groupBy with
+    // map-side partial agg; min_by carries only the winner, never the
+    // copies -----------------------------------------------------------
+    "q97_priority_dedup" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("prio",
+            regexp_extract(col("source"), "(\\d+)$", 1).cast("long"))
+        // composite scalar order key: (priority, doc_id) packed into
+        // one BIGINT — doc_id is far below 10^12 at any harness SF
+        val key = col("prio") * lit(1000000000000L) + col("doc_id")
+        docs.groupBy(md5(col("text")).as("content_hash"))
+          .agg(
+            min_by(col("doc_id"), key).as("kept_doc"),
+            min_by(col("source"), key).as("kept_source"),
+            count(lit(1)).as("n_copies"))
+          .orderBy("content_hash")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source, text,
+                 CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
+                   * 1000000000000 + doc_id AS k
+          FROM documents)
+        SELECT md5(text) AS content_hash,
+               arg_min(doc_id, k) AS kept_doc,
+               arg_min(source, k) AS kept_source,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM d GROUP BY 1 ORDER BY content_hash"""))
+  )
+}

@@ -19,5 +19,6 @@ object Registry {
   lazy val all: Map[String, Q] =
     Relational.queries ++ EventQueries.queries ++ DocQueries.queries ++
       VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries ++
-      Extended2.queries ++ Extended3.queries ++ Extended4.queries
+      Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
+      Extended5.queries
 }
