@@ -33,6 +33,15 @@ import org.apache.spark.sql.types.LongType
   * Bin width: `spark.graft.intervalJoin.binWidth` (long, same unit as
   * the interval columns; default 60e6 = one minute in micros). Pick
   * ≈ the median interval length.
+  *
+  * Outlier-length intervals: the rewrite explodes O(len/binWidth) bin
+  * rows per interval. Workloads where single intervals can span the
+  * whole coordinate space (thousands of bins) should call
+  * `operators.IntervalJoin.binnedCapped` explicitly — it routes rows
+  * wider than `maxBinsPerRow` bins through a residual equi-key join
+  * so the explosion stays bounded (property-pinned in OperatorsSpec).
+  * The rule stays cap-free by design: a logical-plan Union rewrite
+  * triples the plan for a case the operator API already handles.
   */
 object BinnedIntervalJoinRule extends Rule[LogicalPlan] {
 

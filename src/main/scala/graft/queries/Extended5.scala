@@ -16,6 +16,11 @@ object Extended5 {
   private val EvalSource = "src00"
   private val ContamThreshold = 0.1
 
+  // q98/q99: the explicit pivot domain. Passing the value list is the
+  // 100 TB form — without it Spark runs an extra distinct-values job
+  // over the full input before it can even plan the aggregation.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   val queries: Map[String, Q] = Map(
     // ---- benchmark contamination check: fraction of each training
     // document's distinct word-3-gram shingles that appear anywhere in
@@ -107,6 +112,63 @@ object Extended5 {
                arg_min(doc_id, k) AS kept_doc,
                arg_min(source, k) AS kept_source,
                CAST(count(*) AS BIGINT) AS n_copies
-        FROM d GROUP BY 1 ORDER BY content_hash"""))
+        FROM d GROUP BY 1 ORDER BY content_hash""")),
+
+    // ---- pivot: per-user event-type count matrix. With the value
+    // list supplied this is ONE hash aggregation (map-side partial +
+    // final, no values-discovery job, no extra shuffle) — the wide
+    // feature-matrix step before ML feature export ---------------------
+    "q98_pivot_matrix" -> Q(
+      impl = (s, d) => {
+        val wide = Tables.load(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", EventTypes)
+          .agg(count(lit(1)))
+        EventTypes.foldLeft(wide) { (df, t) =>
+          df.withColumn(s"n_$t", coalesce(col(t).cast("long"), lit(0L)))
+        }
+          .select(col("user_id") +: EventTypes.map(t => col(s"n_$t")): _*)
+          .orderBy("user_id")
+      },
+      oracle = Some {
+        val cols = EventTypes.map(t =>
+          s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t")
+          .mkString(",\n               ")
+        s"""
+        SELECT user_id,
+               $cols
+        FROM events GROUP BY 1 ORDER BY user_id"""
+      }),
+
+    // ---- unpivot (melt): the wide matrix back to long form — the
+    // inverse transform, a narrow per-row expansion (no shuffle beyond
+    // q98's agg) --------------------------------------------------------
+    "q99_unpivot_melt" -> Q(
+      impl = (s, d) => {
+        val wide = Tables.load(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", EventTypes)
+          .agg(count(lit(1)))
+        val filled = EventTypes.foldLeft(wide) { (df, t) =>
+          df.withColumn(s"n_$t", coalesce(col(t).cast("long"), lit(0L)))
+        }.select(col("user_id") +: EventTypes.map(t => col(s"n_$t")): _*)
+        filled.unpivot(
+            Array(col("user_id")),
+            EventTypes.map(t => col(s"n_$t")).toArray,
+            "event_type", "n")
+          .orderBy("user_id", "event_type")
+      },
+      oracle = Some {
+        val wideCols = EventTypes.map(t =>
+          s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t")
+          .mkString(", ")
+        val arms = EventTypes.map(t =>
+          s"SELECT user_id, 'n_$t' AS event_type, n_$t AS n FROM w")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH w AS (SELECT user_id, $wideCols FROM events GROUP BY 1)
+        $arms
+        ORDER BY user_id, event_type"""
+      })
   )
 }
