@@ -94,6 +94,19 @@ class PlanSpec extends AnyFunSuite {
       "q81 merge phase is not the bounded in-agg sort")
   }
 
+  test("q96: eval shingle set is broadcast — the corpus side never shuffles for the probe") {
+    val p = plan("q96_contamination_check")
+    assert(p.contains("BroadcastHashJoin"),
+      "contamination probe degraded to a shuffle join:\n" + p.take(600))
+  }
+
+  test("q97: priority dedup is one hash aggregation (partial + final)") {
+    val p = plan("q97_priority_dedup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle (partial+final min_by agg), found $exchanges")
+  }
+
   test("q26: minhash signatures aggregate in a single shuffle") {
     val p = plan("q26_minhash_sig")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
