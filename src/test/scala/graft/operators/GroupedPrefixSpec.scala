@@ -81,6 +81,34 @@ class GroupedPrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("a giant group spans many range partitions and still sums exactly") {
+    // 95% of rows in one group: the window form would push them all
+    // through ONE task; the range partitioning on (group, key) must
+    // spread them across partitions, with the broadcast carry offsets
+    // keeping the running sum exact across the splits.
+    val n = 50000
+    val df = (0 until n).map { i =>
+      (if (i % 20 == 0) s"minor${i % 3}" else "giant", i.toLong, (i % 7).toLong)
+    }.toDF("g", "k", "v").repartition(8)
+    val ranged = df.repartitionByRange(8, col("g"), col("k"))
+    val spread = ranged
+      .select(col("g"), spark_partition_id().as("p"))
+      .filter(col("g") === "giant")
+      .select("p").distinct().count()
+    assert(spread > 1, s"giant group landed on $spread partition(s)")
+    val w = Window.partitionBy("g").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = df.withColumn("cum", sum("v").over(w))
+      .groupBy("g").agg(max("cum").as("m"), sum("cum").as("s"))
+      .orderBy("g").collect().toSeq
+    val got = GroupedPrefixSum
+      .withRunningSum(df, "g", Seq(col("k")), "v", "cum",
+        numPartitions = Some(8))
+      .groupBy("g").agg(max("cum").as("m"), sum("cum").as("s"))
+      .orderBy("g").collect().toSeq
+    assert(got == expected)
+  }
+
   test("grouped top-k matches the row_number window formulation") {
     val df = (1 to 200).map { i =>
       (s"g${i % 3}", s"id$i", i.toLong)
