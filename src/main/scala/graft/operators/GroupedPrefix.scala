@@ -135,6 +135,12 @@ object GroupedPrefixSum {
   * Sort-key columns must be of `Comparable` external types (string,
   * numeric, date/timestamp); ordering matches Spark's ascending
   * NULLS FIRST.
+  *
+  * Intended for SMALL k (samples, leaderboards): the merge phase
+  * holds ≤ k × inputPartitions candidate rows per group in one
+  * aggregation buffer. For per-group selections where k is a large
+  * fraction of the group, use [[GroupedPrefixSum]] over a rank
+  * instead — or a plain window if the group is high-cardinality.
   */
 object GroupedTopK {
 

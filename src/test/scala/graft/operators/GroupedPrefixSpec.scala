@@ -109,6 +109,17 @@ class GroupedPrefixSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("preconditions: non-long value column and non-positive k are rejected") {
+    val df = Seq(("a", 1L, 1)).toDF("g", "k", "v") // v is Int, not Long
+    val e = intercept[IllegalArgumentException] {
+      GroupedPrefixSum.withRunningSum(df, "g", Seq(col("k")), "v", "cum")
+    }
+    assert(e.getMessage.contains("LongType"))
+    intercept[IllegalArgumentException] {
+      GroupedTopK.withRowNumber(df, "g", Seq(col("k")), k = 0)
+    }
+  }
+
   test("grouped top-k matches the row_number window formulation") {
     val df = (1 to 200).map { i =>
       (s"g${i % 3}", s"id$i", i.toLong)
