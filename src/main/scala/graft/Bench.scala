@@ -34,8 +34,13 @@ object Bench {
     // dataflow.
     // A query that throws is recorded as "err", never as a timing — a
     // regression must show up as a failure, not as a fast run.
+    // Optional substring filter for focused iteration (comma-separated
+    // name fragments); unset = the full registry, as the driver runs it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains)) }
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           val outcome =

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
 object Closure {
 
   /** @param edges DataFrame with direct-edge columns (`parentCol`, `childCol`)
+    * @param localThreshold edge sets at or below this row count are
+    *   closed driver-side (one bounded collect + in-heap semi-naive,
+    *   then re-parallelized). Ontologies are dimension-sized (~10^5
+    *   edges), and the distributed fixpoint pays O(depth) rounds of
+    *   job-scheduling latency that dwarf the actual work at that size;
+    *   the threshold is probed with `limit(n+1).count()` so a 100 TB
+    *   edge table never scans past the cap. Set 0 to force the
+    *   distributed path.
     * @return closure as (`ancestor`, `descendant`) — all transitive pairs
     */
   def transitiveClosure(
@@ -26,8 +34,12 @@ object Closure {
       parentCol: String = "parent",
       childCol: String = "child",
       broadcastEdges: Boolean = true,
-      maxIterations: Int = 64): DataFrame = {
+      maxIterations: Int = 64,
+      localThreshold: Int = 200000): DataFrame = {
     val e0 = edges.select(col(parentCol).as("parent"), col(childCol).as("child"))
+    if (localThreshold > 0 &&
+        e0.limit(localThreshold + 1).count() <= localThreshold)
+      return localClosure(e0, maxIterations)
     val e = if (broadcastEdges) broadcast(e0) else e0
 
     val base = e0
@@ -59,6 +71,42 @@ object Closure {
     }
     require(converged, s"transitiveClosure did not converge in $maxIterations iterations")
     frames.reduce(_ union _)
+  }
+
+  /** Metadata-tier closure: the whole edge set fits comfortably on the
+    * driver (caller-bounded), so run the same semi-naive fixpoint in
+    * one heap — work is O(|closure| · avg out-degree), identical to
+    * the distributed algorithm minus per-round scheduling. Types flow
+    * through untouched (ids stay whatever the input columns were).
+    */
+  private def localClosure(e0: DataFrame, maxIterations: Int): DataFrame = {
+    val spark = e0.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "ancestor", e0.schema("parent").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        "descendant", e0.schema("child").dataType, nullable = true)))
+    val direct = e0.collect().map(r => (r.get(0), r.get(1)))
+    val adj = direct.groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+    val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+    seen ++= direct
+    var frontier: Seq[(Any, Any)] = direct.toSeq
+    var iter = 0
+    while (frontier.nonEmpty && iter < maxIterations) {
+      frontier = for {
+        (a, d) <- frontier
+        c <- adj.getOrElse(d, Array.empty[Any])
+        if seen.add((a, c))
+      } yield (a, c)
+      iter += 1
+    }
+    require(frontier.isEmpty,
+      s"transitiveClosure did not converge in $maxIterations iterations")
+    val rows = seen.toSeq.map { case (a, d) =>
+      org.apache.spark.sql.Row(a, d) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size / 10000, 32))), schema)
   }
 
   /** A2 — per-ancestor distinct transitive descendant counts

@@ -49,6 +49,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed and metadata-tier closure paths agree") {
+    for (edges <- samples(dagGen, 6) if edges.nonEmpty) {
+      val df = edges.toSeq.toDF("parent", "child")
+      val local = Closure.transitiveClosure(df, "parent", "child")
+        .as[(Int, Int)].collect().toSet
+      val dist = Closure.transitiveClosure(df, "parent", "child",
+          localThreshold = 0) // force the distributed fixpoint
+        .as[(Int, Int)].collect().toSet
+      assert(local === dist, s"edges=$edges")
+      assert(dist === naiveClosure(edges), s"edges=$edges")
+    }
+  }
+
   test("closure is idempotent: closure(closure(E)) = closure(E)") {
     val edges = Seq((1, 2), (2, 3), (3, 4), (1, 5), (5, 4)).toDF("parent", "child")
     val once = Closure.transitiveClosure(edges, "parent", "child")
