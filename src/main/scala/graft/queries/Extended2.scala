@@ -43,7 +43,7 @@ object Extended2 {
   /** DuckDB CTEs: word-3-gram MinHash signatures + banded LSH pairs
     * with est >= `minEst` (same construction as q27/q58 oracles).
     */
-  private def lshPairCtes(minEst: Double): String = {
+  private[queries] def lshPairCtes(minEst: Double): String = {
     val r = MinhashK / Bands
     val sigSelect =
       (0 until MinhashK).map(i =>

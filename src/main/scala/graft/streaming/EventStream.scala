@@ -122,6 +122,34 @@ object EventStream {
       .withColumn("ets", timestamp_micros(col("us")))
   }
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static dimension (customer → nation), then a stateful aggregate
+    * per (nation, event_type). The static side is broadcast — each
+    * micro-batch probes the dim in-memory, no stream-side shuffle
+    * before the aggregation, and (unlike stream-stream joins) no join
+    * state store at all: Spark re-plans the static side per batch.
+    * The canonical "attach dimension attributes on ingest" shape.
+    */
+  def staticEnrichedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val stream = eventStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
+    val name = s"graft_enrich_${System.nanoTime()}"
+    val q = startSized(spark) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy("c_nationkey", "event_type")
+  }
+
   /** Sliding-window count/sum per (window, event_type) via streaming —
     * each event lands in width/slide overlapping windows; Spark's
     * `window()` does the fan-out inside the stateful aggregation.
