@@ -113,4 +113,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly 1 shuffle (partial+final agg), found $exchanges")
   }
+
+  test("q101: mixture sampling is a pure per-row predicate — zero hash shuffles") {
+    val p = plan("q101_mixture_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "mixture sample introduced a shuffle:\n" + p.take(600))
+  }
+
+  test("q102: canonical selection is a hash agg, never a per-cluster window sort") {
+    val p = plan("q102_cluster_canonical")
+    assert(!p.contains("Window"),
+      "canonical pick degraded to a window:\n" + p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidates degraded to a nested loop:\n" + p.take(600))
+  }
+
+  test("q103: unigram vocab and token total are broadcast to the scorer") {
+    val p = plan("q103_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab join degraded to a shuffle join:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "vocab join degraded to SMJ:\n" + p.take(600))
+  }
+
+  test("q104: boilerplate scrub is per-row codegen — zero hash shuffles") {
+    val p = plan("q104_boilerplate_scrub")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "scrub introduced a shuffle:\n" + p.take(600))
+  }
 }
