@@ -71,14 +71,20 @@ object Bench {
     println(line)
     // Durable copy: the driver's BENCH_rN.json artifact truncates the
     // per-query map, so also write the full line to a repo-committed
-    // file (SPARK_GRAFT_BENCH_OUT overrides the default path).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json")
-    try {
-      val p = java.nio.file.Paths.get(out)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    // file (SPARK_GRAFT_BENCH_OUT overrides the default path). A
+    // SPARK_GRAFT_ONLY-filtered run never writes the default file —
+    // bench_latest.json must always reflect a full-registry run — so a
+    // focused run persists only when an explicit output path is given.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench/bench_latest.json") else None)
+    out.foreach { o =>
+      try {
+        val p = java.nio.file.Paths.get(o)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, line + "\n")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $o: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -27,6 +27,12 @@ object Closure {
     *   the threshold is probed with `limit(n+1).count()` so a 100 TB
     *   edge table never scans past the cap. Set 0 to force the
     *   distributed path.
+    * @param localPairCap the edge count bounds the *input*, not the
+    *   closure — a dense or deep graph can close to orders of magnitude
+    *   more pairs than it has edges. If the in-heap fixpoint's pair set
+    *   outgrows this cap it is abandoned and the distributed path runs
+    *   instead, so driver memory is bounded by cap × pair size
+    *   regardless of graph shape.
     * @return closure as (`ancestor`, `descendant`) — all transitive pairs
     */
   def transitiveClosure(
@@ -35,11 +41,16 @@ object Closure {
       childCol: String = "child",
       broadcastEdges: Boolean = true,
       maxIterations: Int = 64,
-      localThreshold: Int = 200000): DataFrame = {
+      localThreshold: Int = 200000,
+      localPairCap: Int = 4000000): DataFrame = {
     val e0 = edges.select(col(parentCol).as("parent"), col(childCol).as("child"))
     if (localThreshold > 0 &&
-        e0.limit(localThreshold + 1).count() <= localThreshold)
-      return localClosure(e0, maxIterations)
+        e0.limit(localThreshold + 1).count() <= localThreshold) {
+      localClosure(e0, maxIterations, localPairCap) match {
+        case Some(closed) => return closed
+        case None => // closure outgrew the pair cap — run distributed
+      }
+    }
     val e = if (broadcastEdges) broadcast(e0) else e0
 
     val base = e0
