@@ -90,7 +90,8 @@ object Closure {
     * the distributed algorithm minus per-round scheduling. Types flow
     * through untouched (ids stay whatever the input columns were).
     */
-  private def localClosure(e0: DataFrame, maxIterations: Int): DataFrame = {
+  private def localClosure(
+      e0: DataFrame, maxIterations: Int, pairCap: Int): Option[DataFrame] = {
     val spark = e0.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
@@ -104,6 +105,7 @@ object Closure {
     var frontier: Seq[(Any, Any)] = direct.toSeq
     var iter = 0
     while (frontier.nonEmpty && iter < maxIterations) {
+      if (seen.size > pairCap) return None
       frontier = for {
         (a, d) <- frontier
         c <- adj.getOrElse(d, Array.empty[Any])
@@ -111,13 +113,14 @@ object Closure {
       } yield (a, c)
       iter += 1
     }
+    if (seen.size > pairCap) return None
     require(frontier.isEmpty,
       s"transitiveClosure did not converge in $maxIterations iterations")
     val rows = seen.toSeq.map { case (a, d) =>
       org.apache.spark.sql.Row(a, d) }
-    spark.createDataFrame(
+    Some(spark.createDataFrame(
       spark.sparkContext.parallelize(rows,
-        math.max(1, math.min(rows.size / 10000, 32))), schema)
+        math.max(1, math.min(rows.size / 10000, 32))), schema))
   }
 
   /** A2 — per-ancestor distinct transitive descendant counts
