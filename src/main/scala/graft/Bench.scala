@@ -36,7 +36,9 @@ object Bench {
     // regression must show up as a failure, not as a fast run.
     // Optional substring filter for focused iteration (comma-separated
     // name fragments); unset = the full registry, as the driver runs it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
     val results: Seq[(String, Either[String, Double])] =

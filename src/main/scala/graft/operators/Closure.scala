@@ -99,7 +99,13 @@ object Closure {
       org.apache.spark.sql.types.StructField(
         "descendant", e0.schema("child").dataType, nullable = true)))
     val direct = e0.collect().map(r => (r.get(0), r.get(1)))
-    val adj = direct.groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+    // null endpoints stay in the closure *base* (the distributed path's
+    // seed is the raw edge set) but never extend a path: the equi-join
+    // drops null keys under SQL semantics, while Scala map lookups
+    // would happily match them — so exclude nulls from the adjacency
+    // index and from frontier descent.
+    val adj = direct.filter { case (p, c) => p != null && c != null }
+      .groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
     val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
     seen ++= direct
     var frontier: Seq[(Any, Any)] = direct.toSeq
@@ -108,6 +114,7 @@ object Closure {
       if (seen.size > pairCap) return None
       frontier = for {
         (a, d) <- frontier
+        if d != null
         c <- adj.getOrElse(d, Array.empty[Any])
         if seen.add((a, c))
       } yield (a, c)

@@ -41,12 +41,16 @@ object Extended6 {
     "q101_mixture_sample" -> Q(
       impl = (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val suffix = regexp_extract(col("source"), "(\\d+)$", 1).cast("long")
+        // explicit contract: sources without a trailing digit group are
+        // excluded up front (both engines), instead of leaking through
+        // divergent cast-of-empty-string semantics
+        val rawSuffix = regexp_extract(col("source"), "(\\d+)$", 1)
+        val suffix = rawSuffix.cast("long")
         val rate = (suffix % 4 + 1) / lit(8.0) // 0.125 | 0.25 | 0.375 | 0.5
         val draw = conv(substring(
             md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6),
           16, 10).cast("double") / lit(16777216.0)
-        docs.filter(draw < rate)
+        docs.filter(rawSuffix =!= "").filter(draw < rate)
           .select(col("doc_id"), col("source"),
             round(rate, 3).as("target_rate"))
           .orderBy("doc_id")
@@ -56,7 +60,8 @@ object Extended6 {
                round((CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4
                       + 1) / 8.0, 3) AS target_rate
         FROM documents
-        WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)
+        WHERE regexp_extract(source, '(\d+)$', 1) <> ''
+          AND CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)
                    AS BIGINT) / 16777216.0
               < (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4 + 1)
                 / 8.0
@@ -83,13 +88,13 @@ object Extended6 {
           .withColumnRenamed("node", "doc_id")
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("n_chars"))
-        // (quality desc, doc_id asc) packed into one scalar order key;
-        // n_chars is bounded (~10^3) so the pack never overflows
-        val key = -col("n_chars") * lit(1000000000000L) + col("doc_id")
+        // (quality desc, doc_id asc) as a lexicographic struct key —
+        // no packed-scalar range assumptions at any n_chars/doc_id
+        val key = struct((-col("n_chars")).as("q"), col("doc_id").as("id"))
         docs.join(comp, Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("component"), col("doc_id")))
           .groupBy("component")
-          .agg(min_by(col("doc_id"), key).as("kept_doc"),
+          .agg(min(key).getField("id").as("kept_doc"),
             max("n_chars").as("kept_chars"),
             count(lit(1)).as("n_members"))
           .orderBy("component")
@@ -108,7 +113,7 @@ object Extended6 {
                        d.n_chars
                 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
         SELECT component,
-               arg_min(doc_id, -n_chars * 1000000000000 + doc_id) AS kept_doc,
+               min({'q': -n_chars, 'id': doc_id}).id AS kept_doc,
                CAST(max(n_chars) AS BIGINT) AS kept_chars,
                CAST(count(*) AS BIGINT) AS n_members
         FROM lab GROUP BY 1 ORDER BY component""")),
