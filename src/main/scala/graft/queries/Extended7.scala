@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{MisraGries, TextFns}
+
+/** Seventh extension batch (round 8): the remaining corpus-curation
+  * shapes of a production training-data pipeline — chunk/paragraph
+  * level exact dedup with document reassembly (the RefinedWeb "line
+  * dedup" step generalized to fixed token windows), sketch-based
+  * heavy-hitter vocabulary mining (bounded-memory candidate pass +
+  * exact verify pass), and temperature-scaled mixture sampling with
+  * data-derived per-source rates (the cnt^alpha reweighting used to
+  * balance web-scale corpora).
+  */
+object Extended7 {
+
+  /** q105 chunk width (tokens). Small enough that the synthetic
+    * word-salad corpus actually shares chunks across documents; the
+    * operator shape is width-independent.
+    */
+  private val ChunkW = 4
+
+  /** q106: exact heavy-hitter threshold 1/50 of all tokens; the
+    * Misra–Gries capacity must be ≥ 49 for the candidate pass to be a
+    * guaranteed superset (N/(capacity+1) ≤ N/50).
+    */
+  private val HhDenom = 50
+  private val MgCapacity = 64
+
+  /** q107 temperature-sampling parameters: weight ∝ cnt^Alpha,
+    * scaled so the expected kept fraction of the corpus is TargetFrac.
+    */
+  private val Alpha = 0.7
+  private val TargetFrac = 0.25
+
+  val queries: Map[String, Q] = Map(
+    // ---- chunk-level exact dedup with reassembly: split every doc
+    // into fixed 4-token windows, keep a chunk only in the lowest
+    // doc_id that contains it anywhere in the corpus, re-join the
+    // survivors in document order. Scale shape: one shuffle on the
+    // chunk text to elect owners (groupBy min), one shuffle to join
+    // ownership back — both keyed on the chunk, so near-duplicate
+    // boilerplate concentrates as key skew that AQE splits; no
+    // windows, no per-doc sort (array_sort of the collected
+    // (pos, chunk) structs is per-row work on bounded doc length) ----
+    "q105_chunk_dedup" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+        val nChunks = ceil(size(col("t")) / lit(ChunkW.toDouble)).cast("int")
+        val chunks = docs.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1),
+              i => concat_ws(" ", slice(col("t"), i * ChunkW + 1, lit(ChunkW))))))
+          .toDF("doc_id", "pos", "chunk")
+        val owners = chunks.groupBy("chunk").agg(min("doc_id").as("owner"))
+        val kept = col("doc_id") === col("owner")
+        chunks.join(owners, "chunk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(when(kept,
+                  struct(col("pos"), col("chunk"))))),
+                x => x.getField("chunk")),
+              " ")).as("clean_hash"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        i AS (SELECT doc_id, t,
+                     unnest(range(0, CAST(ceil(len(t) / $ChunkW.0) AS BIGINT)))
+                       AS pos
+              FROM d),
+        c AS (SELECT doc_id, pos,
+                     array_to_string(t[pos*$ChunkW+1 : pos*$ChunkW+$ChunkW],
+                                     ' ') AS chunk
+              FROM i),
+        o AS (SELECT chunk, min(doc_id) AS owner FROM c GROUP BY 1)
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN c.doc_id = o.owner THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(
+                 CASE WHEN c.doc_id = o.owner THEN c.chunk END,
+                 ' ' ORDER BY c.pos), '')) AS clean_hash
+        FROM c JOIN o USING (chunk)
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // ---- heavy-hitter vocabulary via bounded sketch + exact verify:
+    // pass 1 runs the mergeable Misra–Gries summary as a regular
+    // partial/final aggregation — per-partition buffers and the one
+    // merged buffer are ≤ 64 entries no matter the vocabulary, so
+    // pass 1 never shuffles more than a constant per partition. The
+    // bounded candidate list (≤ 64, a superset of every token with
+    // freq ≥ N/50 by the sketch guarantee) is collected as driver
+    // metadata; pass 2 recounts ONLY candidates exactly and applies
+    // the exact integer threshold. Net: exact heavy hitters with no
+    // full-vocabulary shuffle — the groupBy in pass 2 aggregates a
+    // ≤ 64-key set ----------------------------------------------------
+    "q106_heavy_hitters" -> Q(
+      impl = (s, d) => {
+        val toks = Tables.docsParallel(s, d)
+          .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        val mg = udaf(new MisraGries(MgCapacity))
+        val cands = toks.agg(mg(col("tok")).as("m"))
+          .select(explode(map_keys(col("m"))).as("tok"))
+          .collect().map(_.getString(0)).toSeq
+        val total = toks.count()
+        toks.filter(col("tok").isin(cands: _*))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * HhDenom >= total)
+          .orderBy("tok")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        t AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks CROSS JOIN t
+        GROUP BY tok, n
+        HAVING count(*) * $HhDenom >= n
+        ORDER BY tok""")),
+
+    // ---- temperature-scaled mixture sampling: per-source keep rate
+    // ∝ cnt^(alpha-1), normalized so the expected kept corpus fraction
+    // is TargetFrac — big sources are down-weighted, small sources
+    // up-weighted (capped at 1), exactly the cnt^0.7 mixture
+    // reweighting of web-corpus assembly. The rate table is
+    // dimension-sized (one row per source) → broadcast; the keep
+    // decision is the same deterministic md5 Bernoulli draw as q101,
+    // so the sample is reproducible on any engine. One groupBy over
+    // sources + one broadcast join — no corpus-sized shuffle ----------
+    "q107_temperature_mixture" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum("cnt").as("n"),
+          sum(pow(col("cnt"), Alpha)).as("sw"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .select(col("source"),
+            round(least(lit(1.0),
+              lit(TargetFrac) * col("n") * pow(col("cnt"), Alpha) /
+                (col("sw") * col("cnt"))), 6).as("target_rate"))
+        val draw = conv(substring(
+            md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("double") / lit(16777216.0)
+        docs.join(broadcast(rates), "source")
+          .filter(draw < col("target_rate"))
+          .select(col("doc_id"), col("source"), col("target_rate"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        t AS (SELECT sum(cnt) AS n, sum(pow(cnt, $Alpha)) AS sw FROM c),
+        r AS (SELECT source,
+                     round(least(1.0, $TargetFrac * n * pow(cnt, $Alpha)
+                                      / (sw * cnt)), 6) AS target_rate
+              FROM c CROSS JOIN t)
+        SELECT doc_id, source, target_rate
+        FROM documents JOIN r USING (source)
+        WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) / 16777216.0 < target_rate
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+import java.nio.file.Files
+
+/** Pins the incremental-ingest contract: cross-batch dedup, in-batch
+  * dedup, and idempotent replay (the exactly-once mechanism for a
+  * non-transactional foreachBatch sink), plus the end-to-end stream
+  * wiring over a file source.
+  */
+class CorpusIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def store(): String =
+    Files.createTempDirectory("ingest_store").resolve("corpus").toString
+
+  test("cross-batch and in-batch duplicate ids never re-land") {
+    val dir = store()
+    val b0 = Seq((1L, "one"), (2L, "two"), (2L, "two-dup")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b0, 0L, dir, "doc_id")
+    val b1 = Seq((2L, "two-again"), (3L, "three")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b1, 1L, dir, "doc_id")
+    val landed = spark.read.parquet(dir)
+    assert(landed.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // id 2 landed from batch 0, not re-landed by batch 1
+    assert(landed.filter(col("doc_id") === 2).select("batch_id")
+      .as[Long].head() == 0L)
+  }
+
+  test("replaying a landed batch id is a no-op (idempotent recovery)") {
+    val dir = store()
+    val b0 = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b0, 0L, dir, "doc_id")
+    val before = spark.read.parquet(dir).count()
+    CorpusIngest.ingestBatch(b0, 0L, dir, "doc_id") // checkpoint replay
+    assert(spark.read.parquet(dir).count() == before)
+    assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L))
+  }
+
+  test("stream end-to-end: file-source micro-batches land deduped") {
+    val src = Files.createTempDirectory("ingest_src").toString
+    val dir = store()
+    Seq((10L, "a"), (11L, "b"), (10L, "a-dup")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(src)
+    val q = CorpusIngest.start(stream, dir)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+  }
+}
