@@ -26,13 +26,34 @@ object Components {
     *        diameter ≲ 2^maxIterations (pointer doubling), so the
     *        default 32 is effectively unbounded; the `require` below
     *        only guards against a logic regression
+    * @param localThreshold edge sets at or below this row count are
+    *        solved driver-side (one bounded collect + in-heap
+    *        union-find, then re-parallelized) — same size-tiering as
+    *        `Closure`. Near-dup pair graphs at dedup thresholds are
+    *        tiny next to the corpus that produced them, and the
+    *        distributed fixpoint pays O(log diameter) rounds of
+    *        two-joins-plus-agg scheduling latency that dwarf the work
+    *        at that size. The probe is `limit(n+1).count()` so a huge
+    *        pair set is never scanned past the cap; unlike closure,
+    *        components output is bounded by the input (≤ 2·|edges|
+    *        nodes), so no separate output cap is needed. Set 0 to
+    *        force the distributed path.
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIterations: Int = 32): DataFrame = {
+      maxIterations: Int = 32,
+      localThreshold: Int = 200000): DataFrame = {
+    val e0 = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    if (localThreshold > 0 &&
+        e0.limit(localThreshold + 1).count() <= localThreshold) {
+      localComponents(e0) match {
+        case Some(labeled) => return labeled
+        case None => // null endpoints — defer to the distributed path
+      }
+    }
     val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(edges.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct()
@@ -92,5 +113,57 @@ object Components {
     }
     require(converged, s"connectedComponents did not converge in $maxIterations iterations")
     labels
+  }
+
+  /** Metadata-tier components: the edge set fits on the driver
+    * (caller-bounded probe), so run union-find with path compression
+    * in one heap and re-parallelize the labeling. Labels are min node
+    * ids under the natural ordering — identical to the distributed
+    * `min("component")` for the numeric/string id types the engine
+    * uses. Returns None on null endpoints: their semantics are defined
+    * by the distributed path's SQL joins (null never matches, but null
+    * nodes keep a row), and the fallback keeps that single source of
+    * truth instead of re-implementing it.
+    */
+  private def localComponents(e0: DataFrame): Option[DataFrame] = {
+    val spark = e0.sparkSession
+    val pairs = e0.collect().map(r => (r.get(0), r.get(1)))
+    if (pairs.exists { case (a, b) => a == null || b == null }) return None
+
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot.get(r) match {
+        case Some(m) => if (lt(n, m)) minOfRoot(r) = n
+        case None => minOfRoot(r) = n
+      }
+    }
+    val dt = e0.schema("x").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = true),
+      org.apache.spark.sql.types.StructField("component", dt, nullable = true)))
+    val rows = parent.keys.toSeq.map(n =>
+      org.apache.spark.sql.Row(n, minOfRoot(find(n))))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size / 10000, 32))), schema))
   }
 }

@@ -45,9 +45,16 @@ class ComponentsAsOfSpec extends AnyFunSuite {
     } yield edges
     for (edges <- samples(edgeGen, 5) if edges.nonEmpty) {
       val df = edges.toDF("a", "b")
-      val got = Components.connectedComponents(df, "a", "b")
+      // both tiers must agree with the reference: the driver-side
+      // union-find fast path (default threshold) and the distributed
+      // fixpoint (threshold 0)
+      val local = Components.connectedComponents(df, "a", "b")
         .as[(Long, Long)].collect().toMap
-      assert(got == naiveComponents(edges))
+      val dist = Components.connectedComponents(df, "a", "b",
+          localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == naiveComponents(edges))
+      assert(dist == naiveComponents(edges))
     }
   }
 
@@ -58,7 +65,8 @@ class ComponentsAsOfSpec extends AnyFunSuite {
     val edges = (0 until 12)
       .map(i => (f"doc$i%03d", f"doc${i + 1}%03d")) ++
       Seq(("zzz1", "zzz2"))
-    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localThreshold = 0) // pin the DISTRIBUTED fallback convergence check
       .as[(String, String)].collect().toMap
     assert(got.size == 15)
     assert((0 to 12).forall(i => got(f"doc$i%03d") == "doc000"))
@@ -69,7 +77,8 @@ class ComponentsAsOfSpec extends AnyFunSuite {
     // plain propagation would need ~199 rounds; doubling needs ~9 —
     // the 12-round cap proves the shortcut is doing the work
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(edges, "a", "b", maxIterations = 12)
+    val got = Components.connectedComponents(edges, "a", "b", maxIterations = 12,
+        localThreshold = 0) // the round-count claim is about the distributed tier
       .as[(Long, Long)].collect().toMap
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }

@@ -43,7 +43,8 @@ class ComponentsSkewSpec extends AnyFunSuite {
       val t0 = System.nanoTime()
       // diameter ≈ 160 → pointer doubling needs ~8 rounds; 16 is the
       // regression guard (require(converged) throws past it)
-      val labels = Components.connectedComponents(edges, "a", "b", maxIterations = 16)
+      val labels = Components.connectedComponents(edges, "a", "b", maxIterations = 16,
+          localThreshold = 0) // skew behavior is a distributed-tier property
         .as[(Long, Long)].collect().toMap
       val secs = (System.nanoTime() - t0) / 1e9
 
