@@ -30,13 +30,15 @@ object Tables {
     * (shingle explode × k md5 aggregations) onto a single core. A
     * round-robin repartition to the core count before the fan-out
     * distributes it; the shuffled payload (the raw docs) is tiny
-    * relative to the exploded intermediate. On a real multi-file
-    * 100 TB layout the scan itself provides the parallelism and this
-    * becomes a no-op-sized safety net against skewed file layouts.
+    * relative to the exploded intermediate. The repartition is
+    * CONDITIONAL on the scan actually being under-split: on a real
+    * multi-file 100 TB layout the scan's own splits provide the
+    * parallelism and an unconditional repartition would be a
+    * corpus-sized shuffle for nothing. The probe reads the planned
+    * split count (file listing, no job).
     */
   def docsParallel(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    parallelized(spark, load(spark, dir, "documents"))
 
   /** Same single-file→single-partition hazard for `embeddings`: the
     * brute-force / bucketed similarity joins stream this side through
@@ -45,8 +47,13 @@ object Tables {
     * scoring loop on one core.
     */
   def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
+    parallelized(spark, load(spark, dir, "embeddings"))
+
+  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
 
   /** The `events` table carries parquet TIMESTAMP(NANOS) which Spark 4
     * rejects by default. We read nanos as raw longs

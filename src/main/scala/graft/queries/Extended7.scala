@@ -162,6 +162,31 @@ object Extended7 {
         FROM documents JOIN r USING (source)
         WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 6)
                    AS BIGINT) / 16777216.0 < target_rate
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- stream-stream LEFT OUTER interval join: q63's inner join
+    // plus the outer contract — unmatched purchases emit null-padded
+    // only after the global watermark passes them, so purchases newer
+    // than (min side-max - 1h) are withheld at stream end. The oracle
+    // reproduces the withholding rule at ms granularity rather than
+    // pretending the batch left join is equivalent ------------------
+    "q108_stream_outer_join" -> Q(
+      impl = (s, d) => graft.streaming.EventStream.purchaseClickLeftOuter(s, d),
+      oracle = Some("""
+        WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS cid, user_id AS cu, epoch_us(ts) AS cus
+                   FROM events WHERE event_type = 'click'),
+             wm AS (SELECT least((SELECT max(pus) FROM p),
+                                 (SELECT max(cus) FROM c)) // 1000
+                           - 3600000 AS wm_ms),
+             agg AS (SELECT pid, pus, count(cid) AS n_clicks_30m
+                     FROM p LEFT JOIN c ON user_id = cu
+                       AND cus >= pus - 1800000000 AND cus <= pus
+                     GROUP BY pid, pus)
+        SELECT pid, n_clicks_30m
+        FROM agg, wm
+        WHERE n_clicks_30m > 0 OR (pus // 1000) < wm_ms
+        ORDER BY pid"""))
   )
 }

@@ -249,6 +249,49 @@ object EventStream {
       .orderBy("pid")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the outer member of the
+    * streaming join family. Matched pairs emit as they join; a
+    * purchase with NO same-user click in its 30-minute lookback emits
+    * null-padded only once the global watermark (min of the two
+    * sides' per-source watermarks, ms granularity) passes its event
+    * time and the state store evicts it. Purchases newer than the
+    * final watermark are therefore *withheld* at stream end — that is
+    * the contract of watermarked outer joins, and the oracle
+    * reproduces it exactly: unmatched purchases appear only when
+    * `pts_ms < min(max_purchase_ms, max_click_ms) - 1h`.
+    */
+  def purchaseClickLeftOuter(spark: SparkSession, dir: String,
+      windowUs: Long = 1800000000L): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("us").as("pus"), col("ets").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("cid"),
+        col("us").as("cus"), col("ets").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_uid") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"),
+      "left_outer")
+    val name = s"graft_ssouter_${System.nanoTime()}"
+    val q = startSized(spark) {
+      joined.select("pid", "cid").writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("pid").agg(count(col("cid")).as("n_clicks_30m"))
+      .orderBy("pid")
+  }
+
   /** Streaming exact deduplication: the source unioned with itself
     * (every event twice) → `dropDuplicates` on the event id → counts
     * per type from the sink. The state store holds one entry per seen

@@ -141,4 +141,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "scrub introduced a shuffle:\n" + p.take(600))
   }
+
+  test("q105: chunk dedup shuffles on the chunk key only — no windows, no nested loops") {
+    val p = plan("q105_chunk_dedup")
+    assert(!p.contains("Window"),
+      "chunk dedup degraded to a window:\n" + p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "ownership join degraded to a nested loop:\n" + p.take(600))
+  }
+
+  test("q106: exact recount of sketch candidates plans joinless — a predicate + bounded agg") {
+    val p = plan("q106_heavy_hitters")
+    assert(!p.contains("Join"),
+      "candidate recount introduced a join:\n" + p.take(600))
+    assert(!p.contains("Window"),
+      "candidate recount introduced a window:\n" + p.take(600))
+  }
+
+  test("q107: the per-source rate table is broadcast to the corpus side") {
+    val p = plan("q107_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      "rate join degraded to a shuffle join:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "rate join degraded to SMJ:\n" + p.take(600))
+  }
 }
