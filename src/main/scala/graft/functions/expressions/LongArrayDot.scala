@@ -62,9 +62,28 @@ case class LongArrayDot(left: Expression, right: Expression)
 
 /** Session registration for the engine's custom expressions; callers
   * then use `functions.call_function("long_array_dot", a, b)`.
+  *
+  * Also surfaces Spark's own bloom expressions: `BloomFilterAggregate`
+  * / `BloomFilterMightContain` are fully codegen'd catalyst
+  * expressions (they power runtime join filtering) but are not in the
+  * public function registry — registering them makes the
+  * constant-size decontamination path (`BloomDecontaminate`)
+  * expressible without private API.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "long_array_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "internal")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "internal")
+  }
 }

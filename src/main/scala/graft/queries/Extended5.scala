@@ -13,7 +13,10 @@ object Extended5 {
   // q96: the held-out "benchmark" source and the contamination flag
   // threshold. Declared before `queries`: the oracle SQL embeds these
   // at Map construction.
-  private val EvalSource = "src00"
+  // NB: sources are named src0..src19 (no zero padding) — "src00"
+  // would silently select an empty eval set and make the whole check
+  // vacuous.
+  private val EvalSource = "src0"
   private val ContamThreshold = 0.1
 
   // q98/q99: the explicit pivot domain. Passing the value list is the

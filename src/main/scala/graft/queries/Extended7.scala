@@ -34,6 +34,12 @@ object Extended7 {
   private val Alpha = 0.7
   private val TargetFrac = 0.25
 
+  /** q109: the held-out benchmark source (sources are src0..src19 —
+    * unpadded). Declared before `queries`: the oracle embeds it at Map
+    * construction.
+    */
+  private val EvalSrc = "src0"
+
   val queries: Map[String, Q] = Map(
     // ---- chunk-level exact dedup with reassembly: split every doc
     // into fixed 4-token windows, keep a chunk only in the lowest
@@ -187,6 +193,54 @@ object Extended7 {
         SELECT pid, n_clicks_30m
         FROM agg, wm
         WHERE n_clicks_30m > 0 OR (pus // 1000) < wm_ms
-        ORDER BY pid"""))
+        ORDER BY pid""")),
+
+    // ---- bloom-gated decontamination: build a bloom over the eval
+    // source's shingle hashes (distributed partial+final aggregate,
+    // constant-size result), prefilter the corpus shingles with the
+    // codegen'd might_contain probe, then exact-verify ONLY the
+    // survivors against the eval set. The bloom admits false
+    // positives but never false negatives, so the final answer is
+    // EXACT — the prefilter just keeps the verify join's corpus side
+    // to ~fpp of its size. This is q96's scale path when the eval
+    // suite outgrows a broadcastable exact set: filter bytes stay
+    // constant-size no matter the corpus. Output: per contaminated
+    // doc, the count of distinct eval shingles it contains ----------
+    "q109_bloom_decontaminate" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("shs"))
+          .select(col("doc_id"), col("source"),
+            conv(substring(md5(col("shs")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val evalSh = sh.filter(col("source") === EvalSrc)
+          .select("h").distinct()
+        val train = sh.filter(col("source") =!= EvalSrc)
+          .select("doc_id", "h").distinct()
+        val gated = graft.operators.BloomDecontaminate
+          .flag(train, "h", evalSh, "h", expectedItems = 200000L)
+          .filter(col("maybe_contaminated"))
+        gated.join(evalSh, Seq("h"), "left_semi") // exact verify
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_eval_shingles"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                   FROM documents),
+        idx AS (SELECT doc_id, source, tk,
+                       unnest(range(1, greatest(len(tk) - 1, 1))) AS i
+                FROM t),
+        sh AS (SELECT DISTINCT doc_id, source,
+                      CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' '
+                        || tk[i+2]), 1, 15) AS BIGINT) AS h
+               FROM idx WHERE i + 2 <= len(tk)),
+        ev AS (SELECT DISTINCT h FROM sh WHERE source = '$EvalSrc')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
+        FROM (SELECT DISTINCT doc_id, h FROM sh WHERE source <> '$EvalSrc') s
+        JOIN ev USING (h)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
