@@ -201,6 +201,11 @@ object DocQueries {
         // identical reduction so intersection counts agree exactly
         // (expected spurious collisions at 10^6 distinct shingles:
         // ~10^12/2^61 ≈ 4·10^-7).
+        // Partition the shingle set by the JOIN key (source, sh) up
+        // front: identical rows co-locate, so dropDuplicates runs
+        // partition-local (no second exchange), and both self-join
+        // sides reuse this exact partitioning — the persisted frame is
+        // shuffled once instead of three times (distinct + 2 sides).
         val sh = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
           .select(col("doc_id"), col("source"),
@@ -208,7 +213,8 @@ object DocQueries {
           .select(col("doc_id"), col("source"),
             conv(substring(md5(col("shs")), 1, 15), 16, 10)
               .cast("long").as("sh"))
-          .distinct()
+          .repartition(col("source"), col("sh"))
+          .dropDuplicates("doc_id", "source", "sh")
           .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val x = sh.toDF("a", "source", "sh")
