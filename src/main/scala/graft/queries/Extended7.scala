@@ -241,6 +241,39 @@ object Extended7 {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
         FROM (SELECT DISTINCT doc_id, h FROM sh WHERE source <> '$EvalSrc') s
         JOIN ev USING (h)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- per-source quality stratification (CCNet head/middle/tail):
+    // rank every doc within its source by a quality proxy and cut the
+    // ranking into three equal-width buckets. The rank comes from
+    // `GroupedPrefixSum` (range-partition on (source, quality, id) +
+    // per-partition partials + broadcast carry offsets), NEVER from a
+    // per-source window — the window form sorts a whole source in one
+    // task, the q81-class scale-killer. The bucket formula
+    // ((rank-1)*3 div cnt)+1 is pure integer arithmetic, so both
+    // engines agree exactly --------------------------------------------
+    "q110_quality_strata" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("one", lit(1L))
+        val ranked = graft.operators.GroupedPrefixSum.withRunningSum(
+          docs, "source", Seq(col("n_chars"), col("doc_id")),
+          "one", "rk", inclusive = true)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        ranked.join(broadcast(counts), "source")
+          .select(col("doc_id"), col("source"),
+            (expr("((rk - 1) * 3) div cnt") + 1L).as("bucket"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+                          count(*) OVER (PARTITION BY source) AS cnt
+                   FROM documents)
+        SELECT doc_id, source,
+               CAST((rk - 1) * 3 // cnt + 1 AS BIGINT) AS bucket
+        FROM r ORDER BY doc_id"""))
   )
 }

@@ -158,6 +158,14 @@ class PlanSpec extends AnyFunSuite {
       "candidate recount introduced a window:\n" + p.take(600))
   }
 
+  test("q110: stratification rank never plans a per-source window sort") {
+    val p = plan("q110_quality_strata")
+    assert(!p.contains("Window"),
+      "grouped rank degraded to a per-source window:\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "source-count join degraded to a shuffle join:\n" + p.take(600))
+  }
+
   test("q107: the per-source rate table is broadcast to the corpus side") {
     val p = plan("q107_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"),
