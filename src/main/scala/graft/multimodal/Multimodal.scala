@@ -31,10 +31,11 @@ object Multimodal {
   case class MediaRow(doc_id: Long, source: String, payload: Array[Byte])
 
   /** Header-decoded features: sniffed container format, pixel
-    * dimensions, and total payload size.
+    * dimensions (images), audio duration (wav), and total payload
+    * size.
     */
   case class Decoded(doc_id: Long, source: String, format: String,
-      width: Int, height: Int, n_bytes: Long)
+      width: Int, height: Int, duration_ms: Long, n_bytes: Long)
 
   // ---- synthetic payload construction (ingest stand-in) ------------
 
@@ -75,6 +76,22 @@ object Multimodal {
     "BM".getBytes(StandardCharsets.US_ASCII) ++
       le32(0) ++ le32(0) ++ le32(54) ++ le32(40) ++ le32(w) ++ le32(h)
 
+  /** WAV audio parameters: 16 kHz mono 16-bit PCM → 32000 bytes/sec. */
+  val WavSampleRate = 16000
+  val WavByteRate: Int = WavSampleRate * 2
+
+  /** Canonical 44-byte RIFF/WAVE PCM header: RIFF size, fmt chunk
+    * (audio format 1, mono, 16-bit), data chunk length — all
+    * little-endian.
+    */
+  def wavHeader(dataLen: Int): Array[Byte] =
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(36 + dataLen) ++
+      "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+      "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(WavSampleRate) ++ le32(WavByteRate) ++
+      le16(2) ++ le16(16) ++
+      "data".getBytes(StandardCharsets.US_ASCII) ++ le32(dataLen)
+
   /** Format rotates by doc_id; body is the text bytes (stand-in for
     * compressed pixel/sample data — the decoder must skip it by
     * header knowledge, not by trailing-byte inspection).
@@ -83,10 +100,11 @@ object Multimodal {
     val body = text.getBytes(StandardCharsets.UTF_8)
     val w = widthOf(docId)
     val h = heightOf(docId)
-    (docId % 3) match {
+    (docId % 4) match {
       case 0 => pngHeader(w, h) ++ body
       case 1 => gifHeader(w, h) ++ body
-      case _ => bmpHeader(w, h) ++ body
+      case 2 => bmpHeader(w, h) ++ body
+      case _ => wavHeader(body.length) ++ body
     }
   }
 
@@ -126,7 +144,24 @@ object Multimodal {
       ("gif", leU16(p, 6), leU16(p, 8))
     else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
       ("bmp", leI32(p, 18), leI32(p, 22))
+    else if (isWav(p)) ("wav", 0, 0)
     else ("unknown", 0, 0)
+
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 44 &&
+      startsWith(p, "RIFF".getBytes(StandardCharsets.US_ASCII)) &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Audio duration from the RIFF header: data-chunk bytes over the
+    * declared byte rate (ms, truncating). 0 for non-wav payloads.
+    */
+  def durationMsOf(p: Array[Byte]): Long =
+    if (!isWav(p)) 0L
+    else {
+      val byteRate = leI32(p, 28)
+      val dataLen = leI32(p, 40)
+      if (byteRate <= 0) 0L else dataLen.toLong * 1000L / byteRate
+    }
 
   /** Batch decode: iterator-in / iterator-out per partition — the
     * shape a native codec binding needs (shared per-partition setup,
@@ -135,7 +170,8 @@ object Multimodal {
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[Decoded] =
     rows.map { r =>
       val (fmt, w, h) = parseHeader(r.payload)
-      Decoded(r.doc_id, r.source, fmt, w, h, r.payload.length.toLong)
+      Decoded(r.doc_id, r.source, fmt, w, h,
+        durationMsOf(r.payload), r.payload.length.toLong)
     }
 
   def decode(ds: Dataset[MediaRow]): Dataset[Decoded] = {
@@ -163,6 +199,7 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum("width").cast("long").as("sum_width"),
         sum("height").cast("long").as("sum_height"),
+        sum("duration_ms").cast("long").as("sum_duration_ms"),
         sum("n_bytes").cast("long").as("sum_bytes"))
       .orderBy("source", "format")
   }

@@ -29,10 +29,25 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("body bytes after the header do not perturb the parse") {
-    val p = Multimodal.syntheticPayload(42L, "some text body éü")
-    // doc_id 42 % 3 == 0 → png; dims from the generator formulas
+    val p = Multimodal.syntheticPayload(40L, "some text body éü")
+    // doc_id 40 % 4 == 0 → png; dims from the generator formulas
     assert(Multimodal.parseHeader(p) ==
-      ("png", Multimodal.widthOf(42L), Multimodal.heightOf(42L)))
+      ("png", Multimodal.widthOf(40L), Multimodal.heightOf(40L)))
+  }
+
+  test("wav header round-trips duration from the declared byte rate") {
+    val body = Array.fill[Byte](64000)(1) // 2 s at 32000 B/s
+    val p = Multimodal.wavHeader(body.length) ++ body
+    assert(Multimodal.parseHeader(p) == ("wav", 0, 0))
+    assert(Multimodal.durationMsOf(p) == 2000L)
+    // images report zero duration
+    assert(Multimodal.durationMsOf(Multimodal.pngHeader(4, 4)) == 0L)
+    // truncated RIFF prefix is unknown, not a crash
+    assert(Multimodal.parseHeader(p.take(20))._1 == "unknown")
+    // synthetic rotation puts doc_id % 4 == 3 on the wav path
+    val w = Multimodal.syntheticPayload(43L, "abcd")
+    assert(Multimodal.parseHeader(w)._1 == "wav")
+    assert(Multimodal.durationMsOf(w) == 4L * 1000L / Multimodal.WavByteRate)
   }
 
   test("truncated and garbage payloads classify as unknown, never throw") {
