@@ -274,6 +274,16 @@ object Extended7 {
                    FROM documents)
         SELECT doc_id, source,
                CAST((rk - 1) * 3 // cnt + 1 AS BIGINT) AS bucket
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ---- bounded-state streaming dedup: q71 with
+    // dropDuplicatesWithinWatermark — state holds a key only until the
+    // watermark passes it, O(window) not O(stream); equals batch
+    // distinct when duplicate deliveries are time-local ---------------
+    "q111_stream_dedup_watermark" -> Q(
+      impl = (s, d) => graft.streaming.EventStream.streamDedupWatermarked(s, d),
+      oracle = Some("""
+        SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

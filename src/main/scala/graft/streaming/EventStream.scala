@@ -297,6 +297,38 @@ object EventStream {
     * per type from the sink. The state store holds one entry per seen
     * key — the streaming half of the exact-dedup operator family.
     */
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds a key only until the watermark passes its event time, so
+    * state is O(keys per watermark window) instead of O(all keys ever)
+    * — the form that survives an unbounded id space (q71's plain
+    * `dropDuplicates` keeps every id forever, correct but
+    * state-unbounded; this is its 100 TB replacement when duplicate
+    * deliveries are time-local, the usual at-least-once case).
+    * Driven with `Trigger.AvailableNow` over a doubled source the
+    * result equals batch distinct exactly (all duplicates arrive
+    * within one watermark window).
+    */
+  def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = eventStream(spark, dir).unionByName(eventStream(spark, dir))
+    val deduped = doubled
+      .select(col("event_id"), col("event_type"), col("ets"))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_wdedup_${System.nanoTime()}"
+    val q = startSized(spark) {
+      deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+  }
+
   def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val doubled = eventStream(spark, dir).unionByName(eventStream(spark, dir))
     val deduped = doubled
