@@ -41,6 +41,23 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L))
   }
 
+  test("store schema can evolve between batches (mergeSchema read)") {
+    val dir = store()
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one")).toDF("doc_id", "text"), 0L, dir, "doc_id")
+    // later shards carry an extra column (e.g. a quality score added
+    // mid-campaign) — landing must not fail, and a merged read sees
+    // both generations with nulls where the old rows predate the field
+    CorpusIngest.ingestBatch(
+      Seq((2L, "two", 0.9)).toDF("doc_id", "text", "quality"), 1L, dir, "doc_id")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq ==
+      Seq("batch_id", "doc_id", "quality", "text"))
+    val byId = merged.select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some(0.9)))
+  }
+
   test("stream end-to-end: file-source micro-batches land deduped") {
     val src = Files.createTempDirectory("ingest_src").toString
     val dir = store()
