@@ -65,15 +65,25 @@ object TextFns {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val t = tokens(text)
-    size(filter(t, tok => tok.isin(langMarkers(lang).map(x => x: Any): _*)))
-  }
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(tokens(text), lang)
 
-  def langIdentify(text: Column): Column = {
-    val en = langScore(text, "en")
-    val de = langScore(text, "de")
-    val fr = langScore(text, "fr")
+  /** Score from a MATERIALIZED token-array column — the form to use
+    * on any hot path: `filter` is an interpreted higher-order
+    * function, so an inline `split` child is re-evaluated per score
+    * (langIdentify references each score twice → 6+ tokenizations per
+    * row with the text form).
+    */
+  def langScoreFromTokens(t: Column, lang: String): Column =
+    size(filter(t, tok => tok.isin(langMarkers(lang).map(x => x: Any): _*)))
+
+  def langIdentify(text: Column): Column =
+    langIdentifyFromTokens(tokens(text))
+
+  def langIdentifyFromTokens(t: Column): Column = {
+    val en = langScoreFromTokens(t, "en")
+    val de = langScoreFromTokens(t, "de")
+    val fr = langScoreFromTokens(t, "fr")
     when(en >= de && en >= fr, lit("en"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))

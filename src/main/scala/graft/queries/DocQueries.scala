@@ -104,12 +104,13 @@ object DocQueries {
     "q24_doc_langid" -> Q(
       impl = (s, d) =>
         Tables.load(s, d, "documents")
+          .withColumn("t", TextFns.tokens(col("text")))
           .select(
             col("doc_id"),
-            TextFns.langScore(col("text"), "en").cast("long").as("s_en"),
-            TextFns.langScore(col("text"), "de").cast("long").as("s_de"),
-            TextFns.langScore(col("text"), "fr").cast("long").as("s_fr"),
-            TextFns.langIdentify(col("text")).as("pred_lang"))
+            TextFns.langScoreFromTokens(col("t"), "en").cast("long").as("s_en"),
+            TextFns.langScoreFromTokens(col("t"), "de").cast("long").as("s_de"),
+            TextFns.langScoreFromTokens(col("t"), "fr").cast("long").as("s_fr"),
+            TextFns.langIdentifyFromTokens(col("t")).as("pred_lang"))
           .orderBy("doc_id"),
       oracle = Some {
         def score(words: Seq[String]) =
@@ -281,7 +282,7 @@ object DocQueries {
         val filtered = docs.filter(
           TextFns.punctRatio(col("text")) < 0.1
             && size(col("t")) >= 10
-            && TextFns.langIdentify(col("text")) === "en")
+            && TextFns.langIdentifyFromTokens(col("t")) === "en")
         // exact dedup: keep the smallest doc_id per content hash
         val keepIds = filtered
           .groupBy(md5(col("text")).as("h"))
