@@ -1,0 +1,134 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashLsh, TextFns}
+import graft.operators.{BloomDecontaminate, Components}
+
+/** Composable corpus-curation stages — the public API form of the
+  * training-data release pipeline that the query registry exercises
+  * piecewise (q21–q29, q58, q61, q96–q97, q101–q110). Every stage is
+  * `DataFrame => DataFrame` over a corpus with (`idCol`, `textCol`)
+  * columns, so pipelines compose with plain `Function1.andThen` /
+  * `DataFrame.transform` and each stage keeps the scale shape its
+  * query counterpart pins (no windows over unbounded groups, no
+  * all-pairs joins, dimension-sized broadcasts only).
+  *
+  * Stages expect a materialized token-array column (`tokensCol`) —
+  * call [[withTokens]] once up front; higher-order text functions
+  * re-tokenize per reference otherwise (see `TextFns`).
+  */
+object Curation {
+
+  /** Tokenize once; every later stage reads the array column. */
+  def withTokens(textCol: String = "text", tokensCol: String = "t")(
+      df: DataFrame): DataFrame =
+    df.withColumn(tokensCol, TextFns.tokens(col(textCol)))
+
+  /** Gopher/CCNet-style quality gate: punctuation ratio, minimum
+    * length, language identification — all per-row codegen'd
+    * predicates; zero shuffles.
+    */
+  def qualityFilter(lang: String = "en", minTokens: Int = 10,
+      maxPunctRatio: Double = 0.1, textCol: String = "text",
+      tokensCol: String = "t")(df: DataFrame): DataFrame =
+    df.filter(
+      TextFns.punctRatio(col(textCol)) < maxPunctRatio
+        && size(col(tokensCol)) >= minTokens
+        && TextFns.langIdentifyFromTokens(col(tokensCol)) === lang)
+
+  /** Exact dedup, keep the lowest id per content hash — one hash
+    * shuffle on the digest, winners rejoin by semi-join.
+    */
+  def exactDedup(idCol: String = "doc_id", textCol: String = "text")(
+      df: DataFrame): DataFrame = {
+    val keep = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash/LSH near-dup removal: drop the higher id of every
+    * candidate pair at or above `threshold`. Banded equi-join —
+    * never all-pairs.
+    */
+  def nearDupFilter(threshold: Double = 0.5, k: Int = 12, bands: Int = 4,
+      shingleWidth: Int = 3, idCol: String = "doc_id", tokensCol: String = "t")(
+      df: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
+        .as("__sh"))
+    val sigs = MinHashLsh.signatures(sh, idCol, "__sh", k)
+    val drop = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
+      .filter(col("est") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Near-dup clustering variant: keep ONE canonical doc per
+    * connected component of the candidate-pair graph (the q102
+    * shape), choosing by `preferenceAsc` ascending (e.g.
+    * `struct(-n_chars, doc_id)`).
+    */
+  def nearDupCanonical(preferenceAsc: Column, threshold: Double = 0.5,
+      k: Int = 12, bands: Int = 4, shingleWidth: Int = 3,
+      idCol: String = "doc_id", tokensCol: String = "t")(
+      df: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
+        .as("__sh"))
+    val sigs = MinHashLsh.signatures(sh, idCol, "__sh", k)
+    val pairs = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
+      .filter(col("est") >= threshold)
+    val comp = Components.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("node", idCol)
+    val keep = df.join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+      .groupBy("__comp")
+      .agg(min(struct(preferenceAsc.as("__pref"), col(idCol).as("__id")))
+        .getField("__id").as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Benchmark decontamination: drop every document sharing ANY
+    * `shingleWidth`-gram with the eval corpus. Exact — the bloom is
+    * only a candidate prefilter (never a false negative), survivors
+    * are verified by semi-join (the q109 shape).
+    */
+  def decontaminate(evalDocs: DataFrame, shingleWidth: Int = 3,
+      expectedEvalShingles: Long = 1000000L, idCol: String = "doc_id",
+      tokensCol: String = "t")(df: DataFrame): DataFrame = {
+    def shingles(d: DataFrame): DataFrame =
+      d.select(col(idCol),
+          explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
+            .as("__sh"))
+        .select(col(idCol),
+          conv(substring(md5(col("__sh")), 1, 15), 16, 10)
+            .cast("long").as("__h"))
+    val evalSh = shingles(evalDocs).select("__h").distinct()
+    val candidates = BloomDecontaminate
+      .flag(shingles(df), "__h", evalSh, "__h", expectedEvalShingles)
+      .filter(col("maybe_contaminated"))
+    val contaminated = candidates
+      .join(evalSh, Seq("__h"), "left_semi")
+      .select(idCol).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic mixture sampling: keep each row iff its salted md5
+    * draw falls under its source's rate (q101/q107 shape; rates are a
+    * dimension-sized broadcast).
+    */
+  def mixtureSample(rates: DataFrame, salt: String = "mix:",
+      idCol: String = "doc_id", sourceCol: String = "source")(
+      df: DataFrame): DataFrame = {
+    val draw = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(draw < col("target_rate"))
+      .drop("target_rate")
+  }
+}
