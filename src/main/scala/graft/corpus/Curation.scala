@@ -131,4 +131,36 @@ object Curation {
       .filter(draw < col("target_rate"))
       .drop("target_rate")
   }
+
+  /** Sequence packing: assign each doc to the fixed-size token window
+    * (`bin`) its running offset lands in, per source, ordered by id —
+    * via `GroupedPrefixSum` (range partitioning + broadcast carry
+    * offsets; a huge source spans many tasks — the q93 shape, never a
+    * per-source window). Requires a LongType token-count column.
+    */
+  def packSequences(windowTokens: Long, idCol: String = "doc_id",
+      sourceCol: String = "source", nTokCol: String = "n_tok")(
+      df: DataFrame): DataFrame =
+    graft.operators.GroupedPrefixSum.withRunningSum(
+        df, sourceCol, Seq(col(idCol)), nTokCol, "__cum_before",
+        inclusive = false)
+      .withColumn("bin", expr(s"__cum_before div $windowTokens"))
+      .drop("__cum_before")
+
+  /** Token-budget cap: keep docs, in salted-hash order per source,
+    * until the source's cumulative token count passes `budget` (the
+    * q94 shape — deterministic, engine-independent, no per-source
+    * window).
+    */
+  def tokenBudget(budget: Long, salt: String = "budget:",
+      idCol: String = "doc_id", sourceCol: String = "source",
+      nTokCol: String = "n_tok")(df: DataFrame): DataFrame = {
+    val ordered = df.withColumn("__ord",
+      md5(concat(lit(salt), col(idCol).cast("string"))))
+    graft.operators.GroupedPrefixSum.withRunningSum(
+        ordered, sourceCol, Seq(col("__ord"), col(idCol)), nTokCol,
+        "__cum_before", inclusive = false)
+      .filter(col("__cum_before") < budget)
+      .drop("__cum_before", "__ord")
+  }
 }

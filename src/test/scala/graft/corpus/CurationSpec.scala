@@ -38,6 +38,31 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("packSequences bins follow per-source running token offsets") {
+    val docs = Seq(
+      (1L, "s1", 60L), (2L, "s1", 60L), (3L, "s1", 60L), // offsets 0,60,120
+      (9L, "s2", 10L))
+      .toDF("doc_id", "source", "n_tok")
+    val bins = Curation.packSequences(windowTokens = 100L)(docs)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 9L -> 0L))
+  }
+
+  test("tokenBudget caps each source's cumulative tokens deterministically") {
+    val docs = (1L to 20L).map(i => (i, "s1", 10L)) :+ ((100L, "s2", 5L))
+    val kept = Curation.tokenBudget(budget = 50L)(
+        docs.toDF("doc_id", "source", "n_tok"))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // 5 docs × 10 tokens fill s1's 50-token budget; s2 keeps its only doc
+    assert(bySource == Map("s1" -> 5, "s2" -> 1))
+    // determinism: the same call keeps the same ids
+    val again = Curation.tokenBudget(budget = 50L)(
+        docs.toDF("doc_id", "source", "n_tok"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("nearDupCanonical keeps one representative per duplicate cluster") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
