@@ -23,7 +23,11 @@ object Jsonl {
 
   val CorruptCol = "_corrupt_record"
 
-  final case class Channels(clean: DataFrame, quarantine: DataFrame)
+  final case class Channels(clean: DataFrame, quarantine: DataFrame,
+      private val shared: DataFrame) {
+    /** Release the shared scan cache once both channels are consumed. */
+    def unpersist(): Unit = { shared.unpersist(); () }
+  }
 
   /** Read `path` with `schema`, splitting clean rows from corrupt
     * lines.
@@ -48,7 +52,7 @@ object Jsonl {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val quarantine = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    Channels(clean, quarantine)
+    Channels(clean, quarantine, raw)
   }
 
   /** Strict variant: abort the job on the first corrupt line (the
