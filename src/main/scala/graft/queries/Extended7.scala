@@ -40,6 +40,9 @@ object Extended7 {
     */
   private val EvalSrc = "src0"
 
+  /** q112: resample grid step (6 hours in epoch-micros). */
+  private val ResampleStepUs = 21600000000L
+
   val queries: Map[String, Q] = Map(
     // ---- chunk-level exact dedup with reassembly: split every doc
     // into fixed 4-token windows, keep a chunk only in the lowest
@@ -284,6 +287,48 @@ object Extended7 {
       impl = (s, d) => graft.streaming.EventStream.streamDedupWatermarked(s, d),
       oracle = Some("""
         SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- time-grid resample + forward fill: align every user's event
+    // series to a fixed 6-hour grid, carrying the latest observation
+    // forward — the gap-filling step of time-series feature prep. The
+    // grid is users × sequence(span) (the span is a one-row broadcast);
+    // the fill is the as-of operator (union + carry-forward window, one
+    // shuffle on user_id — never a per-grid-point range join). Events
+    // sharing (user, ts) are pre-aggregated so the fill is
+    // deterministic under any as-of tie order --------------------------
+    "q112_resample_ffill" -> Q(
+      impl = (s, d) => {
+        val ev = Tables.events(s, d)
+          .groupBy(col("user_id"), col("us"))
+          .agg(max("value").as("value"))
+        val span = ev.agg(
+          expr(s"(min(us) div $ResampleStepUs) * $ResampleStepUs").as("t0"),
+          max("us").as("mx"))
+        val grid = ev.select("user_id").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("user_id"),
+            explode(sequence(col("t0"), col("mx"),
+              lit(ResampleStepUs))).as("gus"))
+        graft.operators.AsOfJoin.lastBefore(grid, ev, Seq("user_id"),
+            lTime = "gus", rTime = "us", payloadCols = Seq("us", "value"))
+          .select(col("user_id"), col("gus"),
+            col("asof_match.us").as("last_us"),
+            round(col("asof_match.value"), 3).as("last_value"))
+          .orderBy("user_id", "gus")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS value
+                    FROM events GROUP BY 1, 2),
+        span AS (SELECT (min(us) // $ResampleStepUs) * $ResampleStepUs AS t0,
+                        max(us) AS mx FROM ev),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(t0, mx, $ResampleStepUs)) AS gus
+                 FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN span)
+        SELECT g.user_id, g.gus, e.us AS last_us,
+               round(e.value, 3) AS last_value
+        FROM grid g ASOF JOIN ev e
+          ON g.user_id = e.user_id AND g.gus >= e.us
+        ORDER BY g.user_id, g.gus"""))
   )
 }
