@@ -135,4 +135,80 @@ object Closure {
     */
   def descendantCounts(closure: DataFrame): DataFrame =
     closure.groupBy("ancestor").agg(count("*").as("n_descendants"))
+
+  /** Minimum hop depth of every node from the graph's roots (nodes
+    * that never appear as a child) — BFS layer assignment. Same
+    * size-tiering as the closure: dimension-sized edge sets BFS in one
+    * heap, larger ones run the distributed frontier (each round one
+    * equi-join + one anti-join, both keyed on the node; a node's FIRST
+    * visit is its minimum depth, so no per-node min aggregation is
+    * ever needed). Null endpoints defer to the distributed path.
+    *
+    * @return (node, depth) for every node reachable from a root
+    */
+  def minDepths(
+      edges: DataFrame,
+      parentCol: String = "parent",
+      childCol: String = "child",
+      broadcastEdges: Boolean = true,
+      maxIterations: Int = 64,
+      localThreshold: Int = 200000): DataFrame = {
+    val e0 = edges.select(col(parentCol).as("parent"), col(childCol).as("child"))
+    if (localThreshold > 0 &&
+        e0.limit(localThreshold + 1).count() <= localThreshold) {
+      localMinDepths(e0) match {
+        case Some(d) => return d
+        case None =>
+      }
+    }
+    val e = if (broadcastEdges) broadcast(e0) else e0
+    val roots = e0.select(col("parent").as("node")).distinct()
+      .join(e0.select(col("child").as("node")).distinct(), Seq("node"), "left_anti")
+    var seen = roots.withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = seen
+    var iter = 0
+    while (iter < maxIterations && !frontier.isEmpty) {
+      val next = frontier
+        .join(e, frontier("node") === e("parent"))
+        .select(e("child").as("node"), (frontier("depth") + 1L).as("depth"))
+        .groupBy("node").agg(min("depth").as("depth"))
+        .join(seen.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      frontier = next
+      seen = seen.union(next).localCheckpoint()
+      iter += 1
+    }
+    require(frontier.isEmpty, s"minDepths did not converge in $maxIterations iterations")
+    seen
+  }
+
+  private def localMinDepths(e0: DataFrame): Option[DataFrame] = {
+    val spark = e0.sparkSession
+    val pairs = e0.collect().map(r => (r.get(0), r.get(1)))
+    if (pairs.exists { case (p, c) => p == null || c == null }) return None
+    val children = pairs.map(_._2).toSet
+    val adj = pairs.groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+    val depth = scala.collection.mutable.HashMap.empty[Any, Long]
+    var frontier: Seq[Any] =
+      pairs.map(_._1).distinct.filterNot(children.contains).toSeq
+    frontier.foreach(n => depth(n) = 0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = for {
+        n <- frontier
+        c <- adj.getOrElse(n, Array.empty[Any])
+        if !depth.contains(c)
+      } yield { depth(c) = d; c }
+    }
+    val dt = e0.schema("parent").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = true),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = depth.toSeq.map { case (n, dd) => org.apache.spark.sql.Row(n, dd) }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size / 10000, 32))), schema))
+  }
 }

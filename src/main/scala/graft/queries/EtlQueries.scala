@@ -416,6 +416,34 @@ object EtlQueries {
           UNION
           SELECT cl.ancestor, e.child FROM cl JOIN edges e ON cl.descendant = e.parent)
         SELECT ancestor AS parent, descendant AS child, 'is_a' AS relationship
-        FROM cl ORDER BY parent, child"""))
+        FROM cl ORDER BY parent, child""")),
+
+    // ---- q113: ontology term depth — minimum is_a hops from the
+    // roots (terms never appearing as a child), the "level" facet the
+    // browser's term tree renders. BFS layer assignment
+    // (`Closure.minDepths`): a node's first visit IS its minimum
+    // depth, so each round is one equi-join + one anti-join and no
+    // per-node min aggregation survives to the end -------------------
+    "q113_term_depth" -> Q(
+      impl = (s, _) => {
+        val events = Seq(s"$Fx/ontology_go.obo", s"$Fx/ontology_mp.obo")
+          .map(graft.sources.Obo.read(s, _)).reduce(_ union _).toDF()
+        val edges = events.filter(col("kind") === "isa")
+          .select(col("parent"), col("id").as("child"))
+        graft.operators.Closure.minDepths(edges)
+          .select(col("node").as("term_id"), col("depth"))
+          .orderBy("term_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $oboCtes,
+        roots AS (SELECT DISTINCT parent AS node FROM edges
+                  WHERE parent NOT IN (SELECT child FROM edges)),
+        d(node, depth) AS (
+          SELECT node, 0 FROM roots
+          UNION
+          SELECT e.child, d.depth + 1
+          FROM d JOIN edges e ON d.node = e.parent)
+        SELECT node AS term_id, CAST(min(depth) AS BIGINT) AS depth
+        FROM d GROUP BY node ORDER BY term_id"""))
   )
 }

@@ -62,6 +62,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("minDepths matches naive BFS on random DAGs, both tiers") {
+    def naiveDepths(edges: Set[(Int, Int)]): Map[Int, Long] = {
+      val children = edges.map(_._2)
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var depth = edges.map(_._1).filterNot(children.contains)
+        .map(_ -> 0L).toMap
+      var frontier = depth.keySet
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(depth.contains)
+        depth ++= next.map(_ -> d)
+        frontier = next
+      }
+      depth
+    }
+    for (edges <- samples(dagGen, 8) if edges.nonEmpty) {
+      val df = edges.toSeq.toDF("parent", "child")
+      val local = Closure.minDepths(df, "parent", "child")
+        .as[(Int, Long)].collect().toMap
+      val dist = Closure.minDepths(df, "parent", "child", localThreshold = 0)
+        .as[(Int, Long)].collect().toMap
+      assert(local === naiveDepths(edges), s"edges=$edges")
+      assert(dist === naiveDepths(edges), s"edges=$edges")
+    }
+  }
+
   test("closure is idempotent: closure(closure(E)) = closure(E)") {
     val edges = Seq((1, 2), (2, 3), (3, 4), (1, 5), (5, 4)).toDF("parent", "child")
     val once = Closure.transitiveClosure(edges, "parent", "child")
