@@ -47,7 +47,33 @@ object GroupedPrefixSum {
     */
   def withRunningSum(df: DataFrame, groupCol: String, sortCols: Seq[Column],
       valueCol: String, outCol: String, inclusive: Boolean = true,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame =
+    withRunningScan(df, groupCol, sortCols, valueCol, outCol, inclusive,
+      numPartitions, zero = 0L, op = _ + _)
+
+  /** Append a per-group running MAX of `valueCol` — the scale form of
+    * `max(value) OVER (PARTITION BY group ORDER BY keys ROWS ...)`.
+    * Same machinery as the running sum: any commutative-enough monoid
+    * works because per-partition partials combine associatively in
+    * partition order. Exclusive-mode rows with no predecessor get the
+    * identity `Long.MinValue` (callers treat it as "no previous" —
+    * e.g. interval merge starts a new island there).
+    */
+  def withRunningMax(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+      valueCol: String, outCol: String, inclusive: Boolean = true,
+      numPartitions: Option[Int] = None): DataFrame =
+    withRunningScan(df, groupCol, sortCols, valueCol, outCol, inclusive,
+      numPartitions, zero = Long.MinValue, op = math.max)
+
+  /** Shared scan core: range-partition on (group, keys), per-partition
+    * partials combined with `op` (must be associative with identity
+    * `zero`; nulls read as `zero`), driver prefix-combine in partition
+    * order, broadcast carry offsets, one streaming output pass.
+    */
+  private def withRunningScan(df: DataFrame, groupCol: String,
+      sortCols: Seq[Column], valueCol: String, outCol: String,
+      inclusive: Boolean, numPartitions: Option[Int],
+      zero: Long, op: (Long, Long) => Long): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (cast upstream), got ${df.schema(valueCol).dataType}")
@@ -68,27 +94,27 @@ object GroupedPrefixSum {
       rangedRdd.mapPartitionsWithIndex { case (p, it) =>
         val acc = mutable.ArrayBuffer.empty[(Any, Long)]
         var cur: Any = null
-        var sum = 0L
+        var sum = zero
         var seen = false
         it.foreach { row =>
           val g = row.get(gIdx)
           if (!seen) { cur = g; seen = true }
-          else if (g != cur) { acc += ((cur, sum)); cur = g; sum = 0L }
-          sum += (if (row.isNullAt(vIdx)) 0L else row.getLong(vIdx))
+          else if (g != cur) { acc += ((cur, sum)); cur = g; sum = zero }
+          sum = op(sum, if (row.isNullAt(vIdx)) zero else row.getLong(vIdx))
         }
         if (seen) acc += ((cur, sum))
         Iterator((p, acc.toArray))
       }.collect()
 
-    // Driver: prefix-sum partials in partition order → start offset of
-    // each (partition, group).
+    // Driver: prefix-combine partials in partition order → start
+    // offset of each (partition, group).
     val cumByGroup = mutable.HashMap.empty[Any, Long]
     val offsets = mutable.HashMap.empty[(Int, Any), Long]
     partSums.sortBy(_._1).foreach { case (p, gs) =>
       gs.foreach { case (g, s) =>
-        val before = cumByGroup.getOrElse(g, 0L)
+        val before = cumByGroup.getOrElse(g, zero)
         offsets((p, g)) = before
-        cumByGroup(g) = before + s
+        cumByGroup(g) = op(before, s)
       }
     }
     val bc = spark.sparkContext.broadcast(offsets.toMap)
@@ -99,15 +125,17 @@ object GroupedPrefixSum {
       val off = bc.value
       var cur: Any = null
       var seen = false
-      var acc = 0L
+      var acc = zero
       it.map { row =>
         val g = row.get(gIdx)
         if (!seen || g != cur) {
           cur = g; seen = true
-          acc = off.getOrElse((p, g), 0L)
+          acc = off.getOrElse((p, g), zero)
         }
-        val v = if (row.isNullAt(vIdx)) 0L else row.getLong(vIdx)
-        val res = if (inclusive) { acc += v; acc } else { val b = acc; acc += v; b }
+        val v = if (row.isNullAt(vIdx)) zero else row.getLong(vIdx)
+        val res =
+          if (inclusive) { acc = op(acc, v); acc }
+          else { val b = acc; acc = op(acc, v); b }
         Row.fromSeq(row.toSeq :+ res)
       }
     }

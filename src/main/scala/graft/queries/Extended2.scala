@@ -15,8 +15,8 @@ import graft.streaming.EventStream
   */
 object Extended2 {
 
-  private val MinhashK = 12
-  private val Bands = 4
+  private[queries] val MinhashK = 12
+  private[queries] val Bands = 4
 
   /** Shared doc→distinct-token→simhash pipeline (same as q29). */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -20,5 +20,6 @@ object Registry {
     Relational.queries ++ EventQueries.queries ++ DocQueries.queries ++
       VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries ++
       Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
-      Extended5.queries ++ Extended6.queries ++ Extended7.queries
+      Extended5.queries ++ Extended6.queries ++ Extended7.queries ++
+      Extended8.queries
 }

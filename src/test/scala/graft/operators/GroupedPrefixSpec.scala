@@ -109,6 +109,57 @@ class GroupedPrefixSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("running max (inclusive + exclusive) matches the window formulation") {
+    for (inclusive <- Seq(true, false)) {
+      val frameEnd = if (inclusive) 0L else -1L
+      val w = Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, frameEnd)
+      val expected = sample
+        .withColumn("cum", coalesce(max("v").over(w), lit(Long.MinValue)))
+        .orderBy("g", "k")
+        .collect().toSeq
+      val got = GroupedPrefixSum
+        .withRunningMax(sample, "g", Seq(col("k")), "v", "cum",
+          inclusive = inclusive, numPartitions = Some(5))
+        .orderBy("g", "k")
+        .collect().toSeq
+      assert(got == expected, s"inclusive=$inclusive")
+    }
+  }
+
+  test("running max property: random groups/keys equal the window form, many partitions") {
+    val rowsGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      k <- Gen.choose(0L, 30L)
+      v <- Gen.choose(-50L, 50L)
+    } yield (g, k, v))
+    for (rows <- samples(rowsGen, 8) if rows.nonEmpty) {
+      val distinctRows = rows.groupBy(r => (r._1, r._2))
+        .map(_._2.head).toSeq
+      val df = distinctRows.toDF("g", "k", "v")
+      val w = Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val expected = df.withColumn("cum", max("v").over(w))
+        .orderBy("g", "k").collect().toSeq
+      val got = GroupedPrefixSum
+        .withRunningMax(df, "g", Seq(col("k")), "v", "cum",
+          numPartitions = Some(7))
+        .orderBy("g", "k").collect().toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("running max supports descending sort keys (the skyline scan shape)") {
+    val df = Seq(("s", 10L, 3L), ("s", 8L, 5L), ("s", 6L, 4L), ("s", 4L, 9L))
+      .toDF("g", "x", "y")
+    // exclusive prefix max over x DESC: first row gets the identity
+    val got = GroupedPrefixSum
+      .withRunningMax(df, "g", Seq(col("x").desc), "y", "pmax",
+        inclusive = false, numPartitions = Some(3))
+      .orderBy(col("x").desc).select("pmax").as[Long].collect().toSeq
+    assert(got == Seq(Long.MinValue, 3L, 5L, 5L))
+  }
+
   test("preconditions: non-long value column and non-positive k are rejected") {
     val df = Seq(("a", 1L, 1)).toDF("g", "k", "v") // v is Int, not Long
     val e = intercept[IllegalArgumentException] {
