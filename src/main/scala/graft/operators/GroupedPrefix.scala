@@ -47,9 +47,9 @@ object GroupedPrefixSum {
     */
   def withRunningSum(df: DataFrame, groupCol: String, sortCols: Seq[Column],
       valueCol: String, outCol: String, inclusive: Boolean = true,
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None, preRanged: Boolean = false): DataFrame =
     withRunningScan(df, groupCol, sortCols, valueCol, outCol, inclusive,
-      numPartitions, zero = 0L, op = _ + _)
+      numPartitions, zero = 0L, op = _ + _, preRanged = preRanged)
 
   /** Append a per-group running MAX of `valueCol` — the scale form of
     * `max(value) OVER (PARTITION BY group ORDER BY keys ROWS ...)`.
@@ -61,26 +61,36 @@ object GroupedPrefixSum {
     */
   def withRunningMax(df: DataFrame, groupCol: String, sortCols: Seq[Column],
       valueCol: String, outCol: String, inclusive: Boolean = true,
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None, preRanged: Boolean = false): DataFrame =
     withRunningScan(df, groupCol, sortCols, valueCol, outCol, inclusive,
-      numPartitions, zero = Long.MinValue, op = math.max)
+      numPartitions, zero = Long.MinValue, op = math.max, preRanged = preRanged)
 
   /** Shared scan core: range-partition on (group, keys), per-partition
     * partials combined with `op` (must be associative with identity
     * `zero`; nulls read as `zero`), driver prefix-combine in partition
     * order, broadcast carry offsets, one streaming output pass.
+    *
+    * `preRanged = true` declares the input ALREADY range-partitioned
+    * and sorted by (group, sortCols) — e.g. the output of a previous
+    * scan over the same keys, possibly extended by narrow projections
+    * — and skips the shuffle + sort entirely. Scans compose at one
+    * shuffle total: merge-intervals runs prefix-max then prefix-sum
+    * over a single range exchange. The caller owns the invariant; a
+    * wrong claim silently mis-scans.
     */
   private def withRunningScan(df: DataFrame, groupCol: String,
       sortCols: Seq[Column], valueCol: String, outCol: String,
       inclusive: Boolean, numPartitions: Option[Int],
-      zero: Long, op: (Long, Long) => Long): DataFrame = {
+      zero: Long, op: (Long, Long) => Long,
+      preRanged: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (cast upstream), got ${df.schema(valueCol).dataType}")
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val keys = col(groupCol) +: sortCols
-    val ranged = df.repartitionByRange(n, keys: _*)
-      .sortWithinPartitions(keys: _*)
+    val ranged =
+      if (preRanged) df
+      else df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
     // One RDD value shared by both jobs → the range shuffle is written
     // once and its stage skipped on the second job.
     val rangedRdd = ranged.rdd

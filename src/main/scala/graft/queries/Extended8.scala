@@ -90,8 +90,11 @@ object Extended8 {
         val flagged = withPmax.withColumn("isnew",
           when(col("pmax") === lit(Long.MinValue) || col("st") > col("pmax"), 1L)
             .otherwise(0L))
+        // narrow projection preserves scan 1's range layout → the
+        // island scan composes on the SAME exchange (one shuffle total)
         val islands = GroupedPrefixSum.withRunningSum(
-          flagged, "s", sort, "isnew", "island", inclusive = true)
+          flagged, "s", sort, "isnew", "island", inclusive = true,
+          preRanged = true)
         islands.groupBy(col("s"), col("island"))
           .agg(min("st").as("island_start"), max("en").as("island_end"),
             count(lit(1)).as("n_intervals"))
@@ -122,9 +125,13 @@ object Extended8 {
     // concurrency-peak operator without a quadratic overlap join ----
     "q116_coverage_depth" -> Q(
       impl = (s, d) => {
-        val iv = shipIntervals(s, d)
-        val ev = iv.select(col("s"), col("st").as("pos"), lit(1L).as("delta"))
-          .union(iv.select(col("s"), (col("en") + 1L).as("pos"), lit(-1L).as("delta")))
+        // one scan: each interval explodes to its two ±1 boundary
+        // events (a union of two selects would read lineitem twice)
+        val ev = shipIntervals(s, d)
+          .select(col("s"), explode(array(
+            struct(col("st").as("pos"), lit(1L).as("delta")),
+            struct((col("en") + 1L).as("pos"), lit(-1L).as("delta")))).as("e"))
+          .select(col("s"), col("e.pos").as("pos"), col("e.delta").as("delta"))
           .groupBy("s", "pos").agg(sum("delta").as("d"))
         val depth = GroupedPrefixSum.withRunningSum(
           ev, "s", Seq(col("pos")), "d", "depth", inclusive = true)
@@ -168,20 +175,24 @@ object Extended8 {
           .persist() // consumed by degree/orientation/closure joins
         val sym = pairs.select(col("a").as("u"), col("b").as("v"))
           .union(pairs.select(col("b").as("u"), col("a").as("v")))
+        // node-keyed frames are |V|-bounded (≪ edges on any dense
+        // graph) → broadcast both degree attachments; the closing
+        // e3 probe broadcasts the oriented edge list itself (|E| here
+        // is LSH-pair-sparse; at true scale it shuffles instead)
         val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
         val attr = sym
-          .join(deg.withColumnRenamed("u", "su").withColumnRenamed("deg", "sdeg"),
+          .join(broadcast(deg.withColumnRenamed("u", "su").withColumnRenamed("deg", "sdeg")),
             col("u") === col("su"))
-          .join(deg.withColumnRenamed("u", "du").withColumnRenamed("deg", "ddeg"),
+          .join(broadcast(deg.withColumnRenamed("u", "du").withColumnRenamed("deg", "ddeg")),
             col("v") === col("du"))
         val oriented = attr
           .filter(col("sdeg") < col("ddeg") ||
             (col("sdeg") === col("ddeg") && col("u") < col("v")))
           .select(col("u"), col("v"))
         val paths = oriented.as("e1")
-          .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+          .join(broadcast(oriented.as("e2")), col("e1.v") === col("e2.u"))
           .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-        val tris = paths.join(oriented.as("e3"),
+        val tris = paths.join(broadcast(oriented.as("e3")),
           col("x") === col("e3.u") && col("z") === col("e3.v"))
         val nNodes = sym.agg(countDistinct("u").as("n_nodes"))
         val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
