@@ -19,23 +19,22 @@ object Extended9 {
   /** q120 cap: max events kept per (user, day). */
   private val RateCapK = 3
 
-  /** Morton-interleave a 16-bit value into even bit positions —
-    * the standard mask-spreading ladder, expressed with arithmetic
-    * that both Spark SQL and DuckDB evaluate identically on BIGINT.
+  /** Morton-interleave a 16-bit value into even bit positions — the
+    * standard shift-or-mask ladder (DuckDB dialect; mirrors
+    * `functions.ZOrder.spread16` bit for bit — the oracle match on
+    * q123 pins the two formulations against each other).
     */
   private def spreadBitsSql(x: String): String = {
-    // (x | x<<8) & 0x00FF00FF ... each step written with explicit
-    // multiplication for the shift (1<<8 = 256, etc.) so the same
-    // string works in both dialects.
-    val s1 = s"((($x) * 257) & 16711935)"        // x | x<<8, mask 0x00FF00FF
-    val s2 = s"((($s1) * 17) & 252645135)"       // x | x<<4, mask 0x0F0F0F0F
-    val s3 = s"((($s2) * 5) & 858993459)"        // x | x<<2, mask 0x33333333
-    s"((($s3) * 3) & 1431655765)"                // x | x<<1, mask 0x55555555
+    val s0 = s"(($x) & 65535)"
+    val s1 = s"((($s0) | (($s0) << 8)) & 16711935)"    // 0x00FF00FF
+    val s2 = s"((($s1) | (($s1) << 4)) & 252645135)"   // 0x0F0F0F0F
+    val s3 = s"((($s2) | (($s2) << 2)) & 858993459)"   // 0x33333333
+    s"((($s3) | (($s3) << 1)) & 1431655765)"           // 0x55555555
   }
 
   /** Morton code of two 16-bit dims; `a` occupies even bits. */
   private[queries] def mortonSql(a: String, b: String): String =
-    s"(${spreadBitsSql(a)} | (${spreadBitsSql(b)} * 2))"
+    s"(${spreadBitsSql(a)} | (${spreadBitsSql(b)} << 1))"
 
   val queries: Map[String, Q] = Map(
     // ---- per-entity rate cap: keep the first K events per (user,
@@ -190,7 +189,7 @@ object Extended9 {
         Tables.load(s, d, "lineitem")
           .filter(col("l_orderkey") % 97 === 0)
           .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-            expr(mortonSql("l_partkey & 65535", "l_suppkey & 65535")).as("zval"))
+            graft.functions.ZOrder.morton16(col("l_partkey"), col("l_suppkey")).as("zval"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       oracle = Some(s"""
