@@ -51,6 +51,8 @@ object Multimodal {
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
   /** 8-byte PNG signature + IHDR chunk (length, type, 13-byte data,
     * zeroed CRC) = 33 bytes; width/height big-endian at offsets 16/20.
@@ -76,6 +78,20 @@ object Multimodal {
     "BM".getBytes(StandardCharsets.US_ASCII) ++
       le32(0) ++ le32(0) ++ le32(54) ++ le32(40) ++ le32(w) ++ le32(h)
 
+  /** SOI + APP0/JFIF (18 bytes) + SOF0 (19 bytes) = 39 bytes; height
+    * THEN width, big-endian u16, inside the SOF0 segment — unlike the
+    * other containers the dimensions sit at no fixed offset, so the
+    * parser must walk the marker/length chain to find them.
+    */
+  def jpegHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++                       // SOI
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++         // APP0
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0) ++
+      Array[Byte](1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++         // SOF0
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+
   /** WAV audio parameters: 16 kHz mono 16-bit PCM → 32000 bytes/sec. */
   val WavSampleRate = 16000
   val WavByteRate: Int = WavSampleRate * 2
@@ -100,10 +116,11 @@ object Multimodal {
     val body = text.getBytes(StandardCharsets.UTF_8)
     val w = widthOf(docId)
     val h = heightOf(docId)
-    (docId % 4) match {
+    (docId % 5) match {
       case 0 => pngHeader(w, h) ++ body
       case 1 => gifHeader(w, h) ++ body
       case 2 => bmpHeader(w, h) ++ body
+      case 3 => jpegHeader(w, h) ++ body
       case _ => wavHeader(body.length) ++ body
     }
   }
@@ -117,6 +134,8 @@ object Multimodal {
     u8(p, i) | (u8(p, i + 1) << 8) | (u8(p, i + 2) << 16) | (u8(p, i + 3) << 24)
   private def leU16(p: Array[Byte], i: Int): Int =
     u8(p, i) | (u8(p, i + 1) << 8)
+  private def beU16(p: Array[Byte], i: Int): Int =
+    (u8(p, i) << 8) | u8(p, i + 1)
 
   private val PngMagic =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
@@ -144,8 +163,40 @@ object Multimodal {
       ("gif", leU16(p, 6), leU16(p, 8))
     else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
       ("bmp", leI32(p, 18), leI32(p, 22))
+    else if (p.length >= 4 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8 &&
+        u8(p, 2) == 0xff)
+      jpegDims(p)
     else if (isWav(p)) ("wav", 0, 0)
     else ("unknown", 0, 0)
+
+  /** Walk the JPEG marker/length chain from SOI to the first SOF
+    * frame header (C0/C1/C2: baseline, extended, progressive) and
+    * read height then width (big-endian) from it. Truncated or
+    * malformed chains fall back to ("unknown", 0, 0) — same corrupt-
+    * object policy as every other branch.
+    */
+  private def jpegDims(p: Array[Byte]): (String, Int, Int) = {
+    var i = 2
+    while (i + 4 <= p.length && u8(p, i) == 0xff) {
+      val marker = u8(p, i + 1)
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        // segment: len(2) precision(1) height(2) width(2) ...
+        return if (i + 9 <= p.length)
+          ("jpeg", beU16(p, i + 7), beU16(p, i + 5))
+        else ("unknown", 0, 0)
+      } else if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else if (marker == 0xda || marker == 0xd9) {
+        return ("unknown", 0, 0) // scan data / EOI before any SOF
+      } else {
+        val segLen = beU16(p, i + 2)
+        if (segLen < 2) return ("unknown", 0, 0)
+        i += 2 + segLen
+      }
+    }
+    ("unknown", 0, 0)
+  }
 
   private def isWav(p: Array[Byte]): Boolean =
     p.length >= 44 &&

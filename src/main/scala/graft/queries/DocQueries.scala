@@ -366,19 +366,19 @@ object DocQueries {
       impl = (s, d) => Multimodal.decodeStats(s, d),
       oracle = Some("""
         SELECT source,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                 WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+               CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                 WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format,
                CAST(count(*) AS BIGINT) AS n_media,
-               CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0
+               CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 0
                  ELSE 1 + doc_id % 1920 END) AS BIGINT) AS sum_width,
-               CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0
+               CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 0
                  ELSE 1 + (doc_id * 7) % 1080 END) AS BIGINT) AS sum_height,
-               CAST(sum(CASE WHEN doc_id % 4 = 3
+               CAST(sum(CASE WHEN doc_id % 5 = 4
                  THEN octet_length(encode(text)) * 1000 // 32000
                  ELSE 0 END) AS BIGINT) AS sum_duration_ms,
                CAST(sum(octet_length(encode(text)) +
-                 CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
-                   WHEN 2 THEN 26 ELSE 44 END) AS BIGINT) AS sum_bytes
+                 CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 13
+                   WHEN 2 THEN 26 WHEN 3 THEN 39 ELSE 44 END) AS BIGINT) AS sum_bytes
         FROM documents
         GROUP BY 1, 2 ORDER BY source, format"""))
   )

@@ -20,19 +20,43 @@ class MultimodalSpec extends AnyFunSuite {
     h <- Gen.choose(1, 65535)
   } yield (w, h)
 
-  test("png/gif/bmp headers round-trip dimensions exactly") {
+  test("png/gif/bmp/jpeg headers round-trip dimensions exactly") {
     for ((w, h) <- samples(dims, 25)) {
       assert(Multimodal.parseHeader(Multimodal.pngHeader(w, h)) == ("png", w, h))
       assert(Multimodal.parseHeader(Multimodal.gifHeader(w, h)) == ("gif", w, h))
       assert(Multimodal.parseHeader(Multimodal.bmpHeader(w, h)) == ("bmp", w, h))
+      assert(Multimodal.parseHeader(Multimodal.jpegHeader(w, h)) == ("jpeg", w, h))
     }
   }
 
   test("body bytes after the header do not perturb the parse") {
     val p = Multimodal.syntheticPayload(40L, "some text body éü")
-    // doc_id 40 % 4 == 0 → png; dims from the generator formulas
+    // doc_id 40 % 5 == 0 → png; dims from the generator formulas
     assert(Multimodal.parseHeader(p) ==
       ("png", Multimodal.widthOf(40L), Multimodal.heightOf(40L)))
+    // doc_id 43 % 5 == 3 → jpeg; the walk stops at SOF0, so body
+    // bytes (whatever they contain) never influence the dims
+    val j = Multimodal.syntheticPayload(43L, "jpeg body text")
+    assert(Multimodal.parseHeader(j) ==
+      ("jpeg", Multimodal.widthOf(43L), Multimodal.heightOf(43L)))
+  }
+
+  test("jpeg marker walk: extra APP segments, truncation, scan-before-SOF") {
+    val (w, h) = (640, 480)
+    val full = Multimodal.jpegHeader(w, h)
+    // splice an APPn comment segment between APP0 and SOF0 — the walk
+    // must skip it by declared length and still find SOF0
+    // length field covers itself: 2 + 8 payload bytes = 10
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte, 0, 10) ++ "exif-ish".getBytes
+    val spliced = full.take(20) ++ app1 ++ full.drop(20)
+    assert(Multimodal.parseHeader(spliced) == ("jpeg", w, h))
+    // truncated before the SOF dims → unknown, not a crash
+    for (cut <- Seq(2, 3, 10, 21, 25))
+      assert(Multimodal.parseHeader(full.take(cut))._1 == "unknown", s"cut=$cut")
+    // SOS (start-of-scan) before any SOF → unknown
+    val sosFirst = full.take(20) ++
+      Array[Byte](0xff.toByte, 0xda.toByte, 0, 2) ++ full.drop(20)
+    assert(Multimodal.parseHeader(sosFirst)._1 == "unknown")
   }
 
   test("wav header round-trips duration from the declared byte rate") {
@@ -44,8 +68,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.durationMsOf(Multimodal.pngHeader(4, 4)) == 0L)
     // truncated RIFF prefix is unknown, not a crash
     assert(Multimodal.parseHeader(p.take(20))._1 == "unknown")
-    // synthetic rotation puts doc_id % 4 == 3 on the wav path
-    val w = Multimodal.syntheticPayload(43L, "abcd")
+    // synthetic rotation puts doc_id % 5 == 4 on the wav path
+    val w = Multimodal.syntheticPayload(44L, "abcd")
     assert(Multimodal.parseHeader(w)._1 == "wav")
     assert(Multimodal.durationMsOf(w) == 4L * 1000L / Multimodal.WavByteRate)
   }
