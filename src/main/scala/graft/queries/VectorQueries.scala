@@ -35,7 +35,7 @@ object VectorQueries {
   }
 
   /** Shared oracle CTEs: element-wise quantized vectors + norms. */
-  private def quantCtes: String = s"""
+  private[queries] def quantCtes: String = s"""
         f AS (SELECT vec_id, unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings),
@@ -44,6 +44,32 @@ object VectorQueries {
                FROM f),
         norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS nsq
                   FROM qv GROUP BY vec_id)"""
+
+  /** Hyperplane-sign bucket ids in SQL — the exact integer mirror of
+    * `VecFns.lshBucket` (same md5-derived ±1 weights, same bit
+    * packing). Depends on `quantCtes`'s `qv`. Shared with q127's
+    * bucket-centroid dedup so both oracles pin ONE construction.
+    */
+  private[queries] def lshBucketCtes: String = {
+    val weightRows = (for {
+      j <- 0 until NPlanes
+      i <- 1 to Dim
+    } yield s"($j,$i,${VecFns.hyperplaneWeight(j, i - 1)})").mkString(",")
+    val powerRows = (0 until NPlanes).map(j => s"($j,${1L << j})").mkString(",")
+    s"""
+        w(j, i, wt) AS (VALUES $weightRows),
+        pw(j, pv) AS (VALUES $powerRows),
+        proj AS (
+          SELECT qv.vec_id, w.j, CAST(sum(qv.e * w.wt) AS BIGINT) AS p
+          FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN p >= 0 THEN pv ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj JOIN pw ON proj.j = pw.j GROUP BY vec_id)"""
+  }
+
+  private[queries] val LshNPlanes: Int = NPlanes
+  private[queries] val LshDim: Int = Dim
 
   private def rankedSelect: String = s"""
         scored AS (
@@ -118,22 +144,9 @@ object VectorQueries {
           .orderBy("q_id", "rk")
       },
       oracle = Some {
-        val weightRows = (for {
-          j <- 0 until NPlanes
-          i <- 1 to Dim
-        } yield s"($j,$i,${VecFns.hyperplaneWeight(j, i - 1)})").mkString(",")
-        val powerRows = (0 until NPlanes).map(j => s"($j,${1L << j})").mkString(",")
         s"""
         WITH $quantCtes,
-        w(j, i, wt) AS (VALUES $weightRows),
-        pw(j, pv) AS (VALUES $powerRows),
-        proj AS (
-          SELECT qv.vec_id, w.j, CAST(sum(qv.e * w.wt) AS BIGINT) AS p
-          FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
-        buckets AS (
-          SELECT vec_id,
-                 CAST(sum(CASE WHEN p >= 0 THEN pv ELSE 0 END) AS BIGINT) AS bucket
-          FROM proj JOIN pw ON proj.j = pw.j GROUP BY vec_id),
+        $lshBucketCtes,
         cand AS (
           SELECT q.vec_id AS q_id, v.vec_id AS n_id
           FROM buckets q JOIN buckets v
