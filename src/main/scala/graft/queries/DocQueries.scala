@@ -23,7 +23,7 @@ object DocQueries {
   private val Bands = 4
 
   /** DuckDB CTEs producing distinct (doc_id, sh) word n-gram shingles. */
-  private def shingleCtes(n: Int, withSource: Boolean = false): String = {
+  private[queries] def shingleCtes(n: Int, withSource: Boolean = false): String = {
     val src = if (withSource) ", source" else ""
     val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
     s"""toks AS (SELECT doc_id$src, string_split(text, ' ') AS t FROM documents),

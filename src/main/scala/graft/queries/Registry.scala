@@ -21,5 +21,6 @@ object Registry {
       VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries ++
       Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
       Extended5.queries ++ Extended6.queries ++ Extended7.queries ++
-      Extended8.queries ++ Extended9.queries ++ Extended10.queries
+      Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
+      Extended11.queries
 }
