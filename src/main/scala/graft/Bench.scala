@@ -14,12 +14,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle blocks and temp stream checkpoints are pure scratch —
+    // land them on tmpfs when present so timings measure the engine,
+    // not /tmp's disk fsync latency. (On a real cluster this is the
+    // standard fast-local-disk spark.local.dir provisioning.)
+    val scratch = Seq("/dev/shm", sys.props("java.io.tmpdir"))
+      .find(p => new java.io.File(p).canWrite)
+      .map(_ + "/graft-bench-scratch")
+    scratch.foreach { s =>
+      new java.io.File(s).mkdirs()
+      sys.props("java.io.tmpdir") = s
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", scratch.getOrElse(sys.props("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm JVM/codegen/shuffle machinery once so per-query timings
