@@ -173,4 +173,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "rate join degraded to SMJ:\n" + p.take(600))
   }
+
+  test("q124: funnel stages are hash aggs on user_id — never a per-user sequence window") {
+    val p = plan("q124_funnel")
+    assert(!p.contains("Window"),
+      "funnel degraded to a per-user event-sequence window:\n" + p.take(600))
+  }
+
+  test("q129: session windows partition on the high-cardinality user key") {
+    val p = plan("q129_sessionize")
+    assert(p.contains("Window"), p.take(400))
+    // every window's partition spec must include user_id — a
+    // partition-less (global single-task) window is the scale-killer
+    for (m <- "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r.findAllMatchIn(p))
+      assert(m.group(1).contains("user_id"),
+        "window not partitioned by user_id:\n" + m.matched)
+  }
+
+  test("q130/q137: pair top-k is a distributed TakeOrdered merge, not a global sort") {
+    for (q <- Seq("q130_pair_counts", "q137_pmi_collocations")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected per-partition partial top-k + merge:\n" + p.take(600))
+    }
+  }
+
+  test("q135: containment candidates come from the shingle equi-join, never a nested loop") {
+    val p = plan("q135_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment degraded to an all-pairs join:\n" + p.take(600))
+  }
+
+  test("q134: the quantized log-ratio table joins the doc-token counts on the token key") {
+    val p = plan("q134_dsir_weights")
+    assert(!p.contains("Window"),
+      "DSIR scoring introduced a window:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "DSIR scoring fell back to cartesian:\n" + p.take(600))
+  }
+
+  test("q136/q138: array-native stats and chunking plan zero pre-sort shuffles") {
+    for (q <- Seq("q136_lexical_stats", "q138_token_chunks")) {
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 0,
+        s"$q: expected no hash shuffle before the output sort, found $exchanges:\n" + p.take(600))
+    }
+  }
 }
