@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Components
+
+/** Round-8 batch six: robust outlier detection (Tukey fences over the
+  * exact percentile), a dedup-health histogram over the near-dup
+  * cluster structure, and an in-engine train-and-predict showcase — a
+  * char-trigram Naive Bayes language classifier whose training pass,
+  * inference pass, and confusion matrix are all one declarative plan.
+  */
+object Extended13 {
+
+  private val MinhashK = 12
+  private val Bands = 4
+
+  val queries: Map[String, Q] = Map(
+    // ---- Tukey-fence outliers: values above p75 + 1.5·IQR of their
+    // event type. Exact `percentile` ≡ `quantile_cont` (parity pinned
+    // by q57); the fence arithmetic is the same IEEE ops on the same
+    // doubles in both engines, and only counts are emitted. The
+    // percentile table is group-cardinality-sized → broadcast back --
+    "q139_iqr_outliers" -> Q(
+      impl = (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val fences = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        ev.join(broadcast(fences), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("value") > col("q3") + (col("q3") - col("q1")) * 1.5,
+              1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH f AS (SELECT event_type,
+                          quantile_cont(value, 0.25) AS q1,
+                          quantile_cont(value, 0.75) AS q3
+                   FROM events GROUP BY 1)
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN e.value > f.q3 + (f.q3 - f.q1) * 1.5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN f ON f.event_type = e.event_type
+        GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ---- dedup-health histogram: near-dup cluster sizes → how many
+    // clusters of each size (the shape a curation run reports before
+    // deciding collapse policy). Same candidate graph as q61; the
+    // histogram is two tiny aggregations on top of the component
+    // labels, so the scale path is exactly the Components operator's
+    // (pointer-doubling, O(log diameter) rounds) -------------------
+    "q140_cluster_histogram" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", graft.functions.TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+        val sigs = graft.functions.MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val pairs = graft.functions.MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
+          .filter(col("est") >= 0.5)
+        Components.connectedComponents(pairs, "a", "b")
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${Extended2.lshPairCtes(0.5)},
+        sym AS (SELECT a AS x, b AS y FROM pairs
+                UNION SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+          SELECT x, x FROM sym
+          UNION
+          SELECT s.x, r.lab FROM sym s JOIN reach r ON r.node = s.y),
+        comp AS (SELECT node, min(lab) AS component
+                 FROM reach GROUP BY node),
+        sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY 1)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY 1 ORDER BY 1""")),
+
+    // ---- char-trigram Naive Bayes language classifier, trained and
+    // evaluated entirely in the engine: per-language trigram
+    // log-likelihoods (Laplace-smoothed, quantized to integer
+    // micro-nats per distinct count tuple — the q118/q128/q134
+    // contract), per-doc argmax over the 5 language scores, and the
+    // actual-vs-predicted confusion matrix. Shapes: the trigram
+    // explode shuffles once on (lang, g) for training and once on
+    // (doc, g) for inference; scoring joins doc grams to the model on
+    // the gram key (high-cardinality); the doc×lang grid is a 5-row
+    // broadcast; unmatched-gram mass uses the per-language unseen
+    // log-prob so the sum is exact NB, not an approximation ---------
+    "q141_charngram_langid" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .filter(length(col("text")) >= 3)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val tg = docs.select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("g"))
+        val dtc = tg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val lg = tg.groupBy("lang", "g").agg(count(lit(1)).as("cl"))
+        val perLang = lg.groupBy("lang").agg(sum("cl").as("nl"))
+        val v = lg.agg(count_distinct(col("g")).as("v"))
+        val model = lg.join(broadcast(perLang), "lang").crossJoin(broadcast(v))
+          .withColumn("q", expr("""
+            CAST(round(ln(CAST(cl + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE))
+                       * 1000000) AS BIGINT)"""))
+          .select(col("lang").as("ml"), col("g"), col("q"))
+        val q0 = perLang.crossJoin(broadcast(v))
+          .withColumn("q0", expr(
+            "CAST(round(ln(1.0 / CAST(nl + v AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .select(col("lang").as("ml"), col("q0"))
+        val m = dtc.groupBy("doc_id").agg(sum("c").as("m"))
+        val matched = dtc.join(model, Seq("g"))
+          .groupBy("doc_id", "ml")
+          .agg(sum(col("c") * col("q")).as("mq"), sum("c").as("mc"))
+        val scores = m.crossJoin(broadcast(q0))
+          .join(matched, Seq("doc_id", "ml"), "left")
+          .withColumn("score",
+            coalesce(col("mq"), lit(0L)) +
+              (col("m") - coalesce(col("mc"), lit(0L))) * col("q0"))
+        val pred = scores.groupBy("doc_id")
+          .agg(min(struct((-col("score")).as("ns"), col("ml"))).as("p"))
+          .select(col("doc_id"), col("p.ml").as("pred_lang"))
+        docs.select("doc_id", "lang").join(pred, "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, lang, text FROM documents
+                   WHERE length(text) >= 3),
+        idx AS (SELECT doc_id, lang, text,
+                       unnest(range(1, length(text) - 1)) AS i
+                FROM d),
+        tg AS (SELECT doc_id, lang, substr(text, i, 3) AS g FROM idx),
+        dtc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                FROM tg GROUP BY 1, 2),
+        lg AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS cl
+               FROM tg GROUP BY 1, 2),
+        pl AS (SELECT lang, CAST(sum(cl) AS BIGINT) AS nl FROM lg GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM lg),
+        model AS (SELECT lg.lang AS ml, lg.g,
+                    CAST(round(ln(CAST(lg.cl + 1 AS DOUBLE) / CAST(pl.nl + v.v AS DOUBLE))
+                               * 1000000) AS BIGINT) AS q
+                  FROM lg JOIN pl ON pl.lang = lg.lang, v),
+        q0 AS (SELECT pl.lang AS ml,
+                 CAST(round(ln(1.0 / CAST(pl.nl + v.v AS DOUBLE))
+                            * 1000000) AS BIGINT) AS q0
+               FROM pl, v),
+        mm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS m FROM dtc GROUP BY 1),
+        matched AS (SELECT dtc.doc_id, model.ml,
+                      CAST(sum(dtc.c * model.q) AS BIGINT) AS mq,
+                      CAST(sum(dtc.c) AS BIGINT) AS mc
+                    FROM dtc JOIN model ON model.g = dtc.g
+                    GROUP BY 1, 2),
+        scores AS (SELECT mm.doc_id, q0.ml,
+                     coalesce(matched.mq, 0)
+                       + (mm.m - coalesce(matched.mc, 0)) * q0.q0 AS score
+                   FROM mm CROSS JOIN q0
+                     LEFT JOIN matched ON matched.doc_id = mm.doc_id
+                                      AND matched.ml = q0.ml),
+        pred AS (SELECT doc_id, ml AS pred_lang,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, ml) AS rk
+                 FROM scores)
+        SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM d JOIN pred p ON p.doc_id = d.doc_id AND p.rk = 1
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = true)
+  )
+}
