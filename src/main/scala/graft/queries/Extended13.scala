@@ -172,6 +172,23 @@ object Extended13 {
         SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
         FROM d JOIN pred p ON p.doc_id = d.doc_id AND p.rk = 1
         GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = true),
+
+    // ---- arbitrary-stateful streaming on the v2 API: per-user
+    // cumulative spend monitor via `transformWithState` + ValueState
+    // on the RocksDB state store (see streaming/StateV2.scala). Spend
+    // accumulates in long micro-units, so the final emission per user
+    // is batch-exact no matter how the input was micro-batched — the
+    // oracle is the plain batch aggregation ------------------------
+    "q142_stream_spend_monitor" -> Q(
+      impl = (s, d) => graft.streaming.StateV2.spendTotals(s, d),
+      oracle = Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS spend_micro,
+               sum(CAST(round(value * 1000000) AS BIGINT)) >= 500000000
+                 AS alerted
+        FROM events GROUP BY 1 ORDER BY user_id"""),
       bench = true)
   )
 }

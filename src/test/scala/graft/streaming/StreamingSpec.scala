@@ -75,4 +75,32 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("transformWithState spend monitor accumulates across micro-batches and latches the alert") {
+    import org.apache.spark.sql.functions._
+    // Four separate single-row part files under events.parquet/ +
+    // maxFilesPerTrigger=1 → AvailableNow processes multiple
+    // micro-batches, so the ValueState must carry totals across batch
+    // boundaries. u1 crosses the threshold only with its second
+    // file's spend; u2 never crosses. (Sums and the latch are
+    // order-independent, so file processing order can't matter.)
+    val tmp = java.nio.file.Files.createTempDirectory("statev2").toFile
+    val dir2 = tmp.getAbsolutePath
+    def write(eventId: Long, user: Long, value: Double): Unit =
+      spark.range(1).select(
+        lit(eventId).as("event_id"),
+        lit(new java.sql.Timestamp(1700000000000L + eventId)).as("ts"),
+        lit(user).as("user_id"), lit("purchase").as("event_type"),
+        lit(value).as("value"), lit("{}").as("props"))
+        .write.mode("append").parquet(s"$dir2/events.parquet")
+    write(1L, 1L, 300.0); write(2L, 2L, 100.0)
+    write(3L, 1L, 250.0); write(4L, 2L, 50.0)
+    val out = StateV2.spendTotals(spark, dir2,
+      alertMicro = 500L * 1000000L,
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      .collect().map(r =>
+        (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((2L, 550000000L, true)), out)
+    assert(out(2L) === ((2L, 150000000L, false)), out)
+  }
 }
