@@ -189,6 +189,34 @@ object Extended13 {
                sum(CAST(round(value * 1000000) AS BIGINT)) >= 500000000
                  AS alerted
         FROM events GROUP BY 1 ORDER BY user_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- approximate-quantile accuracy contract (the q51 pattern for
+    // quantile sketches): each engine runs its own mergeable quantile
+    // sketch (Spark approx_percentile, DuckDB t-digest approx_quantile
+    // — different algorithms, so raw outputs can't hash-match) and the
+    // CONTRACT — approx within 5% of that engine's exact median — is
+    // what both must satisfy, alongside the bit-identical quantized
+    // exact value. The sketch is the 100 TB path: constant-size
+    // partials under any merge tree, vs the exact percentile's
+    // per-group value materialization ------------------------------
+    "q143_approx_quantile" -> Q(
+      impl = (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap"),
+            expr("percentile(value, 0.5)").as("ex"))
+          .select(col("event_type"),
+            (abs(col("ap") - col("ex")) <= abs(col("ex")) * 0.05 + 1e-9)
+              .as("approx_ok"),
+            expr("CAST(round(ex * 1000000) AS BIGINT)").as("exact_median_micro"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+                 <= abs(quantile_cont(value, 0.5)) * 0.05 + 1e-9 AS approx_ok,
+               CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+                 AS exact_median_micro
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

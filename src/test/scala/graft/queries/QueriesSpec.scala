@@ -25,4 +25,13 @@ class QueriesSpec extends AnyFunSuite {
         s"${r.getString(0)}: exact=${r.getAs[Long]("exact_parts")}")
     }
   }
+
+  test("approx_percentile satisfies the 5% accuracy contract") {
+    val rows = Registry.all("q143_approx_quantile").impl(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"${r.getString(0)}: exact_micro=${r.getAs[Long]("exact_median_micro")}")
+    }
+  }
 }
