@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{MinHashLsh, TextFns}
+
+/** Round-8 batch seven: cross-source duplication audit (where does
+  * near-duplicate mass flow between corpus sources), event path mining
+  * (top ordered 3-step behavior sequences), and per-group equi-width
+  * histograms — three reporting operators a curation/analytics run
+  * ends with.
+  */
+object Extended14 {
+
+  private val MinhashK = 12
+  private val Bands = 4
+
+  val queries: Map[String, Q] = Map(
+    // ---- cross-source near-dup matrix: LSH candidate pairs (est ≥
+    // 0.5, the q61 graph) mapped to their sources, counted per
+    // unordered source pair — the "which sources copy from each
+    // other" audit that decides dedup scope (within-source vs
+    // global). The source lookup is a doc→source projection joined on
+    // the pair endpoints (doc-keyed hash joins); pair volume is
+    // LSH-bounded, never quadratic --------------------------------
+    "q144_cross_source_dups" -> Q(
+      impl = (s, d) => {
+        val sh = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val pairs = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
+          .filter(col("est") >= 0.5)
+        val src = Tables.load(s, d, "documents").select("doc_id", "source")
+        pairs
+          .join(src.toDF("a", "sa"), "a")
+          .join(src.toDF("b", "sb"), "b")
+          .select(least(col("sa"), col("sb")).as("s1"),
+            greatest(col("sa"), col("sb")).as("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("s1", "s2")
+      },
+      oracle = Some(s"""
+        WITH ${Extended2.lshPairCtes(0.5)},
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT least(x.source, y.source) AS s1,
+               greatest(x.source, y.source) AS s2,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+          JOIN src x ON x.doc_id = p.a
+          JOIN src y ON y.doc_id = p.b
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- event path mining: the 10 most frequent ordered 3-event
+    // sequences. The sequence window partitions on user_id
+    // (high-cardinality, so no giant task) with a total (us,
+    // event_id) order — unique event ids make the lead deterministic
+    // under timestamp ties. The global count shuffles on the 3-gram
+    // key; the final top-10 is TakeOrdered ------------------------
+    "q145_event_paths" -> Q(
+      impl = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+          .withColumn("a", col("event_type"))
+          .withColumn("b", lead("event_type", 1).over(w))
+          .withColumn("c", lead("event_type", 2).over(w))
+          .filter(col("c").isNotNull)
+          .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("a"), col("b"), col("c"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                   FROM events),
+        w AS (SELECT event_type AS a,
+                lead(event_type, 1) OVER uw AS b,
+                lead(event_type, 2) OVER uw AS c
+              FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE c IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 10"""),
+      bench = true),
+
+    // ---- per-type equi-width value histogram (10 bins over the
+    // type's own [min, max]): bounds are a group-cardinality-sized
+    // broadcast back; bin assignment is pure per-row arithmetic on
+    // identical doubles in both engines, and only integer counts are
+    // emitted. The degenerate all-equal-values group (mx = mn) pins
+    // everything to bin 0 ------------------------------------------
+    "q146_value_histogram" -> Q(
+      impl = (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val bounds = ev.groupBy("event_type")
+          .agg(min("value").as("mn"), max("value").as("mx"))
+        ev.join(broadcast(bounds), "event_type")
+          .withColumn("bin",
+            when(col("mx") === col("mn"), 0L).otherwise(
+              least(lit(9L), greatest(lit(0L),
+                floor((col("value") - col("mn")) /
+                  ((col("mx") - col("mn")) / 10.0)).cast("long")))))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bin")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                   FROM events GROUP BY 1)
+        SELECT e.event_type,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE CAST(least(9, greatest(0,
+                      floor((e.value - s.mn) / ((s.mx - s.mn) / 10.0))))
+                      AS BIGINT) END AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN s ON s.event_type = e.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}

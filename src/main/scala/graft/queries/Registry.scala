@@ -22,5 +22,6 @@ object Registry {
       Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
       Extended5.queries ++ Extended6.queries ++ Extended7.queries ++
       Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
-      Extended11.queries ++ Extended12.queries ++ Extended13.queries
+      Extended11.queries ++ Extended12.queries ++ Extended13.queries ++
+      Extended14.queries
 }
