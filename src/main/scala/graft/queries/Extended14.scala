@@ -115,6 +115,39 @@ object Extended14 {
                       AS BIGINT) END AS bin,
                CAST(count(*) AS BIGINT) AS n
         FROM events e JOIN s ON s.event_type = e.event_type
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- incremental aggregate maintenance end-to-end: the events
+    // table split into three append batches, each reduced to its
+    // per-key partial state, states merged and finalized — and the
+    // result must equal the direct one-shot aggregate (the oracle).
+    // At 100 TB the merge inputs are O(|keys|) state tables, so the
+    // nightly update never rescans the base (operators.IncrementalAgg;
+    // associativity is spec-pinned). avg's integer division assumes a
+    // non-negative sum (events.value ≥ 0 at every SF) — the usual
+    // truncate-vs-floor caveat of the engine-wide div contract ------
+    "q147_incremental_agg" -> Q(
+      impl = (s, d) => {
+        import graft.operators.IncrementalAgg
+        val ev = Tables.events(s, d)
+        val batches = Seq(
+          ev.filter(col("user_id") % 3 === 0),
+          ev.filter(col("user_id") % 3 === 1),
+          ev.filter(col("user_id") % 3 === 2))
+        IncrementalAgg.finalize(IncrementalAgg.merge(
+          batches.map(b => IncrementalAgg.init(b, Seq("event_type"), "value")),
+          Seq("event_type")))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT event_type,
+                          CAST(round(value * 1000000) AS BIGINT) AS vm
+                   FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vm) AS BIGINT) AS sum_micro,
+               CAST(sum(vm) AS BIGINT) // count(*) AS avg_micro,
+               min(vm) AS min_micro, max(vm) AS max_micro
+        FROM q GROUP BY 1 ORDER BY 1"""),
+      bench = true)
   )
 }
