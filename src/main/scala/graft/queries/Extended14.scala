@@ -148,6 +148,31 @@ object Extended14 {
                CAST(sum(vm) AS BIGINT) // count(*) AS avg_micro,
                min(vm) AS min_micro, max(vm) AS max_micro
         FROM q GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ---- the native grouped top-k operator end-to-end (custom
+    // LogicalPlan + SparkStrategy + partial/final SparkPlan pair,
+    // graft.plans.GroupedTopKPlan): 3 longest docs per source under a
+    // total order. The plan is bounded heaps on both sides of ONE
+    // hash exchange — no per-group sort, and the map-side partial
+    // caps the shuffle at k rows per (partition, group); the window
+    // SQL below is the ORACLE's formulation, not the plan ----------
+    "q148_native_grouped_topk" -> Q(
+      impl = (s, d) => {
+        import graft.operators.NativeGroupedTopK
+        NativeGroupedTopK.topK(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), Seq(("n_chars", false), ("doc_id", true)), 3)
+          .orderBy("source", "doc_id")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+                   FROM documents)
+        SELECT doc_id, source, n_chars FROM r WHERE rk <= 3
+        ORDER BY source, doc_id"""),
       bench = true)
   )
 }
