@@ -98,12 +98,25 @@ object Extended13 {
         val docs = Tables.docsParallel(s, d)
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"), col("text"))
-        val tg = docs.select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-            .as("g"))
-        val dtc = tg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        val lg = tg.groupBy("lang", "g").agg(count(lit(1)).as("cl"))
+        // explode positions, THEN substring: higher-order `transform`
+        // lambdas evaluate interpreted (CodegenFallback), so building
+        // the gram array per row costs ~3× the whole-stage-codegen'd
+        // position explode + per-row substring
+        val tg = docs
+          .select(col("doc_id"), col("lang"), col("text"),
+            explode(expr("sequence(1, length(text) - 2)")).as("i"))
+          .select(col("doc_id"), col("lang"),
+            expr("substring(text, i, 3)").as("g"))
+        // ONE explode + one heavy aggregation: doc→lang is functional,
+        // so carrying lang through the per-doc gram counts lets the
+        // training table re-aggregate dtc (≤ distinct grams per doc
+        // rows) instead of re-exploding the corpus
+        val dtc = tg.groupBy("doc_id", "lang", "g")
+          .agg(count(lit(1)).as("c")).persist()
+        // lg fans out to THREE consumers (per-lang totals, the vocab
+        // size, the model) — persist the tiny (lang, gram) table so
+        // dtc is re-aggregated once, not three times
+        val lg = dtc.groupBy("lang", "g").agg(sum("c").as("cl")).persist()
         val perLang = lg.groupBy("lang").agg(sum("cl").as("nl"))
         val v = lg.agg(count_distinct(col("g")).as("v"))
         val model = lg.join(broadcast(perLang), "lang").crossJoin(broadcast(v))
@@ -116,7 +129,9 @@ object Extended13 {
             "CAST(round(ln(1.0 / CAST(nl + v AS DOUBLE)) * 1000000) AS BIGINT)"))
           .select(col("lang").as("ml"), col("q0"))
         val m = dtc.groupBy("doc_id").agg(sum("c").as("m"))
-        val matched = dtc.join(model, Seq("g"))
+        // model is vocab×langs-sized — broadcast it so the corpus-side
+        // gram counts never shuffle on the gram key
+        val matched = dtc.join(broadcast(model), Seq("g"))
           .groupBy("doc_id", "ml")
           .agg(sum(col("c") * col("q")).as("mq"), sum("c").as("mc"))
         val scores = m.crossJoin(broadcast(q0))
