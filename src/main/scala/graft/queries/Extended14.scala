@@ -173,6 +173,46 @@ object Extended14 {
                    FROM documents)
         SELECT doc_id, source, n_chars FROM r WHERE rk <= 3
         ORDER BY source, doc_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- tombstone delete propagation (right-to-be-forgotten sweep):
+    // a deterministic delete-list (here: every doc whose md5 starts
+    // with 'a' — standing in for an external tombstone table) is
+    // anti-joined against the store; per-source retained/deleted
+    // accounting comes out of the same pass. One hash shuffle on the
+    // id key; at 100 TB the tombstone side is the small one →
+    // broadcast anti join, and the rewrite composes with
+    // `operators.Compact` for the physical file sweep --------------
+    "q149_tombstone_sweep" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        val tombstones = docs.filter(col("h").startsWith("a"))
+          .select(col("doc_id").as("del_id"))
+        val retained = docs
+          .join(broadcast(tombstones), col("doc_id") === col("del_id"), "left_anti")
+        // totals drive the output (left join) so a fully-deleted
+        // source still reports, with n_retained = 0
+        docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+          .join(retained.groupBy("source").agg(count(lit(1)).as("nr")),
+            Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("nr"), lit(0L)).as("n_retained"),
+            (col("n_total") - coalesce(col("nr"), lit(0L))).as("n_deleted"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id FROM documents
+                   WHERE md5(text) LIKE 'a%'),
+        r AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_retained
+              FROM documents d
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM t)
+              GROUP BY 1),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+              FROM documents GROUP BY 1)
+        SELECT a.source, coalesce(r.n_retained, 0) AS n_retained,
+               a.n_total - coalesce(r.n_retained, 0) AS n_deleted
+        FROM a LEFT JOIN r ON r.source = a.source
+        ORDER BY a.source"""))
   )
 }
