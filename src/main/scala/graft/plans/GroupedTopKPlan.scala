@@ -27,6 +27,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * exchange moves O(partitions · groups · k) rows instead of the
   * whole table. The caller's ordering should be a total order (add a
   * unique id tiebreak) for deterministic results.
+  *
+  * Memory envelope: each task holds O(distinct groups in its
+  * partition · k) rows — the same order as a hash aggregate's map,
+  * but WITHOUT spill support. For pathological group-cardinality ×
+  * large-k workloads prefer the aggregation-based grouped top-k
+  * (`operators` GroupedTopK family), which rides Spark's spilling
+  * aggregation machinery.
   */
 final case class GroupedTopKNode(
     groupExprs: Seq[Expression],

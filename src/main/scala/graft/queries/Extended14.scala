@@ -213,6 +213,34 @@ object Extended14 {
         SELECT a.source, coalesce(r.n_retained, 0) AS n_retained,
                a.n_total - coalesce(r.n_retained, 0) AS n_deleted
         FROM a LEFT JOIN r ON r.source = a.source
-        ORDER BY a.source"""))
+        ORDER BY a.source""")),
+
+    // ---- sketch-merge distinct counts through a rollup: per-type AND
+    // grand-total distinct users in one pass — the grand-total row is
+    // the UNION of the per-type HLL sketches (mergeability is what
+    // makes the sketch the 100 TB path; the exact rollup would carry
+    // every user id to the coordinator of each grouping set). Each
+    // engine runs its own sketch (Spark HLL++, DuckDB HLL) against
+    // its own exact rollup; the 10% contract + exact counts must
+    // hash-match (the q51/q143 pattern) ----------------------------
+    "q150_sketch_rollup" -> Q(
+      impl = (s, d) =>
+        Tables.events(s, d)
+          .rollup("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("ap"),
+            count_distinct(col("user_id")).as("exact_users"))
+          .select(
+            coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            col("exact_users"),
+            (abs(col("ap") - col("exact_users")) <=
+              col("exact_users") * 0.10).as("approx_ok"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+                 <= count(DISTINCT user_id) * 0.10 AS approx_ok
+        FROM events GROUP BY ROLLUP (event_type)
+        ORDER BY event_type"""))
   )
 }
