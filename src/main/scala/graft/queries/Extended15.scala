@@ -112,6 +112,62 @@ object Extended15 {
               FROM p JOIN c ON c.user_id = p.user_id AND c.cus <= p.pus)
         SELECT purchase_id, click_id, lag_us FROM j WHERE rk = 1
         ORDER BY purchase_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- edit-distance verification of near-dup candidates: the
+    // post-LSH "prove it" stage — exact Levenshtein over the LSH
+    // candidate pairs only (never all-pairs; the candidate set is
+    // LSH-bounded, and per-pair O(len²) DP is the verification cost
+    // you signed up for, paid on ~candidates not ~corpus²). Integer
+    // distances; both engines implement classic edit distance -------
+    "q154_editdist_verify" -> Q(
+      impl = (s, d) => {
+        val sh = graft.Tables.docsParallel(s, d)
+          .withColumn("t", graft.functions.TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+        val sigs = graft.functions.MinHashLsh.signatures(sh, "doc_id", "sh", 12)
+        val pairs = graft.functions.MinHashLsh.candidatePairs(sigs, "doc_id", 12, 4)
+          .filter(col("est") >= 0.5)
+        val txt = Tables.load(s, d, "documents").select("doc_id", "text")
+        pairs
+          .join(txt.toDF("a", "ta"), "a")
+          .join(txt.toDF("b", "tb"), "b")
+          .select(col("a"), col("b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+            greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+          .orderBy("a", "b")
+      },
+      oracle = Some(s"""
+        WITH ${Extended2.lshPairCtes(0.5)}
+        SELECT p.a, p.b,
+               CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+               CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+        FROM pairs p
+          JOIN documents x ON x.doc_id = p.a
+          JOIN documents y ON y.doc_id = p.b
+        ORDER BY p.a, p.b"""),
+      bench = true),
+
+    // ---- discrete quantiles: percentile_disc returns an ACTUAL input
+    // value (the smallest with cume_dist ≥ p) — byte-identical across
+    // engines with no interpolation caveat, unlike the continuous
+    // variant's derived doubles (pinned separately by q57/q126) ------
+    "q155_disc_quantiles" -> Q(
+      impl = (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("__ev155")
+        s.sql("""
+          SELECT event_type,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+                 percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75
+          FROM __ev155 GROUP BY event_type ORDER BY event_type""")
+      },
+      oracle = Some("""
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.5)  AS p50,
+               quantile_disc(value, 0.75) AS p75
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
