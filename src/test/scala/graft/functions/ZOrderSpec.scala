@@ -46,12 +46,18 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("z-ordered layout prunes on both dims; x-sort only prunes x") {
     val base = Files.createTempDirectory("graft_zorder").toString
-    grid.repartitionByRange(Files64, col("x"), col("y"))
-      .sortWithinPartitions("x", "y")
-      .write.parquet(s"$base/by_x")
-    grid.repartitionByRange(Files64, col("z"))
-      .sortWithinPartitions("z")
-      .write.parquet(s"$base/by_z")
+    // Deterministic stand-in for a range partition on the sort key:
+    // 64 equal-width key buckets, one file each. (repartitionByRange
+    // draws its reservoir-sample seed from the RDD id, which depends
+    // on whatever ran earlier on the shared test session — sampled
+    // bounds can merge two buckets and drop a file, flaking the
+    // fence counts. Explicit buckets pin the layout.)
+    grid.withColumn("b", expr("x div 8"))
+      .repartition(1).sortWithinPartitions("x", "y")
+      .write.partitionBy("b").parquet(s"$base/by_x")
+    grid.withColumn("b", expr("z div 4096"))
+      .repartition(1).sortWithinPartitions("z")
+      .write.partitionBy("b").parquet(s"$base/by_z")
     val fx = fences(s"$base/by_x")
     val fz = fences(s"$base/by_z")
     assert(fx.size == Files64 && fz.size == Files64)
