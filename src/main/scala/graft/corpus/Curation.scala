@@ -56,10 +56,8 @@ object Curation {
   def nearDupFilter(threshold: Double = 0.5, k: Int = 12, bands: Int = 4,
       shingleWidth: Int = 3, idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
-        .as("__sh"))
-    val sigs = MinHashLsh.signatures(sh, idCol, "__sh", k)
+    val sigs =
+      MinHashLsh.signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
     val drop = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
       .filter(col("est") >= threshold)
       .select(col("b").as(idCol)).distinct()
@@ -75,10 +73,8 @@ object Curation {
       k: Int = 12, bands: Int = 4, shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
-        .as("__sh"))
-    val sigs = MinHashLsh.signatures(sh, idCol, "__sh", k)
+    val sigs =
+      MinHashLsh.signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
     val pairs = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
       .filter(col("est") >= threshold)
     val comp = Components.connectedComponents(pairs, "a", "b")

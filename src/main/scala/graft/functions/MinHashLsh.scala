@@ -67,6 +67,71 @@ object MinHashLsh {
     withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document MinHash signature computed inside one pass over the
+    * corpus — same values as `signatures` over exploded shingles, but
+    * with the per-doc min-loop run locally in a typed `mapPartitions`:
+    * a document's signature depends only on its own shingles, so the
+    * explode (which copies the row once per shingle through Generate)
+    * and the corpus-wide (id → k mins) aggregation shuffle are both
+    * unnecessary. The base hash is the identical md5-prefix value
+    * (first 28 bits of the digest, taken from the raw bytes rather
+    * than through a hex-string round-trip), so signatures stay
+    * bit-equal to the declarative form and to the SQL oracle.
+    * At 100 TB this turns the dominant LSH stage into a narrow
+    * map-only stage: zero shuffle until the band join.
+    *
+    * @param docs   one row per document
+    * @param tokensCol materialized array<string> token column
+    * @param n      shingle width (tokens per shingle)
+    * @return one row per id that has ≥ 1 shingle: idCol, s0..s{k-1}
+    */
+  def signaturesFromTokens(docs: DataFrame, idCol: String, tokensCol: String,
+      n: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val as = (0 until k).map(aConst).toArray
+    val bs = (0 until k).map(bConst).toArray
+    val p = P
+    val rows = docs
+      .select(col(idCol).cast("long"), col(tokensCol).cast("array<string>"))
+      .as[(Long, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
+        it.flatMap { case (id, t) =>
+          if (t == null || t.length < n) Iterator.empty
+          else {
+            val mins = Array.fill(k)(Long.MaxValue)
+            var i = 0
+            while (i + n <= t.length) {
+              sb.setLength(0)
+              var o = 0
+              while (o < n) {
+                if (o > 0) sb.append(' ')
+                sb.append(t(i + o))
+                o += 1
+              }
+              md.reset()
+              val dg = md.digest(sb.toString.getBytes("UTF-8"))
+              // first 7 hex chars of the digest == top 28 bits
+              val x = (((dg(0) & 0xffL) << 20) | ((dg(1) & 0xffL) << 12) |
+                ((dg(2) & 0xffL) << 4) | ((dg(3) & 0xf0L) >> 4)) % p
+              var j = 0
+              while (j < k) {
+                val c = (x * as(j) + bs(j)) % p
+                if (c < mins(j)) mins(j) = c
+                j += 1
+              }
+              i += 1
+            }
+            Iterator.single((id, mins))
+          }
+        }
+      }
+    rows.select(col("_1").as(idCol) +:
+      (0 until k).map(i => col("_2")(i).as(s"s$i")): _*)
+  }
+
   /** Candidate near-duplicate pairs from banded signatures.
     * @return (a, b, est) with a < b; `est` = fraction of equal
     *         signature components (MinHash Jaccard estimate).

@@ -144,13 +144,13 @@ object DocQueries {
     // ---- MinHash signatures (k=12, word 3-gram shingles) -----------
     "q26_minhash_sig" -> Q(
       impl = (s, d) => {
-        // No distinct before the min-aggregation: min() is idempotent
-        // to duplicate shingles, so the dedup shuffle would be wasted.
-        val sh = Tables.docsParallel(s, d)
+        // One-pass local form: each doc's k mins complete inside the
+        // scan (no shingle explode, no aggregation shuffle); values
+        // are bit-equal to the exploded formulation (MinHashAggSpec).
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK).orderBy("doc_id")
+        MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
+          .orderBy("doc_id")
       },
       oracle = Some(s"""
         WITH ${shingleCtes(3)}, $hashCte
@@ -161,11 +161,10 @@ object DocQueries {
     // ---- LSH candidate pairs (4 bands × 3 rows) --------------------
     "q27_lsh_pairs" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val sigs =
+          MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
         MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .orderBy("a", "b")
       },
@@ -193,29 +192,34 @@ object DocQueries {
     // ---- exact n-gram Jaccard within source ------------------------
     "q28_ngram_jaccard" -> Q(
       impl = (s, d) => {
-        // Distinct is required here (Jaccard counts distinct shingle
-        // sets); persist because the shingle set feeds three subplans
-        // (both self-join sides + sizes). Shingles are reduced to
-        // 60-bit md5-prefix ints *before* the distinct: every
-        // downstream shuffle (dedup, self-join, sizes) moves 8-byte
-        // keys instead of n-gram strings, and the oracle applies the
-        // identical reduction so intersection counts agree exactly
-        // (expected spurious collisions at 10^6 distinct shingles:
-        // ~10^12/2^61 ≈ 4·10^-7).
-        // Partition the shingle set by the JOIN key (source, sh) up
-        // front: identical rows co-locate, so dropDuplicates runs
-        // partition-local (no second exchange), and both self-join
-        // sides reuse this exact partitioning — the persisted frame is
-        // shuffled once instead of three times (distinct + 2 sides).
+        // Jaccard counts DISTINCT shingle sets — and distinctness per
+        // (doc, shingle) never crosses documents, so each doc's set is
+        // built inside a typed flatMap (local hash set, no corpus-wide
+        // dedup shuffle), then reduced to 64-bit xxhash64 ints: every
+        // downstream shuffle (self-join sides, sizes) moves 8-byte
+        // native keys instead of n-gram strings. The hash is internal
+        // identity only, so the oracle joins raw shingle strings —
+        // intersection counts agree up to negligible 64-bit collisions.
+        // Partition by the JOIN key (source, sh) up front: both
+        // self-join sides reuse this exact partitioning, so the
+        // persisted frame is shuffled once, not twice.
+        import s.implicits._
         val sh = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"), col("source"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 2)).as("shs"))
-          .select(col("doc_id"), col("source"),
-            conv(substring(md5(col("shs")), 1, 15), 16, 10)
-              .cast("long").as("sh"))
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, src, text) =>
+            val t = text.split(" ", -1)
+            val set = scala.collection.mutable.HashSet.empty[String]
+            var i = 0
+            while (i + 2 <= t.length) {
+              set.add(s"${t(i)} ${t(i + 1)}")
+              i += 1
+            }
+            set.iterator.map(g => (id, src, g))
+          }
+          .toDF("doc_id", "source", "shs")
+          .select(col("doc_id"), col("source"), xxhash64(col("shs")).as("sh"))
           .repartition(col("source"), col("sh"))
-          .dropDuplicates("doc_id", "source", "sh")
           .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val x = sh.toDF("a", "source", "sh")
@@ -233,14 +237,11 @@ object DocQueries {
       },
       oracle = Some(s"""
         WITH ${shingleCtes(2, withSource = true)},
-        shh AS (SELECT DISTINCT doc_id, source,
-                       CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
-                FROM sh),
-        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-          FROM shh x JOIN shh y
-            ON x.source = y.source AND x.h = y.h AND x.doc_id < y.doc_id
+          FROM sh x JOIN sh y
+            ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
           GROUP BY 1, 2)
         SELECT a, b, round(c / (sa.n + sb.n - c), 4) AS jaccard
         FROM inter
@@ -292,9 +293,8 @@ object DocQueries {
           .persist()
         // near-dup removal: LSH candidates with est >= 0.5 drop the
         // larger id of each pair
-        val sh = kept.select(col("doc_id"),
-          explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val sigs =
+          MinHashLsh.signaturesFromTokens(kept, "doc_id", "t", 3, MinhashK)
         val dropIds = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .filter(col("est") >= 0.5)
           .select(col("b").as("doc_id")).distinct()

@@ -98,21 +98,29 @@ object Extended13 {
         val docs = Tables.docsParallel(s, d)
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"), col("text"))
-        // explode positions, THEN substring: higher-order `transform`
-        // lambdas evaluate interpreted (CodegenFallback), so building
-        // the gram array per row costs ~3× the whole-stage-codegen'd
-        // position explode + per-row substring
-        val tg = docs
-          .select(col("doc_id"), col("lang"), col("text"),
-            explode(expr("sequence(1, length(text) - 2)")).as("i"))
-          .select(col("doc_id"), col("lang"),
-            expr("substring(text, i, 3)").as("g"))
-        // ONE explode + one heavy aggregation: doc→lang is functional,
-        // so carrying lang through the per-doc gram counts lets the
-        // training table re-aggregate dtc (≤ distinct grams per doc
-        // rows) instead of re-exploding the corpus
-        val dtc = tg.groupBy("doc_id", "lang", "g")
-          .agg(count(lit(1)).as("c")).persist()
+        // Per-doc trigram counting is a genuinely imperative per-row
+        // loop (one pass over the chars, local hash map), so it runs
+        // as a typed flatMap: each document's gram counts complete
+        // inside its own row's processing, which deletes BOTH the
+        // position-explode (whose Generate copies the full text once
+        // per char position) and the corpus-wide (doc_id, g) shuffle
+        // that re-assembled the counts — the two dominant costs of
+        // the declarative form (observed ~3× end-to-end). Downstream
+        // stays declarative on the ≤ distinct-grams-per-doc table.
+        import s.implicits._
+        val dtc = docs.select(col("doc_id"), col("lang"), col("text"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, lang, text) =>
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            var i = 0
+            while (i + 3 <= text.length) {
+              val g = text.substring(i, i + 3)
+              m.update(g, m.getOrElse(g, 0L) + 1L)
+              i += 1
+            }
+            m.iterator.map { case (g, c) => (id, lang, g, c) }
+          }
+          .toDF("doc_id", "lang", "g", "c").persist()
         // lg fans out to THREE consumers (per-lang totals, the vocab
         // size, the model) — persist the tiny (lang, gram) table so
         // dtc is re-aggregated once, not three times
@@ -128,19 +136,36 @@ object Extended13 {
           .withColumn("q0", expr(
             "CAST(round(ln(1.0 / CAST(nl + v AS DOUBLE)) * 1000000) AS BIGINT)"))
           .select(col("lang").as("ml"), col("q0"))
-        val m = dtc.groupBy("doc_id").agg(sum("c").as("m"))
-        // model is vocab×langs-sized — broadcast it so the corpus-side
-        // gram counts never shuffle on the gram key
-        val matched = dtc.join(broadcast(model), Seq("g"))
-          .groupBy("doc_id", "ml")
-          .agg(sum(col("c") * col("q")).as("mq"), sum("c").as("mc"))
-        val scores = m.crossJoin(broadcast(q0))
-          .join(matched, Seq("doc_id", "ml"), "left")
-          .withColumn("score",
-            coalesce(col("mq"), lit(0L)) +
-              (col("m") - coalesce(col("mc"), lit(0L))) * col("q0"))
-        val pred = scores.groupBy("doc_id")
-          .agg(min(struct((-col("score")).as("ns"), col("ml"))).as("p"))
+        // The label set and the per-lang unseen-gram penalty are
+        // metadata-scale (a handful of languages) — collect them and
+        // pivot the model WIDE by language. Scoring then joins each
+        // corpus gram row to ONE model row and aggregates per doc in
+        // a single narrow pass, instead of fanning every gram row out
+        // |langs|× through a (doc_id, lang) shuffle. At 1000 executors
+        // the fan-out is the difference between shuffling N rows and
+        // N·L rows; the pivot costs one |vocab|-row broadcast.
+        val langs = perLang.select("lang").as[String].collect().sorted.toSeq
+        val q0Map = q0.as[(String, Long)].collect().toMap
+        val modelWide = model.groupBy("g").pivot("ml", langs).agg(first("q"))
+        val joined = dtc.join(broadcast(modelWide), Seq("g"), "left")
+        val perLangAggs = langs.flatMap { l =>
+          Seq(sum(col(s"`$l`") * col("c")).as(s"mq_$l"),
+            sum(when(col(s"`$l`").isNotNull, col("c")).otherwise(lit(0L)))
+              .as(s"mc_$l"))
+        } :+ sum("c").as("m")
+        val perDoc = joined.groupBy("doc_id")
+          .agg(perLangAggs.head, perLangAggs.tail: _*)
+        // score_l = matched-gram mass + unseen-gram mass·q0_l; argmax
+        // with the same (score desc, lang asc) tie-break as the tall
+        // formulation: min over (-score, lang) structs.
+        val scoreStructs = langs.map { l =>
+          struct(
+            (-(coalesce(col(s"mq_$l"), lit(0L)) +
+              (col("m") - col(s"mc_$l")) * lit(q0Map(l)))).as("ns"),
+            lit(l).as("ml"))
+        }
+        val pred = perDoc
+          .withColumn("p", array_min(array(scoreStructs: _*)))
           .select(col("doc_id"), col("p.ml").as("pred_lang"))
         docs.select("doc_id", "lang").join(pred, "doc_id")
           .groupBy(col("lang"), col("pred_lang"))

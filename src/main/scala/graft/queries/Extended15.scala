@@ -122,11 +122,10 @@ object Extended15 {
     // distances; both engines implement classic edit distance -------
     "q154_editdist_verify" -> Q(
       impl = (s, d) => {
-        val sh = graft.Tables.docsParallel(s, d)
+        val docs = graft.Tables.docsParallel(s, d)
           .withColumn("t", graft.functions.TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(graft.functions.TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = graft.functions.MinHashLsh.signatures(sh, "doc_id", "sh", 12)
+        val sigs = graft.functions.MinHashLsh
+          .signaturesFromTokens(docs, "doc_id", "t", 3, 12)
         val pairs = graft.functions.MinHashLsh.candidatePairs(sigs, "doc_id", 12, 4)
           .filter(col("est") >= 0.5)
         val txt = Tables.load(s, d, "documents").select("doc_id", "text")

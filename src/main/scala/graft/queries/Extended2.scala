@@ -118,11 +118,10 @@ object Extended2 {
     // same clusters with a recursive reachability CTE ----------------
     "q61_lsh_components" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val sigs =
+          MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
         val pairs = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .filter(col("est") >= 0.5)
         Components.connectedComponents(pairs, "a", "b")

@@ -28,21 +28,34 @@ object Extended5 {
     // ---- benchmark contamination check: fraction of each training
     // document's distinct word-3-gram shingles that appear anywhere in
     // the held-out eval source — the standard pre-release test-set
-    // leakage scan. Scale shape: shingles are md5-prefix-reduced to
-    // 60-bit ints BEFORE the distinct/join (8-byte shuffle keys, same
-    // reduction as q28), and the eval shingle set — tiny next to the
-    // training corpus — is broadcast, so the corpus-side scan never
-    // shuffles for the probe ------------------------------------------
+    // leakage scan. Scale shape: each document's DISTINCT shingle set
+    // is built inside a typed flatMap (per-doc hash set — the dedup
+    // that used to be a corpus-wide shuffle completes locally, since
+    // distinctness per (doc, shingle) never crosses documents), then
+    // reduced to 64-bit xxhash64 keys — codegen'd native longs, 8-byte
+    // shuffle keys — and the eval shingle set, tiny next to the
+    // training corpus, is broadcast so the corpus-side scan never
+    // shuffles for the probe. The hash is pure internal identity
+    // (only counts are emitted), so the oracle compares raw shingle
+    // strings — equal up to negligible 64-bit collisions ---------------
     "q96_contamination_check" -> Q(
       impl = (s, d) => {
+        import s.implicits._
         val sh = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"), col("source"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("shs"))
-          .select(col("doc_id"), col("source"),
-            conv(substring(md5(col("shs")), 1, 15), 16, 10)
-              .cast("long").as("h"))
-          .distinct()
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, src, text) =>
+            val t = text.split(" ", -1)
+            val set = scala.collection.mutable.HashSet.empty[String]
+            var i = 0
+            while (i + 3 <= t.length) {
+              set.add(s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+              i += 1
+            }
+            set.iterator.map(g => (id, src, g))
+          }
+          .toDF("doc_id", "source", "shs")
+          .select(col("doc_id"), col("source"), xxhash64(col("shs")).as("h"))
           .persist() // feeds both the eval set and the training side
         val evalSh = sh.filter(col("source") === EvalSource)
           .select("h").distinct()
@@ -66,13 +79,10 @@ object Extended5 {
                        unnest(range(1, greatest(len(t) - 1, 1))) AS i
                 FROM toks),
         sh AS (SELECT DISTINCT doc_id, source,
-                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS h
                FROM idx WHERE i + 2 <= len(t)),
-        shh AS (SELECT DISTINCT doc_id, source,
-                       CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
-                FROM sh),
-        ev AS (SELECT DISTINCT h FROM shh WHERE source = '$EvalSource'),
-        train AS (SELECT doc_id, h FROM shh WHERE source <> '$EvalSource'),
+        ev AS (SELECT DISTINCT h FROM sh WHERE source = '$EvalSource'),
+        train AS (SELECT doc_id, h FROM sh WHERE source <> '$EvalSource'),
         sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY 1),
         hits AS (SELECT t.doc_id, count(*) AS c
                  FROM train t JOIN ev e ON e.h = t.h GROUP BY 1)

@@ -77,11 +77,10 @@ object Extended6 {
     // no per-group sort ----------------------------------------------
     "q102_cluster_canonical" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs0 = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        val sigs =
+          MinHashLsh.signaturesFromTokens(docs0, "doc_id", "t", 3, MinhashK)
         val pairs = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .filter(col("est") >= 0.5)
         val comp = Components.connectedComponents(pairs, "a", "b")

@@ -163,11 +163,10 @@ object Extended8 {
     // naive a<b<c three-way join must agree exactly ------------------
     "q117_lsh_triangles" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", Extended2.MinhashK)
+        val sigs = MinHashLsh.signaturesFromTokens(
+          docs, "doc_id", "t", 3, Extended2.MinhashK)
         val pairs = MinHashLsh
           .candidatePairs(sigs, "doc_id", Extended2.MinhashK, Extended2.Bands)
           .filter(col("est") >= 0.5)

@@ -28,4 +28,19 @@ class MinHashAggSpec extends AnyFunSuite {
       assert(a.toSeq == b.toSeq, s"mismatch at doc ${a.get(0)}")
     }
   }
+
+  test("signaturesFromTokens == signatures, row for row") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val sh = docs.select(col("doc_id"),
+      explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
+    val viaColumns = MinHashLsh.signatures(sh, "doc_id", "sh", K)
+      .orderBy("doc_id").collect()
+    val viaLocal = MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, K)
+      .orderBy("doc_id").collect()
+    assert(viaColumns.length == viaLocal.length && viaColumns.nonEmpty)
+    viaColumns.zip(viaLocal).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"mismatch at doc ${a.get(0)}")
+    }
+  }
 }
