@@ -100,9 +100,10 @@ object Curation {
       d.select(col(idCol),
           explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
             .as("__sh"))
-        .select(col(idCol),
-          conv(substring(md5(col("__sh")), 1, 15), 16, 10)
-            .cast("long").as("__h"))
+        // 64-bit xxhash64: codegen'd native identity for the
+        // probe/verify joins (both sides reduce identically, so the
+        // choice of hash never surfaces in results)
+        .select(col(idCol), xxhash64(col("__sh")).as("__h"))
     val evalSh = shingles(evalDocs).select("__h").distinct()
     val candidates = BloomDecontaminate
       .flag(shingles(df), "__h", evalSh, "__h", expectedEvalShingles)

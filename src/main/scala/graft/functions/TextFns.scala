@@ -1,15 +1,67 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for the training-data pipeline
   * (tokenization, quality scoring, language-ID heuristic, document
   * fingerprinting). Everything here composes codegen'd built-ins —
   * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
-  * predicates on the outputs remain pushable.
+  * predicates on the outputs remain pushable. The one exception is
+  * the per-document DISTINCT shingle-set builders below, which run a
+  * genuinely per-row imperative loop in a typed flatMap: shingle
+  * distinctness never crosses documents, so building each doc's set
+  * in a local hash table deletes the corpus-wide dedup shuffle the
+  * declarative explode+dropDuplicates form pays.
   */
 object TextFns {
+
+  /** Word n-gram set of one token array (single-space-joined grams,
+    * matching `wordShinglesFromTokens`).
+    */
+  private def shingleSet(t: Array[String], n: Int): Iterator[String] = {
+    val set = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i + n <= t.length) {
+      val sb = new java.lang.StringBuilder
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(t(i + o))
+        o += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set.iterator
+  }
+
+  /** (doc_id, shs): each document's DISTINCT word-n-gram shingles,
+    * built locally — a narrow map-only stage, no explode, no dedup
+    * shuffle. Input needs `doc_id` (long) and `text` columns.
+    */
+  def distinctShingles(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        shingleSet(text.split(" ", -1), n).map(g => (id, g))
+      }
+      .toDF("doc_id", "shs")
+  }
+
+  /** (doc_id, source, shs) variant carrying the source column. */
+  def distinctShinglesBySource(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        shingleSet(text.split(" ", -1), n).map(g => (id, src, g))
+      }
+      .toDF("doc_id", "source", "shs")
+  }
 
   /** Split on single spaces (empty tokens preserved — matches the
     * behavior of a literal-separator split in other engines).

@@ -125,6 +125,92 @@ object Multimodal {
     }
   }
 
+  // ---- video: RIFF/AVI container ------------------------------------
+
+  /** Deterministic video geometry per document. */
+  def frameCountOf(docId: Long): Int = (1 + docId % 48).toInt
+  def frameSizeOf(docId: Long, frame: Int): Int =
+    64 + ((docId + frame) % 32).toInt
+  val AviMicrosPerFrame = 33333 // ~30 fps
+
+  /** Minimal spec-shaped AVI: RIFF('AVI ') → LIST('hdrl') holding the
+    * 56-byte 'avih' main header (µs/frame at +0, total frames at +16,
+    * width/height at +32/+36, all little-endian per the published
+    * layout) → LIST('movi') holding one '00dc' compressed-video chunk
+    * per frame (word-aligned: odd-length chunks take a pad byte, which
+    * a correct walker must skip). Frame bodies are a deterministic
+    * byte pattern — the container arithmetic is the thing under test.
+    */
+  def aviPayload(docId: Long): Array[Byte] = {
+    val w = widthOf(docId)
+    val h = heightOf(docId)
+    val n = frameCountOf(docId)
+    val avih = le32(AviMicrosPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = "hdrl".getBytes(StandardCharsets.US_ASCII) ++
+      "avih".getBytes(StandardCharsets.US_ASCII) ++ le32(avih.length) ++ avih
+    val frames = (0 until n).toArray.flatMap { f =>
+      val len = frameSizeOf(docId, f)
+      val body = Array.tabulate[Byte](len)(i => ((docId + f + i) % 251).toByte)
+      val pad = if (len % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      "00dc".getBytes(StandardCharsets.US_ASCII) ++ le32(len) ++ body ++ pad
+    }
+    val movi = "movi".getBytes(StandardCharsets.US_ASCII) ++ frames
+    val lists =
+      "LIST".getBytes(StandardCharsets.US_ASCII) ++ le32(hdrl.length) ++ hdrl ++
+        "LIST".getBytes(StandardCharsets.US_ASCII) ++ le32(movi.length) ++ movi
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(4 + lists.length) ++
+      "AVI ".getBytes(StandardCharsets.US_ASCII) ++ lists
+  }
+
+  /** Parsed AVI main-header fields + the walked frame index. */
+  case class AviInfo(width: Int, height: Int, totalFrames: Int,
+      microsPerFrame: Int, frames: Seq[(Int, Int)]) // (offset, size)
+
+  /** Walk the RIFF chunk chain: read avih fields at their documented
+    * offsets, then the '00dc' frame chunks inside LIST('movi') with
+    * word alignment. Malformed containers return None — the corrupt-
+    * object-must-not-kill-the-stage policy of every decoder here.
+    */
+  def parseAvi(p: Array[Byte]): Option[AviInfo] = {
+    def fourcc(i: Int): String =
+      new String(p.slice(i, i + 4), StandardCharsets.US_ASCII)
+    if (p.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var w, h, total, upf = -1
+    val frames = Seq.newBuilder[(Int, Int)]
+    var i = 12
+    while (i + 8 <= p.length) {
+      val id = fourcc(i)
+      val size = leI32(p, i + 4)
+      if (size < 0 || i + 8 + size > p.length) return None
+      if (id == "LIST" && size >= 4) {
+        val listType = fourcc(i + 8)
+        if (listType == "hdrl") {
+          // avih must lead the list: 'avih' + len + 56-byte struct
+          val a = i + 12
+          if (a + 8 + 56 > p.length || fourcc(a) != "avih") return None
+          upf = leI32(p, a + 8)
+          total = leI32(p, a + 8 + 16)
+          w = leI32(p, a + 8 + 32)
+          h = leI32(p, a + 8 + 36)
+        } else if (listType == "movi") {
+          var j = i + 12
+          val end = i + 8 + size
+          while (j + 8 <= end) {
+            val cid = fourcc(j)
+            val clen = leI32(p, j + 4)
+            if (clen < 0 || j + 8 + clen > end) return None
+            if (cid == "00dc") frames += ((j + 8, clen))
+            j += 8 + clen + (clen % 2) // word alignment
+          }
+        }
+      }
+      i += 8 + size + (size % 2)
+    }
+    if (w < 0) None else Some(AviInfo(w, h, total, upf, frames.result()))
+  }
+
   // ---- real header decode ------------------------------------------
 
   private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff

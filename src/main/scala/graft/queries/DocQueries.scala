@@ -203,21 +203,8 @@ object DocQueries {
         // Partition by the JOIN key (source, sh) up front: both
         // self-join sides reuse this exact partitioning, so the
         // persisted frame is shuffled once, not twice.
-        import s.implicits._
-        val sh = Tables.docsParallel(s, d)
-          .select(col("doc_id"), col("source"), col("text"))
-          .as[(Long, String, String)]
-          .flatMap { case (id, src, text) =>
-            val t = text.split(" ", -1)
-            val set = scala.collection.mutable.HashSet.empty[String]
-            var i = 0
-            while (i + 2 <= t.length) {
-              set.add(s"${t(i)} ${t(i + 1)}")
-              i += 1
-            }
-            set.iterator.map(g => (id, src, g))
-          }
-          .toDF("doc_id", "source", "shs")
+        val sh = TextFns
+          .distinctShinglesBySource(Tables.docsParallel(s, d), 2)
           .select(col("doc_id"), col("source"), xxhash64(col("shs")).as("sh"))
           .repartition(col("source"), col("sh"))
           .persist()

@@ -107,14 +107,11 @@ object Extended11 {
     // shingle key, then one join back keyed the same way ------------
     "q131_novelty" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("shs"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("shs")), 1, 15), 16, 10)
-              .cast("long").as("h"))
-          .dropDuplicates("doc_id", "h")
+        // per-doc distinct shingle sets build locally (no dedup
+        // shuffle); 64-bit xxhash64 keys are internal identity only,
+        // so the oracle joins raw shingle strings
+        val sh = TextFns.distinctShingles(Tables.docsParallel(s, d), 3)
+          .select(col("doc_id"), xxhash64(col("shs")).as("h"))
         val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
         sh.join(df, "h")
           .groupBy("doc_id")
@@ -126,9 +123,7 @@ object Extended11 {
       },
       oracle = Some(s"""
         WITH ${DocQueries.shingleCtes(3)},
-        shh AS (SELECT DISTINCT doc_id,
-                       CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
-                FROM sh),
+        shh AS (SELECT doc_id, sh AS h FROM sh),
         df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM shh GROUP BY 1),
         agg AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
                        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)

@@ -104,14 +104,11 @@ object Extended12 {
     // corpus scale. Directional output (a→b and b→a both tested) ----
     "q135_containment" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("shs"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("shs")), 1, 15), 16, 10)
-              .cast("long").as("h"))
-          .dropDuplicates("doc_id", "h")
+        // per-doc distinct shingle sets build locally (no dedup
+        // shuffle); 64-bit xxhash64 keys are internal identity only,
+        // so the oracle joins raw shingle strings
+        val sh = TextFns.distinctShingles(Tables.docsParallel(s, d), 3)
+          .select(col("doc_id"), xxhash64(col("shs")).as("h"))
         val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDf)
         val rs = sh.join(rare, "h").select("doc_id", "h").persist()
@@ -128,9 +125,7 @@ object Extended12 {
       },
       oracle = Some(s"""
         WITH ${DocQueries.shingleCtes(3)},
-        shh AS (SELECT DISTINCT doc_id,
-                       CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
-                FROM sh),
+        shh AS (SELECT doc_id, sh AS h FROM sh),
         rare AS (SELECT h FROM shh GROUP BY h
                  HAVING count(*) <= $MaxShingleDf),
         rs AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON r.h = s.h),

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{SimHash, TextFns}
+import graft.multimodal.Multimodal
+
+/** Round-9 batch: video-container frame sampling (the multimodal
+  * frame-sample op over a real RIFF/AVI chunk walk), PII scrubbing,
+  * Gopher-style composite quality rules, OOV rate against a corpus-
+  * derived vocabulary, and SimHash hamming-band near-dup — the
+  * bit-LSH counterpart of the MinHash band join.
+  */
+object Extended16 {
+
+  /** DuckDB expression reproducing [[SimHash.simhashAgg]] over a
+    * token column — same construction as the q29 oracle.
+    */
+  private def simhashSql(tok: String): String =
+    (0 until SimHash.bits).map { b =>
+      val hexPos = 4 - b / 4
+      val pw = 1 << (b % 4)
+      val nib = s"(instr('0123456789abcdef', substr(md5($tok), $hexPos, 1)) - 1)"
+      s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+
+  val queries: Map[String, Q] = Map(
+    // ---- video frame sampling over a REAL container walk: build a
+    // spec-shaped RIFF/AVI per document (deterministic geometry),
+    // parse the avih main header at its documented offsets, walk the
+    // word-aligned '00dc' chunk chain, sample every 3rd frame, and
+    // aggregate per doc — the whole thing one narrow mapPartitions
+    // stage (build+parse+sample never leave the executor; at 100 TB
+    // the payload column streams through without a shuffle). The
+    // oracle recomputes frame counts and sampled byte sums from the
+    // generator formulas, so any chunk-offset or alignment error in
+    // build or walk breaks the hash match -----------------------------
+    "q156_avi_frames" -> Q(
+      impl = (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents").select(col("doc_id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val info = Multimodal.parseAvi(Multimodal.aviPayload(id)).get
+              val sampled = info.frames.zipWithIndex.collect {
+                case ((_, size), f) if f % 3 == 0 => size.toLong
+              }
+              (id, info.width.toLong, info.height.toLong,
+                info.frames.size.toLong,
+                info.totalFrames.toLong == info.frames.size.toLong,
+                sampled.size.toLong, sampled.sum)
+            }
+          }
+          .toDF("doc_id", "width", "height", "n_frames", "consistent",
+            "n_sampled", "sampled_bytes")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH m AS (SELECT doc_id, 1 + doc_id % 48 AS n FROM documents),
+        f AS (SELECT doc_id, n, unnest(range(0, n, 3)) AS fr FROM m)
+        SELECT f.doc_id,
+               CAST(1 + f.doc_id % 1920 AS BIGINT) AS width,
+               CAST(1 + (f.doc_id * 7) % 1080 AS BIGINT) AS height,
+               CAST(any_value(f.n) AS BIGINT) AS n_frames,
+               TRUE AS consistent,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(64 + (f.doc_id + f.fr) % 32) AS BIGINT) AS sampled_bytes
+        FROM f GROUP BY f.doc_id ORDER BY f.doc_id"""),
+      bench = true),
+
+    // ---- PII scrubbing: inject deterministic synthetic PII (no real
+    // identifiers exist in the corpus), then redact by regex and
+    // account for every masked character. The regexes are shared
+    // RE2/Java syntax so both engines match identical spans; counts
+    // come from regexp_extract_all so a lazy/greedy divergence would
+    // fail the compare. Narrow map-only plan until the per-source
+    // aggregation ------------------------------------------------------
+    "q157_pii_scrub" -> Q(
+      impl = (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        val aug = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("aug", concat(
+            when(col("doc_id") % 3 === 0,
+              concat(lit("contact u"), col("doc_id"), lit("@example.com ")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("call +1-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" ")))
+              .otherwise(lit("")),
+            col("text")))
+        aug
+          .withColumn("n_emails",
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+              .cast("long"))
+          .withColumn("n_phones",
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+              .cast("long"))
+          .withColumn("clean",
+            regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_emails").as("n_emails"),
+            sum("n_phones").as("n_phones"),
+            sum(length(col("aug")) - length(col("clean"))).cast("long")
+              .as("masked_chars"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH aug AS (
+          SELECT source,
+                 (CASE WHEN doc_id % 3 = 0
+                       THEN 'contact u' || doc_id || '@example.com ' ELSE '' END)
+                 || (CASE WHEN doc_id % 2 = 0
+                          THEN 'call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+                          ELSE '' END)
+                 || text AS aug
+          FROM documents),
+        scrubbed AS (
+          SELECT source, aug,
+                 len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+                 len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+                 regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                                '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+          FROM aug)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_emails) AS BIGINT) AS n_emails,
+               CAST(sum(n_phones) AS BIGINT) AS n_phones,
+               CAST(sum(len(aug) - len(clean)) AS BIGINT) AS masked_chars
+        FROM scrubbed GROUP BY source ORDER BY source"""),
+      bench = true),
+
+    // ---- Gopher-style composite quality rules: word count band, mean
+    // word length band, stopword floor, repetition ceiling — each doc
+    // evaluated in one codegen'd pass over its token array (exact
+    // integer/ratio arithmetic both engines reproduce), then per-source
+    // pass/fail accounting with a per-rule failure breakdown ------------
+    "q158_gopher_rules" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("t", TextFns.tokens(col("text")))
+          .withColumn("n_words", size(col("t")).cast("long"))
+          // single-space-joined text: total word chars = len - (n-1)
+          .withColumn("mean_wl",
+            (length(col("text")) - col("n_words") + 1).cast("double") /
+              col("n_words"))
+          .withColumn("stop_frac",
+            size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("double") /
+              col("n_words"))
+          .withColumn("rep_frac",
+            lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+              col("n_words"))
+          .withColumn("ok_len", col("n_words").between(20, 90))
+          .withColumn("ok_wl", col("mean_wl").between(3.0, 8.0))
+          .withColumn("ok_stop", col("stop_frac") >= 0.02)
+          .withColumn("ok_rep", col("rep_frac") <= 0.6)
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ok_len") && col("ok_wl") && col("ok_stop") &&
+              col("ok_rep"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(!col("ok_len"), 1L).otherwise(0L)).as("fail_len"),
+            sum(when(!col("ok_wl"), 1L).otherwise(0L)).as("fail_wl"),
+            sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("fail_stop"),
+            sum(when(!col("ok_rep"), 1L).otherwise(0L)).as("fail_rep"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT source,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_wl,
+                 CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_frac,
+                 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS rep_frac
+          FROM documents),
+        r AS (
+          SELECT source,
+                 n_words BETWEEN 20 AND 90 AS ok_len,
+                 mean_wl BETWEEN 3.0 AND 8.0 AS ok_wl,
+                 stop_frac >= 0.02 AS ok_stop,
+                 rep_frac <= 0.6 AS ok_rep
+          FROM f)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ok_len AND ok_wl AND ok_stop AND ok_rep
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+               CAST(sum(CASE WHEN NOT ok_wl THEN 1 ELSE 0 END) AS BIGINT) AS fail_wl,
+               CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+               CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep
+        FROM r GROUP BY source ORDER BY source"""),
+      bench = true),
+
+    // ---- OOV rate against the corpus' own top-100 vocabulary:
+    // vocabulary = top tokens by total occurrences with a full
+    // (count desc, token asc) order — deterministic across engines —
+    // broadcast to the per-doc scan; per-lang mean OOV fraction.
+    // The vocab is driver-/broadcast-scale by construction (top-K of
+    // an aggregation), the corpus side never shuffles for the probe --
+    "q159_oov_rate" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+        val vocab = docs.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(100)
+          .select("tok")
+        val perDoc = docs
+          .join(broadcast(vocab.withColumn("iv", lit(1L))), Seq("tok"), "left")
+          .groupBy("doc_id", "lang")
+          .agg((sum(when(col("iv").isNull, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("oov_frac"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("oov_frac"), 4).as("avg_oov"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        vocab AS (SELECT tok FROM (
+                    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+                    ORDER BY cnt DESC, tok ASC LIMIT 100)),
+        per_doc AS (
+          SELECT t.doc_id, t.lang,
+                 CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS oov_frac
+          FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+          GROUP BY t.doc_id, t.lang)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(oov_frac), 4) AS avg_oov
+        FROM per_doc GROUP BY lang ORDER BY lang"""),
+      bench = true),
+
+    // ---- SimHash hamming-band near-dup: the bit-LSH counterpart of
+    // the MinHash band join. 16-bit fingerprints cut into 4 nibble
+    // bands; docs sharing any band key become candidates (equi-join,
+    // never all-pairs), then the exact hamming distance over the full
+    // fingerprint verifies candidates at <= 1 differing bit. Both
+    // engines compute the identical md5-nibble fingerprint ------------
+    "q160_simhash_hamming" -> Q(
+      impl = (s, d) => {
+        val sigs = Tables.docsParallel(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(SimHash.simhashAgg(col("tok")).as("sh"))
+        val banded = sigs.select(col("doc_id"), col("sh"),
+            explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+          .withColumn("key",
+            expr("shiftright(sh, band * 4)").bitwiseAND(lit(15L)))
+          .persist()
+        val cands = banded.toDF("a", "sa", "band", "key")
+          .join(banded.toDF("b", "sb", "band", "key"), Seq("band", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b", "sa", "sb")
+          .distinct()
+        cands
+          .withColumn("hamming", SimHash.hamming(col("sa"), col("sb")))
+          .filter(col("hamming") <= 1)
+          .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+          .orderBy("a", "b")
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        sig AS (SELECT doc_id, ${simhashSql("tok")} AS sh
+                FROM tk GROUP BY doc_id),
+        b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sig),
+        bk AS (SELECT doc_id, sh, band, (sh >> (band * 4)) & 15 AS key FROM b),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                        x.sh AS sa, y.sh AS sb
+                 FROM bk x JOIN bk y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+        ORDER BY a, b"""),
+      bench = true)
+  )
+}

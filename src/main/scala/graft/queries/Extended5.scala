@@ -40,21 +40,8 @@ object Extended5 {
     // strings — equal up to negligible 64-bit collisions ---------------
     "q96_contamination_check" -> Q(
       impl = (s, d) => {
-        import s.implicits._
-        val sh = Tables.docsParallel(s, d)
-          .select(col("doc_id"), col("source"), col("text"))
-          .as[(Long, String, String)]
-          .flatMap { case (id, src, text) =>
-            val t = text.split(" ", -1)
-            val set = scala.collection.mutable.HashSet.empty[String]
-            var i = 0
-            while (i + 3 <= t.length) {
-              set.add(s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
-              i += 1
-            }
-            set.iterator.map(g => (id, src, g))
-          }
-          .toDF("doc_id", "source", "shs")
+        val sh = TextFns
+          .distinctShinglesBySource(Tables.docsParallel(s, d), 3)
           .select(col("doc_id"), col("source"), xxhash64(col("shs")).as("h"))
           .persist() // feeds both the eval set and the training side
         val evalSh = sh.filter(col("source") === EvalSource)

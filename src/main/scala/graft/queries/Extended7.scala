@@ -211,17 +211,16 @@ object Extended7 {
     // doc, the count of distinct eval shingles it contains ----------
     "q109_bloom_decontaminate" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"), col("source"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("shs"))
-          .select(col("doc_id"), col("source"),
-            conv(substring(md5(col("shs")), 1, 15), 16, 10)
-              .cast("long").as("h"))
+        // per-doc distinct shingle sets build locally (no dedup
+        // shuffle); 64-bit xxhash64 keys are internal identity only,
+        // so the oracle joins raw shingle strings
+        val sh = TextFns
+          .distinctShinglesBySource(Tables.docsParallel(s, d), 3)
+          .select(col("doc_id"), col("source"), xxhash64(col("shs")).as("h"))
         val evalSh = sh.filter(col("source") === EvalSrc)
           .select("h").distinct()
         val train = sh.filter(col("source") =!= EvalSrc)
-          .select("doc_id", "h").distinct()
+          .select("doc_id", "h")
         val gated = graft.operators.BloomDecontaminate
           .flag(train, "h", evalSh, "h", expectedItems = 200000L)
           .filter(col("maybe_contaminated"))
@@ -237,12 +236,11 @@ object Extended7 {
                        unnest(range(1, greatest(len(tk) - 1, 1))) AS i
                 FROM t),
         sh AS (SELECT DISTINCT doc_id, source,
-                      CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' '
-                        || tk[i+2]), 1, 15) AS BIGINT) AS h
+                      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS h
                FROM idx WHERE i + 2 <= len(tk)),
         ev AS (SELECT DISTINCT h FROM sh WHERE source = '$EvalSrc')
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
-        FROM (SELECT DISTINCT doc_id, h FROM sh WHERE source <> '$EvalSrc') s
+        FROM (SELECT doc_id, h FROM sh WHERE source <> '$EvalSrc') s
         JOIN ev USING (h)
         GROUP BY doc_id ORDER BY doc_id""")),
 

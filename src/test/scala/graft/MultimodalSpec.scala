@@ -92,4 +92,45 @@ class MultimodalSpec extends AnyFunSuite {
     g(4) = '7' // GIF89a → GIF87a
     assert(Multimodal.parseHeader(g) == ("gif", 300, 200))
   }
+
+  test("AVI build→walk round-trips geometry, frame count, and sizes") {
+    for (id <- Seq(0L, 1L, 7L, 47L, 48L, 12345L)) {
+      val info = Multimodal.parseAvi(Multimodal.aviPayload(id)).get
+      assert(info.width == Multimodal.widthOf(id))
+      assert(info.height == Multimodal.heightOf(id))
+      assert(info.microsPerFrame == Multimodal.AviMicrosPerFrame)
+      // avih total frames agrees with the walked '00dc' chain
+      assert(info.totalFrames == Multimodal.frameCountOf(id))
+      assert(info.frames.size == info.totalFrames)
+      info.frames.zipWithIndex.foreach { case ((_, size), f) =>
+        assert(size == Multimodal.frameSizeOf(id, f), s"id=$id frame=$f")
+      }
+      // offsets strictly increase and land inside the payload
+      val offs = info.frames.map(_._1)
+      assert(offs == offs.sorted && offs.distinct == offs)
+    }
+  }
+
+  test("odd-length frames are word-aligned: walker must skip pad bytes") {
+    // frameSizeOf covers both parities across frames of one doc
+    val id = 3L
+    val sizes = (0 until Multimodal.frameCountOf(id))
+      .map(Multimodal.frameSizeOf(id, _))
+    assert(sizes.exists(_ % 2 == 1) && sizes.exists(_ % 2 == 0))
+    val info = Multimodal.parseAvi(Multimodal.aviPayload(id)).get
+    assert(info.frames.map(_._2) == sizes)
+  }
+
+  test("malformed AVI returns None, never throws") {
+    assert(Multimodal.parseAvi(Array[Byte]()).isEmpty)
+    assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    val good = Multimodal.aviPayload(5L)
+    for (cut <- Seq(4, 11, 20, 60)) {
+      assert(Multimodal.parseAvi(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // corrupt a chunk size field to overflow the payload
+    val bad = good.clone()
+    bad(16) = 0x7f
+    assert(Multimodal.parseAvi(bad).isEmpty)
+  }
 }

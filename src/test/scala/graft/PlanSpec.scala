@@ -107,11 +107,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 shuffle (partial+final min_by agg), found $exchanges")
   }
 
-  test("q26: minhash signatures aggregate in a single shuffle") {
+  test("q26: minhash signatures are map-only — zero hash shuffles") {
+    // signaturesFromTokens completes each doc's k mins inside the
+    // scan; the only exchange left is the final ORDER BY's range
+    // partition. A hash exchange appearing here means the explode +
+    // corpus-wide aggregation crept back in.
     val p = plan("q26_minhash_sig")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1,
-      s"expected exactly 1 shuffle (partial+final agg), found $exchanges")
+    assert(exchanges == 0,
+      s"expected a map-only signature stage, found $exchanges hash shuffles")
   }
 
   test("q101: mixture sampling is a pure per-row predicate — zero hash shuffles") {
