@@ -136,24 +136,33 @@ object MinHashLsh {
     * @return (a, b, est) with a < b; `est` = fraction of equal
     *         signature components (MinHash Jaccard estimate).
     */
-  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  /** Banded LSH keys from a signature table: one row per (id, band)
+    * with the band's md5 key plus the full signature columns carried
+    * through (so a downstream join can compute the component-match
+    * estimate without a second signature lookup). This IS the "LSH
+    * index" layout: persisted (or written out) once, an incremental
+    * batch probes it with an equi-join on (band, key).
+    */
+  def bandKeys(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val bandKeys = (0 until bands).map { b =>
+    val keys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           (b * r until (b + 1) * r).map(i => col(s"s$i")): _*)).as("key"))
     }
     val bandedCols = Seq(col(idCol), col("__bk.band").as("band"),
       col("__bk.key").as("key")) ++ (0 until k).map(i => col(s"s$i"))
+    sigs.withColumn("__bk", explode(array(keys: _*)))
+      .select(bandedCols: _*)
+  }
+
+  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     // Persist before the self-join: both join sides reference this
     // subplan, and without materialization the whole shingle→minhash
     // pipeline would execute twice (signatures are the expensive part
     // — the md5 work over every shingle).
-    val banded = sigs
-      .withColumn("__bk", explode(array(bandKeys: _*)))
-      .select(bandedCols: _*)
-      .persist()
+    val banded = bandKeys(sigs, idCol, k, bands).persist()
     val l = banded.as("l")
     val rj = banded.as("r")
     val matches = (0 until k)

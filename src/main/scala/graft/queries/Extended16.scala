@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{SimHash, TextFns}
+import graft.functions.{MinHashLsh, SimHash, TextFns}
 import graft.multimodal.Multimodal
 
 /** Round-9 batch: video-container frame sampling (the multimodal
@@ -13,6 +13,9 @@ import graft.multimodal.Multimodal
   * bit-LSH counterpart of the MinHash band join.
   */
 object Extended16 {
+
+  private val MinhashK = Extended2.MinhashK
+  private val Bands = Extended2.Bands
 
   /** DuckDB expression reproducing [[SimHash.simhashAgg]] over a
     * token column — same construction as the q29 oracle.
@@ -284,6 +287,239 @@ object Extended16 {
         SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 1
         ORDER BY a, b"""),
+      bench = true),
+
+    // ---- incremental near-dup against a prebuilt LSH index: the
+    // production shape — the standing corpus' banded signatures are
+    // the INDEX (persisted here; written to a table in a real
+    // deployment), and a new delta batch probes it with one equi-join
+    // on (band, key), never recomputing corpus LSH per delta. The
+    // carried signature columns give the match estimate without a
+    // second lookup. Index build is O(corpus) once; per-delta cost is
+    // O(delta + collisions) ---------------------------------------------
+    "q161_incremental_neardup" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+        val sigs = MinHashLsh
+          .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
+          .persist()
+        val index = MinHashLsh.bandKeys(
+          sigs.filter(col("doc_id") % 10 =!= 0), "doc_id", MinhashK, Bands)
+        val probe = MinHashLsh.bandKeys(
+          sigs.filter(col("doc_id") % 10 === 0), "doc_id", MinhashK, Bands)
+        val matches = (0 until MinhashK)
+          .map(i => when(col(s"l.s$i") === col(s"r.s$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        probe.as("l")
+          .join(index.as("r"),
+            col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+          .select(col("l.doc_id").as("delta_doc"),
+            col("r.doc_id").as("index_doc"),
+            round(matches / lit(MinhashK.toDouble), 4).as("est"))
+          .distinct()
+          .filter(col("est") >= 0.5)
+          .orderBy("delta_doc", "index_doc")
+      },
+      oracle = Some {
+        val sigSelect = (0 until MinhashK).map(i =>
+          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+        val r = MinhashK / Bands
+        val bandRows = (0 until Bands).map { b =>
+          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+            (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+        }.mkString("\n UNION ALL\n ")
+        val m = (0 until MinhashK)
+          .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
+        band AS ($bandRows)
+        SELECT DISTINCT l.doc_id AS delta_doc, r.doc_id AS index_doc,
+               round(($m) / ${MinhashK.toDouble}, 4) AS est
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.key = r.key
+        WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+          AND round(($m) / ${MinhashK.toDouble}, 4) >= 0.5
+        ORDER BY delta_doc, index_doc"""
+      },
+      bench = true),
+
+    // ---- LSH recall audit: how many EXACT-Jaccard near-dup pairs does
+    // the band join actually surface, per similarity bucket? Exact
+    // pairs come from the raw shingle-set self-join (ground truth);
+    // "found" means the pair shares at least one band key. This is the
+    // measurement that justifies (k, bands) choices before a corpus-
+    // wide rollout — the audit itself is LSH-shaped (band equi-join +
+    // shingle equi-join), never all-pairs --------------------------------
+    "q162_lsh_recall_audit" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+        val sh = TextFns.distinctShingles(Tables.docsParallel(s, d), 3)
+          .select(col("doc_id"), xxhash64(col("shs")).as("h"))
+          .repartition(col("h"))
+          .persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.toDF("a", "h").join(sh.toDF("b", "h2"),
+            col("h") === col("h2") && col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val exact = inter
+          .join(sizes.toDF("a", "na"), "a")
+          .join(sizes.toDF("b", "nb"), "b")
+          .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+          .filter(col("j") >= 0.3)
+        val sigs = MinHashLsh
+          .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
+        val banded = MinHashLsh.bandKeys(sigs, "doc_id", MinhashK, Bands)
+        val found = banded.toDF((Seq("a", "band", "key") ++
+            (0 until MinhashK).map(i => s"sa$i")): _*)
+          .join(banded.toDF((Seq("b", "band", "key") ++
+            (0 until MinhashK).map(i => s"sb$i")): _*), Seq("band", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .withColumn("found", lit(1L))
+        exact.join(found, Seq("a", "b"), "left")
+          .withColumn("bucket", floor(col("j") * 10).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("found"), lit(0L))).as("n_found"))
+          .orderBy("bucket")
+      },
+      oracle = Some {
+        val sigSelect = (0 until MinhashK).map(i =>
+          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+        val r = MinhashK / Bands
+        val bandRows = (0 until Bands).map { b =>
+          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, md5($key) AS key FROM sig"
+        }.mkString("\n UNION ALL\n ")
+        s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                  FROM sh x JOIN sh y
+                    ON x.sh = y.sh AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+        exact AS (SELECT a, b,
+                         c / (sa.n + sb.n - c) AS j
+                  FROM inter
+                    JOIN sizes sa ON sa.doc_id = a
+                    JOIN sizes sb ON sb.doc_id = b
+                  WHERE c / (sa.n + sb.n - c) >= 0.3),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
+        band AS ($bandRows),
+        found AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM band l JOIN band r
+                    ON l.band = r.band AND l.key = r.key
+                       AND l.doc_id < r.doc_id)
+        SELECT CAST(floor(e.j * 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_found
+        FROM exact e LEFT JOIN found f ON f.a = e.a AND f.b = e.b
+        GROUP BY 1 ORDER BY bucket"""
+      },
+      bench = true),
+
+    // ---- canonical train/val/test holdout: deterministic md5-bucket
+    // assignment (the split survives reshuffles, re-runs, and corpus
+    // growth — a doc's split never changes), exact per-(source, split)
+    // accounting. Pure per-row predicate, zero shuffles before the
+    // final aggregation --------------------------------------------------
+    "q163_holdout_split" -> Q(
+      impl = (s, d) => {
+        val b = conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 7),
+          16, 10).cast("long") % 100
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+            when(b < 80, "train").when(b < 90, "val").otherwise("test")
+              .as("split"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("source", "split")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT source,
+                 CAST('0x' || substr(md5('split|' || doc_id), 1, 7) AS BIGINT)
+                   % 100 AS b,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents)
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM a GROUP BY 1, 2 ORDER BY source, split"""),
+      bench = true),
+
+    // ---- per-source KL divergence from the corpus token distribution
+    // — the data-mixing diagnostic (how far each source's unigram
+    // distribution sits from the mixture it feeds). Per-token
+    // contributions are quantized to micro-nat longs BEFORE the sum —
+    // long addition is associative, so the result is exact and
+    // identical under any partitioning (same determinism design as the
+    // quantized cosine in VecFns). Corpus totals are a broadcast-scale
+    // dimension ----------------------------------------------------------
+    "q164_source_kl" -> Q(
+      impl = (s, d) => {
+        val tok = Tables.load(s, d, "documents")
+          .select(col("source"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+        val st = tok.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+          .persist()
+        val srcTot = st.groupBy("source").agg(sum("cs").as("ns"))
+        val corpus = st.groupBy("tok").agg(sum("cs").as("cc"))
+        val corpusTot = corpus.agg(sum("cc").as("nc"))
+        st.join(broadcast(corpus), "tok")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(corpusTot))
+          .withColumn("contrib", expr("""
+            CAST(round((CAST(cs AS DOUBLE) / ns)
+                       * ln((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / nc))
+                       * 1000000) AS BIGINT)"""))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum("contrib").as("kl_micro_nats"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+               FROM tok GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
+        corpus AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS cc FROM st GROUP BY 1),
+        ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus)
+        SELECT st.source, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CAST(round((CAST(cs AS DOUBLE) / ns)
+                 * ln((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / nc))
+                 * 1000000) AS BIGINT)) AS BIGINT) AS kl_micro_nats
+        FROM st
+          JOIN stot ON stot.source = st.source
+          JOIN corpus ON corpus.tok = st.tok, ctot
+        GROUP BY st.source ORDER BY st.source"""),
       bench = true)
   )
 }
