@@ -95,18 +95,39 @@ object Pipeline {
   def write(tables: Map[String, DataFrame], outDir: String,
       dynamicPartitionOverwrite: Boolean = false): Unit =
     tables.foreach { case (name, df) =>
-      val (partCol, sortCols) = layout.getOrElse(name, (None, Nil))
-      val writer = partCol match {
-        case Some(p) =>
-          df.repartition(col(p))
-            .sortWithinPartitions(sortCols.map(col): _*)
-            .write.partitionBy(p)
-            .option("partitionOverwriteMode",
-              if (dynamicPartitionOverwrite) "dynamic" else "static")
-        case None =>
-          df.sortWithinPartitions(sortCols.map(col): _*).write
-      }
-      writer.mode("overwrite").parquet(s"$outDir/$name")
+      writeOne(name, df, outDir, dynamicPartitionOverwrite)
+    }
+
+  private def writeOne(name: String, df: DataFrame, outDir: String,
+      dynamicPartitionOverwrite: Boolean): Unit = {
+    val (partCol, sortCols) = layout.getOrElse(name, (None, Nil))
+    val writer = partCol match {
+      case Some(p) =>
+        df.repartition(col(p))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.partitionBy(p)
+          .option("partitionOverwriteMode",
+            if (dynamicPartitionOverwrite) "dynamic" else "static")
+      case None =>
+        df.sortWithinPartitions(sortCols.map(col): _*).write
+    }
+    writer.mode("overwrite").parquet(s"$outDir/$name")
+  }
+
+  /** `write` with in-flight record accounting (SURVEY A4): each
+    * table's written-row count rides the write job itself through
+    * `Dataset.observe` — the Spark-native form of the reference's
+    * loader counters, with NO second pass over the data (a `count()`
+    * after the fact would re-read every table; at 100 TB that doubles
+    * the job). Returns rows written per table.
+    */
+  def writeObserved(tables: Map[String, DataFrame], outDir: String,
+      dynamicPartitionOverwrite: Boolean = false): Map[String, Long] =
+    tables.map { case (name, df) =>
+      val obs = org.apache.spark.sql.Observation(s"graft_write_$name")
+      writeOne(name, df.observe(obs, count(lit(1)).as("rows")),
+        outDir, dynamicPartitionOverwrite)
+      name -> obs.get("rows").asInstanceOf[Long]
     }
 
   /** S9 parity sink: every table through Spark's JDBC writer — the

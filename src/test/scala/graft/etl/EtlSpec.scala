@@ -227,4 +227,18 @@ class EtlSpec extends AnyFunSuite {
     assert(geneBack.count() === tables("gene").count())
     assert(geneBack.columns.contains("gene_taxonid")) // partition col survives
   }
+
+  test("writeObserved: in-flight row accounting matches what landed (A4)") {
+    val tables = Pipeline.run(spark, Pipeline.Inputs(
+      genes = Seq(Pipeline.SpeciesFile(fx("genes_human.gff3"), 9606))))
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    val metrics = Pipeline.writeObserved(tables, out)
+    // the observed count rode the write job — assert it equals a
+    // fresh count of what's actually on disk, for every table
+    for ((name, n) <- metrics) {
+      assert(n === spark.read.parquet(s"$out/$name").count(),
+        s"observed count for $name diverges from the written table")
+    }
+    assert(metrics.keySet === tables.keySet)
+  }
 }
