@@ -153,7 +153,11 @@ object Extended13 {
             sum(when(col(s"`$l`").isNotNull, col("c")).otherwise(lit(0L)))
               .as(s"mc_$l"))
         } :+ sum("c").as("m")
-        val perDoc = joined.groupBy("doc_id")
+        // doc→lang is functional, so grouping by (doc_id, lang) keeps
+        // the true label on the scored row — the confusion matrix
+        // falls out of a re-aggregation with NO join back to the
+        // corpus (one fewer shuffle join than the tall formulation)
+        val perDoc = joined.groupBy("doc_id", "lang")
           .agg(perLangAggs.head, perLangAggs.tail: _*)
         // score_l = matched-gram mass + unseen-gram mass·q0_l; argmax
         // with the same (score desc, lang asc) tie-break as the tall
@@ -164,11 +168,9 @@ object Extended13 {
               (col("m") - col(s"mc_$l")) * lit(q0Map(l)))).as("ns"),
             lit(l).as("ml"))
         }
-        val pred = perDoc
+        perDoc
           .withColumn("p", array_min(array(scoreStructs: _*)))
-          .select(col("doc_id"), col("p.ml").as("pred_lang"))
-        docs.select("doc_id", "lang").join(pred, "doc_id")
-          .groupBy(col("lang"), col("pred_lang"))
+          .groupBy(col("lang"), col("p.ml").as("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred_lang")
       },
