@@ -39,7 +39,22 @@ object Ivf {
     */
   def train(data: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
       maxSample: Int = 100000, iters: Int = 15): Model = {
-    val sample = data
+    val sample = hashOrderedSample(data, vecCol, seed, maxSample)
+    require(sample.length >= k, s"need >= $k vectors to train")
+    // deterministic shuffle of the sample by a seeded hash of contents
+    val rng = new scala.util.Random(seed)
+    val shuffled = rng.shuffle(sample.toSeq.zipWithIndex).map(_._1)
+    Model(lloyd(shuffled, k, iters).toSeq
+      .map(c => c.toSeq.map(x => math.round(x * VecFns.Scale))))
+  }
+
+  /** Bounded uniform-over-the-corpus sample (see [[train]] scaladoc for
+    * why hash-ordered, not `limit`-ordered). Shared with [[Pq.train]]
+    * so both quantizers train on the identical sample.
+    */
+  private[operators] def hashOrderedSample(data: DataFrame, vecCol: String,
+      seed: Long, maxSample: Int): Array[Array[Double]] =
+    data
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("__h",
         md5(concat_ws(",", lit(seed), concat_ws(",", col("v").cast("array<string>")))))
@@ -48,10 +63,12 @@ object Ivf {
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.length >= k, s"need >= $k vectors to train")
-    // deterministic shuffle of the sample by a seeded hash of contents
-    val rng = new scala.util.Random(seed)
-    val shuffled = rng.shuffle(sample.toSeq.zipWithIndex).map(_._1)
+
+  /** Lloyd's iterations on an in-heap (already deterministically
+    * shuffled) sample; first `k` rows seed the centers.
+    */
+  private[operators] def lloyd(shuffled: Seq[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = shuffled.head.length
     var centers = shuffled.take(k).map(_.clone()).toArray
     for (_ <- 0 until iters) {
@@ -78,7 +95,7 @@ object Ivf {
           c }
       }
     }
-    Model(centers.toSeq.map(c => c.toSeq.map(x => math.round(x * VecFns.Scale))))
+    centers
   }
 
   /** Squared-distance-ordered (dist, cellId) structs for a quantized

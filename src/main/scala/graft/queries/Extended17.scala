@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Round-9 batch: exact repeated-span dedup (the substring-level
+  * member of the dedup family — MinHash/SimHash catch whole-doc
+  * near-copies, this catches verbatim passages shared across
+  * otherwise-different documents) and product-quantization ANN (the
+  * compressed-domain similarity-search path alongside brute force,
+  * LSH buckets, and IVF).
+  */
+object Extended17 {
+
+  /** Token width of a duplicated span seed. */
+  private val SpanK = 6
+  private val NQueries = 20
+  private val AnnK = 5
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact repeated-span dedup: every SpanK-token window is
+    // hashed (md5 of the joined slice — a fixed 32-char digest
+    // shuffles, never the text); a hash seen in ≥2 distinct docs marks
+    // its window duplicated; per doc, overlapping-or-adjacent
+    // duplicated windows merge into maximal regions and the query
+    // reports region count / duplicated-token mass / fraction. Scale
+    // shape: the two-phase distinct-doc count and the hash join back
+    // share one hash partitioning (exchange reuse), then one doc_id
+    // shuffle carries the window merge + final agg; only docs
+    // containing duplicated text survive to the window stage ---------
+    "q165_dup_spans" -> Q(
+      impl = (s, d) => {
+        val K = SpanK
+        val docs = Tables.docsParallel(s, d)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+          .withColumn("n_tok", size(col("t")))
+          .filter(col("n_tok") >= K)
+        val grams = docs.select(col("doc_id"), col("n_tok"),
+            posexplode(transform(sequence(lit(0), col("n_tok") - K),
+              i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(K)))))))
+          .toDF("doc_id", "n_tok", "pos", "gh")
+        val dup = grams.groupBy("gh")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("gh")
+        val hits = grams.join(dup, "gh")
+          .withColumn("e", col("pos") + (K - 1))
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        val prevMaxEnd = max(col("e"))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+        val flagged = hits.withColumn("newr",
+          when(col("pos") > coalesce(prevMaxEnd + 1, lit(Int.MinValue)), 1L)
+            .otherwise(0L))
+        val regions = flagged
+          .withColumn("gid", sum(col("newr"))
+            .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "gid")
+          .agg(max("n_tok").as("n_tok"),
+            min("pos").as("rs"), max("e").as("re"))
+        regions.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_regions"),
+            sum(col("re") - col("rs") + 1).cast("long").as("dup_tokens"),
+            max("n_tok").as("nt"))
+          .select(col("doc_id"), col("n_dup_regions"), col("dup_tokens"),
+            round(col("dup_tokens").cast("double") / col("nt"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        dn AS (SELECT doc_id, t, len(t) AS n_tok FROM d WHERE len(t) >= $SpanK),
+        g AS (SELECT doc_id, n_tok,
+                     unnest(range(0, n_tok - $SpanK + 1)) AS pos, t
+              FROM dn),
+        h AS (SELECT doc_id, n_tok, pos,
+                     md5(array_to_string(t[pos+1:pos+$SpanK], ' ')) AS gh
+              FROM g),
+        dup AS (SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, n_tok, pos, pos + $SpanK - 1 AS e
+                 FROM h SEMI JOIN dup USING (gh)),
+        f AS (SELECT doc_id, n_tok, pos, e,
+                CASE WHEN pos > coalesce(max(e) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+                     ${Int.MinValue}) THEN 1 ELSE 0 END AS newr
+              FROM hits),
+        r AS (SELECT doc_id, n_tok, pos, e,
+                sum(newr) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS gid
+              FROM f),
+        reg AS (SELECT doc_id, gid, max(n_tok) AS n_tok,
+                       min(pos) AS rs, max(e) AS re
+                FROM r GROUP BY doc_id, gid)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_regions,
+               CAST(sum(re - rs + 1) AS BIGINT) AS dup_tokens,
+               round(CAST(sum(re - rs + 1) AS DOUBLE) / max(n_tok), 6) AS dup_frac
+        FROM reg GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- product-quantization ANN: corpus → 8 byte-codes per vector
+    // (8 subspaces × 16-centroid codebooks), query scoring = ADC table
+    // lookups, exact-cosine re-rank of a 50-candidate shortlist. Rows
+    // only — the trained codebooks are not SQL-expressible; recall@5
+    // vs brute force is pinned by PqSpec -----------------------------
+    "q166_pq_ann" -> Q(
+      impl = (s, d) => {
+        val all = VectorQueries.quantized(s, d).toDF("n_id", "n_vq", "n_nsq")
+        val model = graft.operators.Pq.train(
+          Tables.load(s, d, "embeddings"), "embedding", m = 8, k = 16)
+        val q = all.filter(col("n_id") < NQueries)
+          .toDF("q_id", "q_vq", "q_nsq")
+        graft.operators.Pq.search(all, q, model, rerank = 50, topK = AnnK)
+      },
+      oracle = None))
+}

@@ -23,5 +23,6 @@ object Registry {
       Extended5.queries ++ Extended6.queries ++ Extended7.queries ++
       Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
       Extended11.queries ++ Extended12.queries ++ Extended13.queries ++
-      Extended14.queries ++ Extended15.queries ++ Extended16.queries
+      Extended14.queries ++ Extended15.queries ++ Extended16.queries ++
+      Extended17.queries
 }

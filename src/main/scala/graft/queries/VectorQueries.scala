@@ -24,7 +24,7 @@ object VectorQueries {
   private val Dim = 64
   private val NPlanes = 8
 
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[queries] def quantized(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     // Parallel read matters here: this frame is the *streamed* side of
     // every broadcast scoring join below, so its partition count is
