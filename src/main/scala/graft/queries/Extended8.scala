@@ -120,9 +120,15 @@ object Extended8 {
 
     // ---- sweep-line coverage depth: max concurrent shipment
     // intervals per supplier. Boundaries become ±1 events, aggregated
-    // per position (one hash shuffle), then ONE grouped running sum
+    // per position (one hash shuffle), then a per-supplier running sum
     // gives the depth profile — the genomics "coverage depth" /
-    // concurrency-peak operator without a quadratic overlap join ----
+    // concurrency-peak operator without a quadratic overlap join.
+    // The scan here is the BUILT-IN window, not `GroupedPrefixSum`:
+    // suppliers are numerous and each group is small, so WindowExec
+    // (hash-partitioned by s, per-group in-memory sort) is already
+    // fully distributed — the custom range-partitioned scan only pays
+    // off when one group spans partitions (see q93/q110's by-source
+    // scans) ---------------------------------------------------------
     "q116_coverage_depth" -> Q(
       impl = (s, d) => {
         // one scan: each interval explodes to its two ±1 boundary
@@ -133,8 +139,10 @@ object Extended8 {
             struct((col("en") + 1L).as("pos"), lit(-1L).as("delta")))).as("e"))
           .select(col("s"), col("e.pos").as("pos"), col("e.delta").as("delta"))
           .groupBy("s", "pos").agg(sum("delta").as("d"))
-        val depth = GroupedPrefixSum.withRunningSum(
-          ev, "s", Seq(col("pos")), "d", "depth", inclusive = true)
+        val depth = ev.withColumn("depth",
+          sum(col("d")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("s").orderBy("pos")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         depth.groupBy("s")
           .agg(max("depth").as("max_depth"), count(lit(1)).as("n_change_points"))
           .select(col("s").as("l_suppkey"), col("max_depth"), col("n_change_points"))
