@@ -125,4 +125,41 @@ object Pq {
         round(col("cos"), 6).as("cos_r"))
       .orderBy("q_id", "rk")
   }
+
+  /** IVF-PQ search — the standard composition for billion-vector /
+    * 100 TB search: the [[Ivf]] coarse quantizer turns the scoring
+    * cross join into an equi-join on cell id (only `nprobe` cells'
+    * vectors are touched per query), PQ's ADC lookup tables score the
+    * survivors in the compressed domain (the inverted lists carry
+    * codes, not vectors), and the exact re-rank restores true cosines
+    * on the shortlist. Same output contract as [[search]].
+    */
+  def searchIvfPq(data: DataFrame, queries: DataFrame,
+      coarse: Ivf.Model, model: Model, nprobe: Int,
+      rerank: Int, topK: Int): DataFrame = {
+    val lists = data.select(col("n_id"),
+      Ivf.assignCell(col("n_vq"), coarse).as("cell"),
+      encode(col("n_vq"), model).as("codes"))
+    val probed = broadcast(queries.select(
+        col("q_id"), queryLuts(col("q_vq"), model).as("luts"), col("q_nsq"),
+        explode(Ivf.probeCells(col("q_vq"), coarse, nprobe)).as("cell")))
+    val approx = lists.join(probed, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("acos", VecFns.cosineFromQ(
+        adcDot(col("luts"), col("codes"), model),
+        col("q_nsq"), codedNormSq(col("codes"), model)))
+    val cand = TopK.perGroup(approx, Seq("q_id"),
+        Seq(col("acos").desc, col("n_id").asc), rerank)
+      .select("q_id", "n_id")
+    val exact = cand
+      .join(data, "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos", VecFns.cosineFromQ(
+        VecFns.dotQFast(col("q_vq"), col("n_vq")), col("q_nsq"), col("n_nsq")))
+    TopK.perGroup(exact, Seq("q_id"),
+        Seq(col("cos").desc, col("n_id").asc), topK)
+      .select(col("q_id"), col("rk"), col("n_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
 }

@@ -113,5 +113,23 @@ object Extended17 {
           .toDF("q_id", "q_vq", "q_nsq")
         graft.operators.Pq.search(all, q, model, rerank = 50, topK = AnnK)
       },
+      oracle = None),
+
+    // ---- IVF-PQ: the billion-vector composition — coarse cells turn
+    // the scoring join into an equi-join (only nprobe cells touched
+    // per query), ADC scores the cells' code lists in the compressed
+    // domain, exact re-rank on the shortlist. Rows only (two trained
+    // quantizers); recall pinned by PqSpec --------------------------
+    "q167_ivfpq_ann" -> Q(
+      impl = (s, d) => {
+        val all = VectorQueries.quantized(s, d).toDF("n_id", "n_vq", "n_nsq")
+        val raw = Tables.load(s, d, "embeddings")
+        val coarse = graft.operators.Ivf.train(raw, "embedding", k = 16)
+        val model = graft.operators.Pq.train(raw, "embedding", m = 8, k = 16)
+        val q = all.filter(col("n_id") < NQueries)
+          .toDF("q_id", "q_vq", "q_nsq")
+        graft.operators.Pq.searchIvfPq(all, q, coarse, model,
+          nprobe = 6, rerank = 50, topK = AnnK)
+      },
       oracle = None))
 }

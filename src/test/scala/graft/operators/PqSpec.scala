@@ -28,6 +28,19 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.7, s"PQ mean recall@5 too low: $mean")
   }
 
+  test("IVF-PQ recall@5 vs brute force") {
+    val exact = neighborSets("q30_embed_knn")
+    val ivfpq = neighborSets("q167_ivfpq_ann")
+    // cell pruning (nprobe 6/16) stacks on ADC shortlist error, so the
+    // floor sits below plain PQ's — still far above the ~0.3 a random
+    // 50-candidate shortlist would give at this corpus size
+    val recalls = exact.map { case (q, truth) =>
+      ivfpq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"IVF-PQ mean recall@5 too low: $mean")
+  }
+
   test("codes are in-range and ADC lookup equals direct centroid dot") {
     graft.functions.expressions.GraftFunctions.register(spark)
     import graft.functions.VecFns
