@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
+import graft.multimodal.Multimodal
 
 /** Round-9 batch: exact repeated-span dedup (the substring-level
   * member of the dedup family — MinHash/SimHash catch whole-doc
@@ -131,5 +132,91 @@ object Extended17 {
         graft.operators.Pq.searchIvfPq(all, q, coarse, model,
           nprobe = 6, rerank = 50, topK = AnnK)
       },
-      oracle = None))
+      oracle = None),
+
+    // ---- thumbnail geometry + feature extraction over the media
+    // payload: sniff the container from magic bytes, compute the
+    // aspect-preserving 224×224 thumbnail fit in exact integer
+    // arithmetic, skip the header by FORMAT knowledge (fixed
+    // per-container header lengths — never by trailing-byte
+    // inspection), and extract byte-level features (mean + 4-bin
+    // histogram) from the body in the same pass. One narrow
+    // mapPartitions stage: payloads never shuffle; only the
+    // per-source feature sums do. The real pixel decode is where an
+    // image library would slot in — the features here are the
+    // deterministic stand-in, and the oracle recomputes them from the
+    // generator formulas (ASCII body ⇒ code points = bytes) ----------
+    "q168_thumb_features" -> Q(
+      impl = (s, d) => {
+        import s.implicits._
+        val hdrLen = Map("png" -> 33, "gif" -> 13, "bmp" -> 26, "jpeg" -> 39)
+        val feats = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, src, text) =>
+              val p = Multimodal.syntheticPayload(id, text)
+              val (fmt, w, h) = Multimodal.parseHeader(p)
+              hdrLen.get(fmt).map { hdr =>
+                val (tw, th) =
+                  if (w <= 224 && h <= 224) (w, h)
+                  else if (w >= h) (224, math.max(1, h * 224 / w))
+                  else (math.max(1, w * 224 / h), 224)
+                var bsum = 0L
+                val bins = new Array[Long](4)
+                var i = hdr
+                while (i < p.length) {
+                  val b = p(i) & 0xff
+                  bsum += b; bins(b % 4) += 1; i += 1
+                }
+                (src, tw.toLong, th.toLong, bsum, (p.length - hdr).toLong,
+                  bins(0), bins(1), bins(2), bins(3))
+              }
+            }
+          }
+          .toDF("source", "tw", "th", "bsum", "bn", "b0", "b1", "b2", "b3")
+        feats.groupBy("source").agg(
+            count(lit(1)).as("n_images"),
+            sum("tw").as("sum_tw"), sum("th").as("sum_th"),
+            round(sum(col("bsum")).cast("double") / sum(col("bn")), 6)
+              .as("mean_byte"),
+            sum("b0").as("h0"), sum("b1").as("h1"),
+            sum("b2").as("h2"), sum("b3").as("h3"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH img AS (
+          SELECT doc_id, source, text,
+                 CAST(1 + doc_id % 1920 AS BIGINT) AS w,
+                 CAST(1 + (doc_id * 7) % 1080 AS BIGINT) AS h
+          FROM documents WHERE doc_id % 5 <> 4),
+        geo AS (
+          SELECT doc_id, source,
+                 CASE WHEN w <= 224 AND h <= 224 THEN w
+                      WHEN w >= h THEN 224
+                      ELSE greatest(1, (w * 224) // h) END AS tw,
+                 CASE WHEN w <= 224 AND h <= 224 THEN h
+                      WHEN w >= h THEN greatest(1, (h * 224) // w)
+                      ELSE 224 END AS th
+          FROM img),
+        chars AS (
+          SELECT doc_id, unicode(c) AS b
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                FROM img)
+          WHERE length(c) = 1),
+        st AS (
+          SELECT doc_id, sum(b) AS bsum, count(*) AS bn,
+                 sum(CASE WHEN b % 4 = 0 THEN 1 ELSE 0 END) AS b0,
+                 sum(CASE WHEN b % 4 = 1 THEN 1 ELSE 0 END) AS b1,
+                 sum(CASE WHEN b % 4 = 2 THEN 1 ELSE 0 END) AS b2,
+                 sum(CASE WHEN b % 4 = 3 THEN 1 ELSE 0 END) AS b3
+          FROM chars GROUP BY doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(tw) AS BIGINT) AS sum_tw,
+               CAST(sum(th) AS BIGINT) AS sum_th,
+               round(CAST(sum(bsum) AS DOUBLE) / sum(bn), 6) AS mean_byte,
+               CAST(sum(b0) AS BIGINT) AS h0, CAST(sum(b1) AS BIGINT) AS h1,
+               CAST(sum(b2) AS BIGINT) AS h2, CAST(sum(b3) AS BIGINT) AS h3
+        FROM geo JOIN st USING (doc_id)
+        GROUP BY source ORDER BY source""")))
 }
