@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{MinHashLsh, TextFns, VecFns}
 import graft.multimodal.Multimodal
 
 /** Round-9 batch: exact repeated-span dedup (the substring-level
@@ -218,5 +218,101 @@ object Extended17 {
                CAST(sum(b0) AS BIGINT) AS h0, CAST(sum(b1) AS BIGINT) AS h1,
                CAST(sum(b2) AS BIGINT) AS h2, CAST(sum(b3) AS BIGINT) AS h3
         FROM geo JOIN st USING (doc_id)
-        GROUP BY source ORDER BY source""")))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- modality-disagreement audit: the text near-dup pair set
+    // (banded MinHash, est ≥ 0.5) full-outer-joined against the
+    // embedding near-dup pair set (banded hyperplane LSH + exact
+    // quantized cosine ≥ 0.4, the q53 construction) and classed as
+    // both / text_only / embed_only — the QA op that catches broken
+    // or drifted embeddings: verbatim copies whose vectors don't
+    // agree (or vector twins with unrelated text) surface as
+    // off-diagonal mass. Outputs are pure integer counts, so the
+    // cross-engine hash is exact by construction ---------------------
+    "q169_modality_audit" -> Q(
+      impl = (s, d) => {
+        graft.functions.expressions.GraftFunctions.register(s)
+        val docs = Tables.docsParallel(s, d)
+          .withColumn("t", TextFns.tokens(col("text")))
+        val sigs = MinHashLsh.signaturesFromTokens(
+          docs, "doc_id", "t", 3, Extended2.MinhashK)
+        val text = MinHashLsh
+          .candidatePairs(sigs, "doc_id", Extended2.MinhashK, Extended2.Bands)
+          .filter(col("est") >= 0.5)
+          .select(col("a"), col("b"), lit(1).as("tm"))
+        val emb = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+          .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+        val epairs = graft.operators.EmbedNearDup.bandedPairs(emb, "vec_id",
+            bands = 4, planesPerBand = 4, dim = 64, minCos = 0.4)
+          .select(col("a"), col("b"), lit(1).as("em"))
+        val classed = text.join(epairs, Seq("a", "b"), "full_outer")
+          .withColumn("class",
+            when(col("tm").isNotNull && col("em").isNotNull, "both")
+              .when(col("tm").isNotNull, "text_only")
+              .otherwise("embed_only"))
+        val nDocs = classed
+          .select(col("class"), explode(array(col("a"), col("b"))).as("doc"))
+          .groupBy("class").agg(count_distinct(col("doc")).as("n_docs"))
+        classed.groupBy("class").agg(count(lit(1)).as("n_pairs"))
+          .join(nDocs, "class")
+          .orderBy("class")
+      },
+      oracle = Some {
+        val nPlanes = 16 // 4 bands × 4 planes, the q53 geometry
+        val weightRows = (for {
+          j <- 0 until nPlanes
+          i <- 1 to 64
+        } yield s"($j,$i,${VecFns.hyperplaneWeight(j, i - 1)})").mkString(",")
+        val pw = (0 until 4).map(m => s"($m,${1L << m})").mkString(",")
+        s"""
+        WITH ${Extended2.lshPairCtes(0.5)},
+        f AS (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+        qv AS (SELECT vec_id, i,
+                      CAST(round(CAST(x AS DOUBLE) * ${VecFns.Scale}) AS BIGINT) AS e
+               FROM f),
+        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS nsq
+                  FROM qv GROUP BY vec_id),
+        ew(j, i, wt) AS (VALUES $weightRows),
+        epw(m, pv) AS (VALUES $pw),
+        eproj AS (
+          SELECT qv.vec_id, ew.j, CAST(sum(qv.e * ew.wt) AS BIGINT) AS p
+          FROM qv JOIN ew ON qv.i = ew.i GROUP BY 1, 2),
+        ebk AS (
+          SELECT vec_id, j // 4 AS band,
+                 CAST(sum(CASE WHEN p >= 0 THEN pv ELSE 0 END) AS BIGINT) AS key
+          FROM eproj JOIN epw ON epw.m = j % 4
+          GROUP BY 1, 2),
+        ecand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM ebk x JOIN ebk y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        edots AS (
+          SELECT p.a, p.b, CAST(sum(xa.e * xb.e) AS BIGINT) AS dot
+          FROM ecand p
+            JOIN qv xa ON xa.vec_id = p.a
+            JOIN qv xb ON xb.vec_id = p.b AND xb.i = xa.i
+          GROUP BY 1, 2),
+        epairs AS (
+          SELECT a, b FROM edots
+            JOIN norms na ON na.vec_id = a
+            JOIN norms nb ON nb.vec_id = b
+          WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) >= 0.4),
+        classed AS (
+          SELECT coalesce(p.a, e.a) AS a, coalesce(p.b, e.b) AS b,
+                 CASE WHEN p.a IS NOT NULL AND e.a IS NOT NULL THEN 'both'
+                      WHEN p.a IS NOT NULL THEN 'text_only'
+                      ELSE 'embed_only' END AS class
+          FROM pairs p FULL JOIN epairs e ON p.a = e.a AND p.b = e.b),
+        nd AS (
+          SELECT class, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+          FROM (SELECT class, unnest([a, b]) AS d FROM classed)
+          GROUP BY class)
+        SELECT class, CAST(count(*) AS BIGINT) AS n_pairs, n_docs
+        FROM classed JOIN nd USING (class)
+        GROUP BY class, n_docs ORDER BY class"""
+      }))
 }
