@@ -76,6 +76,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "long_array_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "internal")
     reg.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction(
+      "pq_luts", exprs => PqLuts(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction(
+      "adc_dot", exprs => AdcDot(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction(
+      "pq_codenorm", exprs => PqCodeNorm(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction(
+      "ivf_probe", exprs => IvfProbe(exprs(0), exprs(1), exprs(2)), "internal")
+    reg.createOrReplaceTempFunction(
       "graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),

@@ -38,14 +38,31 @@ object Ivf {
     * distributed partial top-k (TakeOrdered), not a global sort.
     */
   def train(data: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-      maxSample: Int = 100000, iters: Int = 15): Model = {
-    val sample = hashOrderedSample(data, vecCol, seed, maxSample)
-    require(sample.length >= k, s"need >= $k vectors to train")
-    // deterministic shuffle of the sample by a seeded hash of contents
-    val rng = new scala.util.Random(seed)
-    val shuffled = rng.shuffle(sample.toSeq.zipWithIndex).map(_._1)
+      maxSample: Int = 100000, iters: Int = 15): Model =
+    trainFromShuffled(shuffledSample(data, vecCol, seed, maxSample), k, iters)
+
+  /** Train from an already collected-and-shuffled sample — lets a
+    * caller composing two quantizers off the same sample (IVF-PQ, see
+    * [[Pq.searchIvfPq]]) pay for ONE corpus scan + collect instead of
+    * two identical ones.
+    */
+  private[operators] def trainFromShuffled(shuffled: IndexedSeq[Array[Double]],
+      k: Int, iters: Int): Model = {
+    require(shuffled.length >= k, s"need >= $k vectors to train")
     Model(lloyd(shuffled, k, iters).toSeq
       .map(c => c.toSeq.map(x => math.round(x * VecFns.Scale))))
+  }
+
+  /** The deterministic sample both quantizer trainers consume:
+    * hash-ordered collect (see [[train]] scaladoc) + seeded in-heap
+    * shuffle by a fresh `Random(seed)` — so every trainer handed the
+    * same (data, seed, maxSample) sees the identical sequence.
+    */
+  private[operators] def shuffledSample(data: DataFrame, vecCol: String,
+      seed: Long, maxSample: Int): IndexedSeq[Array[Double]] = {
+    val sample = hashOrderedSample(data, vecCol, seed, maxSample)
+    val rng = new scala.util.Random(seed)
+    rng.shuffle(sample.toSeq.zipWithIndex).map(_._1).toIndexedSeq
   }
 
   /** Bounded uniform-over-the-corpus sample (see [[train]] scaladoc for
@@ -66,26 +83,51 @@ object Ivf {
 
   /** Lloyd's iterations on an in-heap (already deterministically
     * shuffled) sample; first `k` rows seed the centers.
+    *
+    * The assignment pass is embarrassingly parallel, so it fans out
+    * over FIXED-size chunks of the sample on the driver's cores, and
+    * partial (sums, counts) merge in chunk order — the float-sum
+    * order is a pure function of the sample, never of thread timing,
+    * so trained centroids are bit-reproducible run to run. (This is
+    * driver-local math over a bounded sample — the corpus itself is
+    * never involved; see [[train]].)
     */
   private[operators] def lloyd(shuffled: Seq[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val dim = shuffled.head.length
-    var centers = shuffled.take(k).map(_.clone()).toArray
+    val sample = shuffled.toArray
+    val chunks = sample.grouped(math.max(4096, sample.length / 32 + 1)).toArray
+    var centers = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
+      val cts = centers // stable capture for the closure
+      val partials = Await.result(
+        Future.traverse(chunks.toSeq) { chunk => Future {
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          for (v <- chunk) {
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < k) {
+              var d = 0.0; var i = 0
+              while (i < dim) { val t = v(i) - cts(j)(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            var i = 0
+            while (i < dim) { sums(best)(i) += v(i); i += 1 }
+            counts(best) += 1
+          }
+          (sums, counts)
+        }}, Duration.Inf)
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      for (v <- shuffled) {
-        var best = 0; var bestD = Double.MaxValue
-        var j = 0
-        while (j < k) {
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - centers(j)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
+      for ((ps, pc) <- partials; j <- 0 until k) {
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
+        while (i < dim) { sums(j)(i) += ps(j)(i); i += 1 }
+        counts(j) += pc(j)
       }
       centers = Array.tabulate(k) { j =>
         if (counts(j) == 0) centers(j)
@@ -98,28 +140,22 @@ object Ivf {
     centers
   }
 
-  /** Squared-distance-ordered (dist, cellId) structs for a quantized
-    * vector column against every centroid. Common `|v|²` term omitted
-    * (constant per row): score_j = |c_j|² − 2·v·c_j.
+  /** Nearest cell per vector (for the inverted file), by
+    * `|c_j|² − 2·v·c_j` (the common `|v|²` dropped — constant per
+    * row). One native-expression node with the centroid table as a
+    * single literal — the per-centroid struct/argmin tree made
+    * Catalyst planning, not execution, the dominant cost on repeated
+    * runs (see [[graft.functions.expressions.PqEncode]]).
     */
-  private def cellScores(vq: Column, model: Model): Seq[Column] =
-    model.centroidsQ.zipWithIndex.map { case (c, j) =>
-      val cLit = typedlit(c)
-      val cNorm = c.map(x => x * x).sum
-      struct(
-        (lit(cNorm) - lit(2L) * VecFns.dotQFast(vq, cLit)).as("d"),
-        lit(j).as("cell"))
-    }
-
-  /** Nearest cell per vector (for the inverted file). */
   def assignCell(vq: Column, model: Model): Column =
-    array_min(array(cellScores(vq, model): _*)).getField("cell")
+    element_at(
+      call_function("pq_encode", vq, typedlit(Seq(model.centroidsQ))), 1)
 
-  /** The `nprobe` nearest cells per query vector, as an array. */
+  /** The `nprobe` nearest cells per query vector, ascending by
+    * (distance, cell id), as an array.
+    */
   def probeCells(vq: Column, model: Model, nprobe: Int): Column =
-    transform(
-      slice(array_sort(array(cellScores(vq, model): _*)), 1, nprobe),
-      s => s.getField("cell"))
+    call_function("ivf_probe", vq, typedlit(model.centroidsQ), lit(nprobe))
 
   /** ANN search: top-k by exact quantized cosine among vectors in the
     * query's nprobe cells.

@@ -36,14 +36,15 @@ object Pq {
     * aligned with the IVF quantizer trained at the same seed).
     */
   def train(data: DataFrame, vecCol: String, m: Int, k: Int,
-      seed: Long = 42L, maxSample: Int = 100000, iters: Int = 15): Model = {
-    val sample = Ivf.hashOrderedSample(data, vecCol, seed, maxSample)
-    require(sample.length >= k, s"need >= $k vectors to train")
-    val dim = sample.head.length
+      seed: Long = 42L, maxSample: Int = 100000, iters: Int = 15): Model =
+    trainFromShuffled(Ivf.shuffledSample(data, vecCol, seed, maxSample), m, k, iters)
+
+  private[operators] def trainFromShuffled(shuffled: IndexedSeq[Array[Double]],
+      m: Int, k: Int, iters: Int): Model = {
+    require(shuffled.length >= k, s"need >= $k vectors to train")
+    val dim = shuffled.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val rng = new scala.util.Random(seed)
-    val shuffled = rng.shuffle(sample.toSeq.zipWithIndex).map(_._1)
     val books = (0 until m).map { mi =>
       val sub = shuffled.map(v =>
         java.util.Arrays.copyOfRange(v, mi * subDim, (mi + 1) * subDim))
@@ -53,45 +54,50 @@ object Pq {
     Model(m, subDim, books)
   }
 
-  private def subVec(vq: Column, model: Model, mi: Int): Column =
-    slice(vq, mi * model.subDim + 1, model.subDim)
+  /** Train the IVF coarse quantizer and the PQ codebooks off ONE
+    * sample collect — the natural entry point for [[searchIvfPq]],
+    * which otherwise pays two identical corpus scans. Produces
+    * bit-identical models to separate `Ivf.train` / `Pq.train` calls
+    * at the same (seed, maxSample): both trainers consume the same
+    * deterministic shuffled sequence.
+    */
+  def trainIvfPq(data: DataFrame, vecCol: String, coarseK: Int, m: Int,
+      k: Int, seed: Long = 42L, maxSample: Int = 100000,
+      iters: Int = 15): (Ivf.Model, Model) = {
+    val shuffled = Ivf.shuffledSample(data, vecCol, seed, maxSample)
+    (Ivf.trainFromShuffled(shuffled, coarseK, iters),
+      trainFromShuffled(shuffled, m, k, iters))
+  }
 
-  /** Codes array: per subspace, argmin_j ||x_m − c_mj||² via the same
-    * (dist, id) struct-min trick as [[Ivf.assignCell]] (common |x_m|²
-    * dropped — constant within a subspace's argmin).
+  /** The codebooks as ONE nested literal — every PQ column builder
+    * hangs off this single node, so the whole encode/score surface is
+    * a handful of Catalyst nodes instead of the multi-thousand-node
+    * per-centroid tree the composable form produced (planning cost on
+    * repeated runs dominated execution; see
+    * [[graft.functions.expressions.PqEncode]]).
+    */
+  private def booksLit(model: Model): Column = typedlit(model.books)
+
+  /** Codes array: per subspace, argmin_j ||x_m − c_mj||² (ties →
+    * lowest centroid id), via the native `pq_encode` expression.
     */
   def encode(vq: Column, model: Model): Column =
-    array((0 until model.m).map { mi =>
-      val scores = model.books(mi).zipWithIndex.map { case (c, j) =>
-        val cNorm = c.map(x => x * x).sum
-        struct(
-          (lit(cNorm) - lit(2L) * VecFns.dotQFast(subVec(vq, model, mi), typedlit(c))).as("d"),
-          lit(j).as("j"))
-      }
-      array_min(array(scores: _*)).getField("j")
-    }: _*)
+    call_function("pq_encode", vq, booksLit(model))
 
   /** Query-side ADC tables: `luts[mi][j] = q_mi · c_mij` (exact longs). */
   def queryLuts(vq: Column, model: Model): Column =
-    array((0 until model.m).map { mi =>
-      array(model.books(mi).map(c =>
-        VecFns.dotQFast(subVec(vq, model, mi), typedlit(c))): _*)
-    }: _*)
+    call_function("pq_luts", vq, booksLit(model))
 
-  /** ADC approximate dot product: `m` codegen'd array lookups. */
+  /** ADC approximate dot product: `m` codegen'd table lookups. */
   def adcDot(luts: Column, codes: Column, model: Model): Column =
-    (0 until model.m).map(mi =>
-      element_at(element_at(luts, mi + 1), element_at(codes, mi + 1) + 1))
-      .reduce(_ + _)
+    call_function("adc_dot", luts, codes)
 
   /** Reconstruction squared norm: Σ_m |c_m,code_m|² from a literal
     * per-subspace norm table (codes → longs, no vector math).
     */
   def codedNormSq(codes: Column, model: Model): Column =
-    (0 until model.m).map { mi =>
-      val norms = model.books(mi).map(c => c.map(x => x * x).sum)
-      element_at(typedlit(norms), element_at(codes, mi + 1) + 1)
-    }.reduce(_ + _)
+    call_function("pq_codenorm", codes,
+      typedlit(model.books.map(_.map(c => c.map(x => x * x).sum))))
 
   /** ANN search: ADC-scored shortlist of `rerank` candidates per query,
     * re-ranked by exact quantized cosine to the final `topK`.
@@ -110,11 +116,15 @@ object Pq {
       .withColumn("acos", VecFns.cosineFromQ(
         adcDot(col("luts"), col("codes"), model),
         col("q_nsq"), codedNormSq(col("codes"), model)))
-    val cand = TopK.perGroup(approx, Seq("q_id"),
-        Seq(col("acos").desc, col("n_id").asc), rerank)
+    // bounded-heap native grouped top-k: the map side prunes to
+    // ≤ rerank rows per (partition, query) BEFORE the exchange — no
+    // per-query full sort materializes the scored corpus
+    val cand = NativeGroupedTopK.topK(approx.select("q_id", "n_id", "acos"),
+        Seq("q_id"), Seq(("acos", false), ("n_id", true)), rerank)
       .select("q_id", "n_id")
-    // exact re-rank over the tiny shortlist
-    val exact = cand
+    // exact re-rank over the tiny shortlist (shortlist side broadcast:
+    // nq·rerank rows probe the corpus scan, no corpus shuffle)
+    val exact = broadcast(cand)
       .join(data, "n_id")
       .join(broadcast(queries), "q_id")
       .withColumn("cos", VecFns.cosineFromQ(
@@ -148,10 +158,10 @@ object Pq {
       .withColumn("acos", VecFns.cosineFromQ(
         adcDot(col("luts"), col("codes"), model),
         col("q_nsq"), codedNormSq(col("codes"), model)))
-    val cand = TopK.perGroup(approx, Seq("q_id"),
-        Seq(col("acos").desc, col("n_id").asc), rerank)
+    val cand = NativeGroupedTopK.topK(approx.select("q_id", "n_id", "acos"),
+        Seq("q_id"), Seq(("acos", false), ("n_id", true)), rerank)
       .select("q_id", "n_id")
-    val exact = cand
+    val exact = broadcast(cand)
       .join(data, "n_id")
       .join(broadcast(queries), "q_id")
       .withColumn("cos", VecFns.cosineFromQ(

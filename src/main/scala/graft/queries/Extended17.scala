@@ -125,8 +125,8 @@ object Extended17 {
       impl = (s, d) => {
         val all = VectorQueries.quantized(s, d).toDF("n_id", "n_vq", "n_nsq")
         val raw = Tables.load(s, d, "embeddings")
-        val coarse = graft.operators.Ivf.train(raw, "embedding", k = 16)
-        val model = graft.operators.Pq.train(raw, "embedding", m = 8, k = 16)
+        val (coarse, model) = graft.operators.Pq.trainIvfPq(
+          raw, "embedding", coarseK = 16, m = 8, k = 16)
         val q = all.filter(col("n_id") < NQueries)
           .toDF("q_id", "q_vq", "q_nsq")
         graft.operators.Pq.searchIvfPq(all, q, coarse, model,
