@@ -24,5 +24,5 @@ object Registry {
       Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
       Extended11.queries ++ Extended12.queries ++ Extended13.queries ++
       Extended14.queries ++ Extended15.queries ++ Extended16.queries ++
-      Extended17.queries
+      Extended17.queries ++ Extended18.queries
 }
