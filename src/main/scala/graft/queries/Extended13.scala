@@ -108,14 +108,20 @@ object Extended13 {
         // the declarative form (observed ~3× end-to-end). Downstream
         // stays declarative on the ≤ distinct-grams-per-doc table.
         import s.implicits._
+        // Grams travel as PACKED LONGS (3 × 21-bit code points — exact
+        // for the BMP), not 3-char strings: the key is only ever
+        // grouped/joined on, and a primitive key deletes the per-gram
+        // String allocation here plus all downstream string
+        // shuffle/persist bytes.
         val dtc = docs.select(col("doc_id"), col("lang"), col("text"))
           .as[(Long, String, String)]
           .flatMap { case (id, lang, text) =>
-            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            val m = new scala.collection.mutable.LongMap[Long]()
             var i = 0
             while (i + 3 <= text.length) {
-              val g = text.substring(i, i + 3)
-              m.update(g, m.getOrElse(g, 0L) + 1L)
+              val g = (text.charAt(i).toLong << 42) |
+                (text.charAt(i + 1).toLong << 21) | text.charAt(i + 2).toLong
+              if (m.contains(g)) m.update(g, m(g) + 1L) else m.update(g, 1L)
               i += 1
             }
             m.iterator.map { case (g, c) => (id, lang, g, c) }
