@@ -26,6 +26,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Registry.all.collect {
       case (name, q) if q.oracle.isDefined =>
-        name -> q.oracle.get.linesIterator.map(_.trim).mkString(" ").trim
+        name -> flat(q.oracle.get)
     }
+
+  /** Full oracle map for a concrete data dir: the static SQL plus the
+    * data-dependent-but-deterministic generated oracles (ANN queries
+    * embed their trained codebooks as literals — see `Q.oracleGen`).
+    * `Verify` dumps THIS map so the ANN trio hash-checks too.
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ Registry.all.collect {
+      case (name, q) if q.oracleGen.isDefined =>
+        name -> flat(q.oracleGen.get(spark, sfDir))
+    }
+
+  private def flat(sql: String): String =
+    sql.linesIterator.map(_.trim).mkString(" ").trim
 }

@@ -102,9 +102,10 @@ object Extended17 {
 
     // ---- product-quantization ANN: corpus → 8 byte-codes per vector
     // (8 subspaces × 16-centroid codebooks), query scoring = ADC table
-    // lookups, exact-cosine re-rank of a 50-candidate shortlist. Rows
-    // only — the trained codebooks are not SQL-expressible; recall@5
-    // vs brute force is pinned by PqSpec -----------------------------
+    // lookups, exact-cosine re-rank of a 50-candidate shortlist. The
+    // codebooks are data-trained but deterministic, so the oracle
+    // re-trains them and bakes the literals into the SQL (AnnOracles);
+    // recall@5 vs brute force additionally pinned by PqSpec ----------
     "q166_pq_ann" -> Q(
       impl = (s, d) => {
         val all = VectorQueries.quantized(s, d).toDF("n_id", "n_vq", "n_nsq")
@@ -114,13 +115,18 @@ object Extended17 {
           .toDF("q_id", "q_vq", "q_nsq")
         graft.operators.Pq.search(all, q, model, rerank = 50, topK = AnnK)
       },
-      oracle = None),
+      oracle = None,
+      oracleGen = Some((s, d) => AnnOracles.pqOracle(
+        graft.operators.Pq.train(
+          Tables.load(s, d, "embeddings"), "embedding", m = 8, k = 16),
+        NQueries, rerank = 50, k = AnnK))),
 
     // ---- IVF-PQ: the billion-vector composition — coarse cells turn
     // the scoring join into an equi-join (only nprobe cells touched
     // per query), ADC scores the cells' code lists in the compressed
-    // domain, exact re-rank on the shortlist. Rows only (two trained
-    // quantizers); recall pinned by PqSpec --------------------------
+    // domain, exact re-rank on the shortlist. Both quantizers are
+    // deterministic retrains in the oracle generator (AnnOracles);
+    // recall additionally pinned by PqSpec --------------------------
     "q167_ivfpq_ann" -> Q(
       impl = (s, d) => {
         val all = VectorQueries.quantized(s, d).toDF("n_id", "n_vq", "n_nsq")
@@ -132,7 +138,14 @@ object Extended17 {
         graft.operators.Pq.searchIvfPq(all, q, coarse, model,
           nprobe = 6, rerank = 50, topK = AnnK)
       },
-      oracle = None),
+      oracle = None,
+      oracleGen = Some { (s, d) =>
+        val (coarse, model) = graft.operators.Pq.trainIvfPq(
+          Tables.load(s, d, "embeddings"), "embedding",
+          coarseK = 16, m = 8, k = 16)
+        AnnOracles.ivfPqOracle(coarse, model, NQueries,
+          nprobe = 6, rerank = 50, k = AnnK)
+      }),
 
     // ---- thumbnail geometry + feature extraction over the media
     // payload: sniff the container from magic bytes, compute the

@@ -8,12 +8,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle — the driver sorts columns by name and hash-compares values
   * (see the builder contract in SparkEntry).
   *
+  * `oracleGen` is for queries whose oracle SQL depends on DATA-derived
+  * state that is nonetheless deterministic — e.g. the ANN queries,
+  * whose k-means codebooks train from a seeded sample of the input:
+  * the generator re-trains the identical model at Verify time and
+  * emits it as literal VALUES rows inside the SQL. Exactly one of
+  * `oracle` / `oracleGen` should be set (or neither, for rows-only).
+  *
   * `bench = true` marks the headline set timed by `graft.Bench`.
   */
 final case class Q(
     impl: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object Registry {
   lazy val all: Map[String, Q] =

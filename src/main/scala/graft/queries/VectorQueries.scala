@@ -87,8 +87,10 @@ object VectorQueries {
         FROM ranked WHERE rk <= $K ORDER BY q_id, rk"""
 
   val queries: Map[String, Q] = Map(
-    // ---- IVF ANN (k-means coarse quantizer; rows-only — the trained
-    // quantizer is not SQL-expressible; recall pinned by VectorSpec) -
+    // ---- IVF ANN (k-means coarse quantizer; the quantizer is data-
+    // trained but deterministic, so the oracle re-trains the identical
+    // model and bakes it into the SQL — see AnnOracles; recall vs
+    // brute force additionally pinned by VectorSpec) ------------------
     "q54_ann_ivf" -> Q(
       impl = (s, d) => {
         val all = quantized(s, d)
@@ -98,7 +100,11 @@ object VectorQueries {
         graft.operators.Ivf.search(all, q, "vec_id", model,
           nprobe = 6, topK = K)
       },
-      oracle = None),
+      oracle = None,
+      oracleGen = Some((s, d) => AnnOracles.ivfOracle(
+        graft.operators.Ivf.train(
+          Tables.load(s, d, "embeddings"), "embedding", k = 16),
+        NQueries, nprobe = 6, k = K))),
 
     // ---- brute-force cosine top-k ----------------------------------
     "q30_embed_knn" -> Q(
