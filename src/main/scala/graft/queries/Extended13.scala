@@ -16,6 +16,22 @@ object Extended13 {
   private val MinhashK = 12
   private val Bands = 4
 
+  /** Per-document char-trigram counts keyed by packed long (3 × 21-bit
+    * UTF-16 units — exact for the BMP; a non-BMP corpus would need
+    * code-point iteration). Shared by q141's train and score passes.
+    */
+  private[queries] def triCounts(text: String): scala.collection.mutable.LongMap[Long] = {
+    val m = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i + 3 <= text.length) {
+      val g = (text.charAt(i).toLong << 42) |
+        (text.charAt(i + 1).toLong << 21) | text.charAt(i + 2).toLong
+      if (m.contains(g)) m.update(g, m(g) + 1L) else m.update(g, 1L)
+      i += 1
+    }
+    m
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Tukey-fence outliers: values above p75 + 1.5·IQR of their
     // event type. Exact `percentile` ≡ `quantile_cont` (parity pinned
@@ -86,97 +102,80 @@ object Extended13 {
     // evaluated entirely in the engine: per-language trigram
     // log-likelihoods (Laplace-smoothed, quantized to integer
     // micro-nats per distinct count tuple — the q118/q128/q134
-    // contract), per-doc argmax over the 5 language scores, and the
-    // actual-vs-predicted confusion matrix. Shapes: the trigram
-    // explode shuffles once on (lang, g) for training and once on
-    // (doc, g) for inference; scoring joins doc grams to the model on
-    // the gram key (high-cardinality); the doc×lang grid is a 5-row
-    // broadcast; unmatched-gram mass uses the per-language unseen
-    // log-prob so the sum is exact NB, not an approximation ---------
+    // contract), per-doc argmax over the language scores, and the
+    // actual-vs-predicted confusion matrix. Two-pass broadcast-model
+    // shape: pass 1 aggregates (lang, gram) counts — the ONLY
+    // corpus-sized shuffle, gram-keyed with map-side combine — and
+    // collects the vocabulary-bounded model to the driver; pass 2
+    // re-counts each doc's grams locally and scores all languages
+    // against the broadcast model inside the same flatMap, so
+    // inference is a narrow map-only stage (no per-gram model join,
+    // no (doc, g) shuffle, nothing persisted). The model is
+    // vocab×|langs| longs — trigram vocabularies are charset-bounded,
+    // so the broadcast holds at corpus scale -------------------------
     "q141_charngram_langid" -> Q(
       impl = (s, d) => {
+        import s.implicits._
+        // Train and score passes share the repartitioned scan; persist
+        // so the single-file text shuffle (docsParallel) happens once.
         val docs = Tables.docsParallel(s, d)
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"), col("text"))
-        // Per-doc trigram counting is a genuinely imperative per-row
-        // loop (one pass over the chars, local hash map), so it runs
-        // as a typed flatMap: each document's gram counts complete
-        // inside its own row's processing, which deletes BOTH the
-        // position-explode (whose Generate copies the full text once
-        // per char position) and the corpus-wide (doc_id, g) shuffle
-        // that re-assembled the counts — the two dominant costs of
-        // the declarative form (observed ~3× end-to-end). Downstream
-        // stays declarative on the ≤ distinct-grams-per-doc table.
-        import s.implicits._
+          .as[(Long, String, String)].persist()
         // Grams travel as PACKED LONGS (3 × 21-bit code points — exact
-        // for the BMP), not 3-char strings: the key is only ever
-        // grouped/joined on, and a primitive key deletes the per-gram
-        // String allocation here plus all downstream string
-        // shuffle/persist bytes.
-        val dtc = docs.select(col("doc_id"), col("lang"), col("text"))
-          .as[(Long, String, String)]
-          .flatMap { case (id, lang, text) =>
-            val m = new scala.collection.mutable.LongMap[Long]()
-            var i = 0
-            while (i + 3 <= text.length) {
-              val g = (text.charAt(i).toLong << 42) |
-                (text.charAt(i + 1).toLong << 21) | text.charAt(i + 2).toLong
-              if (m.contains(g)) m.update(g, m(g) + 1L) else m.update(g, 1L)
-              i += 1
-            }
-            m.iterator.map { case (g, c) => (id, lang, g, c) }
+        // for the BMP): a primitive key deletes per-gram String
+        // allocation and shrinks the one shuffle. Per-doc counting is
+        // a genuinely imperative per-row loop (local hash map), hence
+        // the typed flatMap, not a position-explode.
+        // ONE training job: the (lang, gram) count table — vocabulary-
+        // bounded — collects raw, and the Laplace-smoothed quantized
+        // log-probs are computed on the driver. StrictMath.log IS
+        // Spark's `ln` (UnaryLogExpression binds StrictMath.log) and
+        // BigDecimal/HALF_UP is Spark's `round`, so the micro-nat
+        // values are bit-identical to the expression formulation the
+        // DuckDB oracle mirrors.
+        val lgRows = docs
+          .flatMap { case (_, lang, text) =>
+            Extended13.triCounts(text).iterator.map { case (g, c) => (lang, g, c) }
           }
-          .toDF("doc_id", "lang", "g", "c").persist()
-        // lg fans out to THREE consumers (per-lang totals, the vocab
-        // size, the model) — persist the tiny (lang, gram) table so
-        // dtc is re-aggregated once, not three times
-        val lg = dtc.groupBy("lang", "g").agg(sum("c").as("cl")).persist()
-        val perLang = lg.groupBy("lang").agg(sum("cl").as("nl"))
-        val v = lg.agg(count_distinct(col("g")).as("v"))
-        val model = lg.join(broadcast(perLang), "lang").crossJoin(broadcast(v))
-          .withColumn("q", expr("""
-            CAST(round(ln(CAST(cl + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE))
-                       * 1000000) AS BIGINT)"""))
-          .select(col("lang").as("ml"), col("g"), col("q"))
-        val q0 = perLang.crossJoin(broadcast(v))
-          .withColumn("q0", expr(
-            "CAST(round(ln(1.0 / CAST(nl + v AS DOUBLE)) * 1000000) AS BIGINT)"))
-          .select(col("lang").as("ml"), col("q0"))
-        // The label set and the per-lang unseen-gram penalty are
-        // metadata-scale (a handful of languages) — collect them and
-        // pivot the model WIDE by language. Scoring then joins each
-        // corpus gram row to ONE model row and aggregates per doc in
-        // a single narrow pass, instead of fanning every gram row out
-        // |langs|× through a (doc_id, lang) shuffle. At 1000 executors
-        // the fan-out is the difference between shuffling N rows and
-        // N·L rows; the pivot costs one |vocab|-row broadcast.
-        val langs = perLang.select("lang").as[String].collect().sorted.toSeq
-        val q0Map = q0.as[(String, Long)].collect().toMap
-        val modelWide = model.groupBy("g").pivot("ml", langs).agg(first("q"))
-        val joined = dtc.join(broadcast(modelWide), Seq("g"), "left")
-        val perLangAggs = langs.flatMap { l =>
-          Seq(sum(col(s"`$l`") * col("c")).as(s"mq_$l"),
-            sum(when(col(s"`$l`").isNotNull, col("c")).otherwise(lit(0L)))
-              .as(s"mc_$l"))
-        } :+ sum("c").as("m")
-        // doc→lang is functional, so grouping by (doc_id, lang) keeps
-        // the true label on the scored row — the confusion matrix
-        // falls out of a re-aggregation with NO join back to the
-        // corpus (one fewer shuffle join than the tall formulation)
-        val perDoc = joined.groupBy("doc_id", "lang")
-          .agg(perLangAggs.head, perLangAggs.tail: _*)
-        // score_l = matched-gram mass + unseen-gram mass·q0_l; argmax
-        // with the same (score desc, lang asc) tie-break as the tall
-        // formulation: min over (-score, lang) structs.
-        val scoreStructs = langs.map { l =>
-          struct(
-            (-(coalesce(col(s"mq_$l"), lit(0L)) +
-              (col("m") - col(s"mc_$l")) * lit(q0Map(l)))).as("ns"),
-            lit(l).as("ml"))
+          .toDF("lang", "g", "c")
+          .groupBy("lang", "g").agg(sum("c").as("cl"))
+          .as[(String, Long, Long)].collect()
+        def quant(x: Double): Long =
+          java.math.BigDecimal.valueOf(x * 1000000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val nl = lgRows.groupMapReduce(_._1)(_._3)(_ + _)
+        val v = lgRows.iterator.map(_._2).toSet.size.toLong
+        val langs = nl.keys.toArray.sorted
+        val langIdx = langs.zipWithIndex.toMap
+        val q0Arr = langs.map(l => quant(StrictMath.log(1.0 / (nl(l) + v))))
+        // gram → per-lang quantized log-prob, pre-filled with the
+        // unseen penalty: score_l is then a single Σ c·arr(l) pass,
+        // identical to matched-mass + unseen-mass·q0_l.
+        val model = new scala.collection.mutable.LongMap[Array[Long]]()
+        lgRows.foreach { case (l, g, cl) =>
+          model.getOrElseUpdate(g, q0Arr.clone())(langIdx(l)) =
+            quant(StrictMath.log((cl + 1).toDouble / (nl(l) + v).toDouble))
         }
-        perDoc
-          .withColumn("p", array_min(array(scoreStructs: _*)))
-          .groupBy(col("lang"), col("p.ml").as("pred_lang"))
+        val bc = s.sparkContext.broadcast((langs, q0Arr, model))
+        val preds = docs.map { case (_, lang, text) =>
+          val (ls, q0a, mm) = bc.value
+          val nLangs = ls.length
+          val scores = new Array[Long](nLangs)
+          val it = Extended13.triCounts(text).iterator
+          while (it.hasNext) {
+            val (g, c) = it.next()
+            val arr = mm.getOrNull(g)
+            val row = if (arr != null) arr else q0a
+            var l = 0
+            while (l < nLangs) { scores(l) += c * row(l); l += 1 }
+          }
+          // argmax, ties → lowest lang: strict > over ascending langs
+          var best = 0; var l = 1
+          while (l < nLangs) { if (scores(l) > scores(best)) best = l; l += 1 }
+          (lang, ls(best))
+        }.toDF("lang", "pred_lang")
+        preds.groupBy("lang", "pred_lang")
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred_lang")
       },

@@ -225,23 +225,65 @@ object Extended8 {
     // corpus-bounded → broadcast ------------------------------------
     "q118_bigram_logprob" -> Q(
       impl = (s, d) => {
+        // Two-pass broadcast-model shape (the q141 contract): pass 1
+        // builds the unigram/bigram count tables — the only shuffles,
+        // both vocabulary-bounded with map-side combine — and collects
+        // them to the driver; pass 2 scores every document against the
+        // broadcast maps in one narrow map-only stage. This deletes
+        // the corpus-sized bigram explode + two broadcast joins + the
+        // per-doc hash agg of the declarative form. ln/round replicate
+        // Spark's exprs exactly (StrictMath.log; BigDecimal HALF_UP),
+        // so results are bit-identical to the join formulation. At
+        // open-web scale a bigram table can outgrow a broadcast — the
+        // fallback is the q66-style join on the gram key.
+        import s.implicits._
+        // Count pass gets the repartitioned scan (CPU-heavy fan-out);
+        // the scoring pass reads the scan directly — its per-doc work
+        // is one hash lookup per bigram, so the scan's own splits are
+        // parallelism enough and no exchange or persist is paid.
         val docs = Tables.docsParallel(s, d)
-        val t = TextFns.tokens(col("text"))
-        val bi = docs.select(col("doc_id"),
-            explode(zip_with(
-              slice(t, lit(1), size(t) - 1),
-              slice(t, lit(2), size(t) - 1),
-              (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        val uni = docs
-          .select(explode(t).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("c1"))
-        val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        bi.join(broadcast(big), Seq("w1", "w2"))
-          .join(broadcast(uni), col("w1") === col("tok"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(log(col("c1").cast("double") / col("c2"))), 4).as("nll"))
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        // Unigram and bigram counts share ONE pass, shuffle, and map:
+        // tokens are space-split so a unigram key can never contain a
+        // space while a bigram key always does — no collisions.
+        val counts = docs.flatMap { case (_, text) =>
+            val t = text.split(" ", -1)
+            val m = new scala.collection.mutable.AnyRefMap[String, Long]()
+            var i = 0
+            while (i < t.length) {
+              m.update(t(i), m.getOrElse(t(i), 0L) + 1L)
+              if (i + 1 < t.length) {
+                val k = t(i) + " " + t(i + 1)
+                m.update(k, m.getOrElse(k, 0L) + 1L)
+              }
+              i += 1
+            }
+            m.iterator
+          }.toDF("k", "c").groupBy("k").agg(sum("c").as("c"))
+          .as[(String, Long)].collect()
+        val table = new scala.collection.mutable.AnyRefMap[String, Long](counts.length * 2)
+        counts.foreach { case (k, c) => table.update(k, c) }
+        val bc = s.sparkContext.broadcast(table)
+        val scoreDocs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        scoreDocs.flatMap { case (id, text) =>
+          val m = bc.value
+          val t = text.split(" ", -1)
+          if (t.length < 2) Iterator.empty
+          else {
+            var sumLn = 0.0
+            var i = 0
+            while (i + 1 < t.length) {
+              sumLn += StrictMath.log(
+                m(t(i)).toDouble / m(t(i) + " " + t(i + 1)))
+              i += 1
+            }
+            val n = t.length - 1
+            val nll = java.math.BigDecimal.valueOf(sumLn / n)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            Iterator.single((id, n.toLong, nll))
+          }
+        }.toDF("doc_id", "n_bigrams", "nll")
           .orderBy("doc_id")
       },
       oracle = Some("""
