@@ -36,20 +36,42 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * Determinism: `sortCols` must extend to a total order within each
   * group (include a unique tiebreaker); the range partitioner sends
   * equal keys to one partition, so ties never split across partitions.
+  *
+  * WHEN TO USE WHICH — the window-vs-grouped-scan decision rule:
+  * this operator exists for LOW-cardinality groups that each span
+  * many partitions (sources, shards, languages): a window would
+  * funnel each giant group through one task. With HIGH-cardinality
+  * groups (per-user, per-doc) every group is small enough for one
+  * task and a plain `sum(...) OVER (PARTITION BY g ORDER BY k)`
+  * window is the right plan — and this operator's collected offset
+  * table, O(partitions + groups), would grow with the group count.
+  * The `maxOffsetEntries` guard enforces that contract at runtime
+  * instead of letting the driver OOM silently.
   */
 object GroupedPrefixSum {
+
+  /** Ceiling on collected (partition, group) offset entries — ~100 MB
+    * of driver heap at worst. Exceeding it means the group column is
+    * high-cardinality and a plain window is the right plan (see the
+    * decision rule above).
+    */
+  val DefaultMaxOffsetEntries: Int = 1000000
 
   /** Append a per-group running sum of `valueCol` (must be LongType;
     * nulls count as 0) ordered by `sortCols` within `groupCol`.
     *
     * @param inclusive true → `ROWS UNBOUNDED PRECEDING..CURRENT ROW`;
     *                  false → `..1 PRECEDING` (exclusive prefix)
+    * @param maxOffsetEntries fail-fast bound on the collected offset
+    *                  table (see [[DefaultMaxOffsetEntries]])
     */
   def withRunningSum(df: DataFrame, groupCol: String, sortCols: Seq[Column],
       valueCol: String, outCol: String, inclusive: Boolean = true,
-      numPartitions: Option[Int] = None, preRanged: Boolean = false): DataFrame =
+      numPartitions: Option[Int] = None, preRanged: Boolean = false,
+      maxOffsetEntries: Int = DefaultMaxOffsetEntries): DataFrame =
     withRunningScan(df, groupCol, sortCols, valueCol, outCol, inclusive,
-      numPartitions, zero = 0L, op = _ + _, preRanged = preRanged)
+      numPartitions, zero = 0L, op = _ + _, preRanged = preRanged,
+      maxOffsetEntries = maxOffsetEntries)
 
   /** Append a per-group running MAX of `valueCol` — the scale form of
     * `max(value) OVER (PARTITION BY group ORDER BY keys ROWS ...)`.
@@ -61,9 +83,11 @@ object GroupedPrefixSum {
     */
   def withRunningMax(df: DataFrame, groupCol: String, sortCols: Seq[Column],
       valueCol: String, outCol: String, inclusive: Boolean = true,
-      numPartitions: Option[Int] = None, preRanged: Boolean = false): DataFrame =
+      numPartitions: Option[Int] = None, preRanged: Boolean = false,
+      maxOffsetEntries: Int = DefaultMaxOffsetEntries): DataFrame =
     withRunningScan(df, groupCol, sortCols, valueCol, outCol, inclusive,
-      numPartitions, zero = Long.MinValue, op = math.max, preRanged = preRanged)
+      numPartitions, zero = Long.MinValue, op = math.max, preRanged = preRanged,
+      maxOffsetEntries = maxOffsetEntries)
 
   /** Shared scan core: range-partition on (group, keys), per-partition
     * partials combined with `op` (must be associative with identity
@@ -82,7 +106,8 @@ object GroupedPrefixSum {
       sortCols: Seq[Column], valueCol: String, outCol: String,
       inclusive: Boolean, numPartitions: Option[Int],
       zero: Long, op: (Long, Long) => Long,
-      preRanged: Boolean = false): DataFrame = {
+      preRanged: Boolean = false,
+      maxOffsetEntries: Int = DefaultMaxOffsetEntries): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (cast upstream), got ${df.schema(valueCol).dataType}")
@@ -109,12 +134,35 @@ object GroupedPrefixSum {
         it.foreach { row =>
           val g = row.get(gIdx)
           if (!seen) { cur = g; seen = true }
-          else if (g != cur) { acc += ((cur, sum)); cur = g; sum = zero }
+          else if (g != cur) {
+            acc += ((cur, sum)); cur = g; sum = zero
+            // Executor-side fail-fast: a partition already holding more
+            // runs than the whole table is allowed means the group
+            // column is high-cardinality — abort before shipping the
+            // partials anywhere near the driver.
+            if (acc.length > maxOffsetEntries)
+              throw new IllegalStateException(
+                s"GroupedPrefixSum: partition $p alone exceeds " +
+                  s"maxOffsetEntries=$maxOffsetEntries distinct '$groupCol' " +
+                  "runs; the group column is high-cardinality — use a plain " +
+                  s"window (sum OVER (PARTITION BY $groupCol ORDER BY ...)) " +
+                  "instead, or raise maxOffsetEntries if driver heap allows")
+          }
           sum = op(sum, if (row.isNullAt(vIdx)) zero else row.getLong(vIdx))
         }
         if (seen) acc += ((cur, sum))
         Iterator((p, acc.toArray))
       }.collect()
+    // Driver-side total: partitions are individually bounded above but
+    // their SUM is what lands in the offset map.
+    val totalEntries = partSums.iterator.map(_._2.length.toLong).sum
+    if (totalEntries > maxOffsetEntries)
+      throw new IllegalStateException(
+        s"GroupedPrefixSum: collected offset table has $totalEntries " +
+          s"(partition, $groupCol) entries > maxOffsetEntries=$maxOffsetEntries; " +
+          "the group column is high-cardinality — use a plain window " +
+          s"(sum OVER (PARTITION BY $groupCol ORDER BY ...)) instead, or " +
+          "raise maxOffsetEntries if driver heap allows")
 
     // Driver: prefix-combine partials in partition order → start
     // offset of each (partition, group).

@@ -171,6 +171,28 @@ class GroupedPrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("cardinality guard trips on a high-cardinality group column") {
+    // One group per row: the offset table would be O(rows) — exactly
+    // the misuse the decision rule forbids (a plain window is the
+    // right plan there). The guard must fail with an actionable
+    // message, not OOM the driver silently.
+    val df = (0 until 500).map(i => (s"user$i", i.toLong, 1L))
+      .toDF("g", "k", "v")
+    val e = intercept[Exception] {
+      GroupedPrefixSum.withRunningSum(df, "g", Seq(col("k")), "v", "cum",
+        numPartitions = Some(4), maxOffsetEntries = 100).count()
+    }
+    def messageChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messageChain(e).exists(m =>
+      m.contains("maxOffsetEntries") && m.contains("window")))
+    // and the same input passes with the bound raised
+    val ok = GroupedPrefixSum.withRunningSum(df, "g", Seq(col("k")), "v",
+      "cum", numPartitions = Some(4), maxOffsetEntries = 1000)
+    assert(ok.count() == 500)
+  }
+
   test("grouped top-k matches the row_number window formulation") {
     val df = (1 to 200).map { i =>
       (s"g${i % 3}", s"id$i", i.toLong)
