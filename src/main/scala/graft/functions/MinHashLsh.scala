@@ -92,9 +92,14 @@ object MinHashLsh {
     val as = (0 until k).map(aConst).toArray
     val bs = (0 until k).map(bConst).toArray
     val p = P
+    // The id rides through the local pass as a string and is cast back
+    // to its original type on the way out — lossless for integral ids
+    // and keeps the `signatures()` any-id-type contract (a long-only
+    // encoder here would crash on string ids at runtime).
+    val idType = docs.schema(idCol).dataType
     val rows = docs
-      .select(col(idCol).cast("long"), col(tokensCol).cast("array<string>"))
-      .as[(Long, Array[String])]
+      .select(col(idCol).cast("string"), col(tokensCol).cast("array<string>"))
+      .as[(String, Array[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder
@@ -128,7 +133,7 @@ object MinHashLsh {
           }
         }
       }
-    rows.select(col("_1").as(idCol) +:
+    rows.select(col("_1").cast(idType).as(idCol) +:
       (0 until k).map(i => col("_2")(i).as(s"s$i")): _*)
   }
 

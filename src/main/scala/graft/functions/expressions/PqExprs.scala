@@ -1,5 +1,6 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -33,6 +34,17 @@ private[expressions] trait LiteralBooks { self: BinaryExpression =>
   }
   @transient protected lazy val bookNorms: Array[Array[Long]] =
     books.map(_.map(c => c.map(x => x * x).sum))
+
+  /** These functions are SQL-callable through GraftExtensions, so a
+    * non-foldable table argument must be a clean ANALYSIS error — the
+    * eval(null) decode above would otherwise NPE (or bake in a stale
+    * table) at execution time.
+    */
+  protected def foldableTableCheck(argName: String): TypeCheckResult =
+    if (right.foldable) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires a foldable (literal) $argName argument, " +
+        s"got ${right.sql}")
 }
 
 /** `pq_encode(vq, books)` — per-subspace argmin codes (ties → lowest
@@ -43,6 +55,8 @@ case class PqEncode(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    foldableTableCheck("codebook table")
 
   override def nullSafeEval(v: Any, b: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -113,6 +127,8 @@ case class PqLuts(left: Expression, right: Expression)
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_luts"
+  override def checkInputDataTypes(): TypeCheckResult =
+    foldableTableCheck("codebook table")
 
   override def nullSafeEval(v: Any, b: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -213,6 +229,11 @@ case class PqCodeNorm(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "pq_codenorm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (right.foldable) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a foldable (literal) norm table argument, " +
+        s"got ${right.sql}")
 
   override def nullSafeEval(c: Any, n: Any): Any = {
     val codes = c.asInstanceOf[ArrayData]
@@ -262,6 +283,12 @@ case class IvfProbe(first: Expression, second: Expression, third: Expression)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ivf_probe"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!second.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a foldable (literal) centroid table, got ${second.sql}")
+    else if (!third.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a foldable nprobe, got ${third.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   private def probe(x: ArrayData): Array[Int] = {
     val k = cents.length

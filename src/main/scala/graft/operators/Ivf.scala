@@ -146,6 +146,13 @@ object Ivf {
     * single literal — the per-centroid struct/argmin tree made
     * Catalyst planning, not execution, the dominant cost on repeated
     * runs (see [[graft.functions.expressions.PqEncode]]).
+    *
+    * PRECONDITION (this and [[probeCells]]): the session must have the
+    * graft native functions registered —
+    * `GraftFunctions.register(spark)` or the `GraftExtensions`
+    * session extension — or analysis fails with "undefined function
+    * pq_encode". The DataFrame-level [[search]] entry point registers
+    * defensively; Column-level builders cannot (no session in scope).
     */
   def assignCell(vq: Column, model: Model): Column =
     element_at(
@@ -164,6 +171,8 @@ object Ivf {
     */
   def search(data: DataFrame, queries: DataFrame, idCol: String,
       model: Model, nprobe: Int, topK: Int): DataFrame = {
+    // defensive: assignCell/probeCells resolve graft-registered names
+    graft.functions.expressions.GraftFunctions.register(data.sparkSession)
     val cells = data.withColumn("cell", assignCell(col("vq"), model))
       .toDF("n_id", "n_vq", "n_nsq", "cell")
     val probed = queries

@@ -80,6 +80,12 @@ object Pq {
 
   /** Codes array: per subspace, argmin_j ||x_m − c_mj||² (ties →
     * lowest centroid id), via the native `pq_encode` expression.
+    *
+    * PRECONDITION (all Column-level builders here): the graft native
+    * functions must be registered on the session
+    * (`GraftFunctions.register(spark)` / `GraftExtensions`) or
+    * analysis fails with "undefined function". The DataFrame-level
+    * [[search]]/[[searchIvfPq]] entry points register defensively.
     */
   def encode(vq: Column, model: Model): Column =
     call_function("pq_encode", vq, booksLit(model))
@@ -89,7 +95,7 @@ object Pq {
     call_function("pq_luts", vq, booksLit(model))
 
   /** ADC approximate dot product: `m` codegen'd table lookups. */
-  def adcDot(luts: Column, codes: Column, model: Model): Column =
+  def adcDot(luts: Column, codes: Column): Column =
     call_function("adc_dot", luts, codes)
 
   /** Reconstruction squared norm: Σ_m |c_m,code_m|² from a literal
@@ -107,6 +113,7 @@ object Pq {
     */
   def search(data: DataFrame, queries: DataFrame, model: Model,
       rerank: Int, topK: Int): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(data.sparkSession)
     // corpus → codes once; the scoring join streams (n_id, m codes)
     val coded = data.select(col("n_id"), encode(col("n_vq"), model).as("codes"))
     val q = broadcast(queries.select(
@@ -114,7 +121,7 @@ object Pq {
     val approx = coded.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("acos", VecFns.cosineFromQ(
-        adcDot(col("luts"), col("codes"), model),
+        adcDot(col("luts"), col("codes")),
         col("q_nsq"), codedNormSq(col("codes"), model)))
     // bounded-heap native grouped top-k: the map side prunes to
     // ≤ rerank rows per (partition, query) BEFORE the exchange — no
@@ -147,6 +154,7 @@ object Pq {
   def searchIvfPq(data: DataFrame, queries: DataFrame,
       coarse: Ivf.Model, model: Model, nprobe: Int,
       rerank: Int, topK: Int): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(data.sparkSession)
     val lists = data.select(col("n_id"),
       Ivf.assignCell(col("n_vq"), coarse).as("cell"),
       encode(col("n_vq"), model).as("codes"))
@@ -156,7 +164,7 @@ object Pq {
     val approx = lists.join(probed, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("acos", VecFns.cosineFromQ(
-        adcDot(col("luts"), col("codes"), model),
+        adcDot(col("luts"), col("codes")),
         col("q_nsq"), codedNormSq(col("codes"), model)))
     val cand = NativeGroupedTopK.topK(approx.select("q_id", "n_id", "acos"),
         Seq("q_id"), Seq(("acos", false), ("n_id", true)), rerank)

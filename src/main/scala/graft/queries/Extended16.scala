@@ -261,6 +261,9 @@ object Extended16 {
             explode(array((0 until 4).map(lit(_)): _*)).as("band"))
           .withColumn("key",
             expr("shiftright(sh, band * 4)").bitwiseAND(lit(15L)))
+          // persist measured 2x faster than relying on ReuseExchange
+          // for this self-join; the harness clearCache()s per query,
+          // so the cached blocks do not outlive the run
           .persist()
         val cands = banded.toDF("a", "sa", "band", "key")
           .join(banded.toDF("b", "sb", "band", "key"), Seq("band", "key"))
@@ -303,7 +306,7 @@ object Extended16 {
           .withColumn("t", TextFns.tokens(col("text")))
         val sigs = MinHashLsh
           .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
-          .persist()
+          .persist() // index + probe sides; cleared by harness clearCache
         val index = MinHashLsh.bandKeys(
           sigs.filter(col("doc_id") % 10 =!= 0), "doc_id", MinhashK, Bands)
         val probe = MinHashLsh.bandKeys(
@@ -369,7 +372,6 @@ object Extended16 {
         val sh = TextFns.distinctShingles(Tables.docsParallel(s, d), 3)
           .select(col("doc_id"), xxhash64(col("shs")).as("h"))
           .repartition(col("h"))
-          .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.toDF("a", "h").join(sh.toDF("b", "h2"),
             col("h") === col("h2") && col("a") < col("b"))

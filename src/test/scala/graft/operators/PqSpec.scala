@@ -75,7 +75,7 @@ class PqSpec extends AnyFunSuite {
       .withColumn("codes", Pq.encode(col("vq"), model))
       .withColumn("luts", Pq.queryLuts(col("vq"), model))
       .withColumn("selfcos", VecFns.cosineFromQ(
-        Pq.adcDot(col("luts"), col("codes"), model),
+        Pq.adcDot(col("luts"), col("codes")),
         col("nsq"), Pq.codedNormSq(col("codes"), model)))
     // the synthetic embeddings are near-isotropic, the hardest case
     // for PQ (no cluster structure to exploit): 16 centroids per 8-dim
