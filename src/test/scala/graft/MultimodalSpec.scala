@@ -121,6 +121,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(info.frames.map(_._2) == sizes)
   }
 
+  test("binary payloads round-trip through a parquet binary column into the decode path") {
+    // The q32/q156 shape but with payloads READ FROM PARQUET, not
+    // synthesized in-plan: media bytes land in a real `binary` column
+    // (its own column chunk — metadata columns prune without touching
+    // it), survive the write/read round-trip bit-exactly, and the
+    // standard decode path runs on the scanned bytes.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    val ids = (0L until 20L) // covers png/gif/bmp/jpeg/wav rotation
+    val rows = ids.map { id =>
+      Multimodal.MediaRow(id, s"src${id % 3}",
+        Multimodal.syntheticPayload(id, s"payload body of doc $id"))
+    } ++ Seq(Multimodal.MediaRow(100L, "vid", Multimodal.aviPayload(100L)))
+    rows.toDS().write.mode("overwrite").parquet(dir)
+
+    val back = spark.read.parquet(dir)
+    // schema: the payload really is a binary column
+    assert(back.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // bytes survive bit-exactly
+    val byId = back.as[Multimodal.MediaRow].collect().map(r => r.doc_id -> r).toMap
+    rows.foreach { r =>
+      assert(java.util.Arrays.equals(byId(r.doc_id).payload, r.payload),
+        s"payload bytes changed in round-trip for doc ${r.doc_id}")
+    }
+    // the standard decode path over the SCANNED column
+    val decoded = Multimodal.decode(back.as[Multimodal.MediaRow])
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- ids) {
+      val d = decoded(id)
+      val expectFmt = (id % 5) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"
+        case 3 => "jpeg"; case _ => "wav"
+      }
+      assert(d.format == expectFmt, s"doc $id")
+      if (expectFmt != "wav") {
+        assert(d.width == Multimodal.widthOf(id) &&
+          d.height == Multimodal.heightOf(id), s"doc $id dims")
+      } else {
+        val bodyLen = s"payload body of doc $id".getBytes("UTF-8").length
+        assert(d.duration_ms == bodyLen.toLong * 1000L / Multimodal.WavByteRate)
+      }
+      assert(d.n_bytes == byId(id).payload.length.toLong)
+    }
+    // the AVI walker consumes the scanned bytes too
+    val avi = Multimodal.parseAvi(byId(100L).payload).get
+    assert(avi.width == Multimodal.widthOf(100L) &&
+      avi.totalFrames == Multimodal.frameCountOf(100L))
+  }
+
   test("malformed AVI returns None, never throws") {
     assert(Multimodal.parseAvi(Array[Byte]()).isEmpty)
     assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty)
