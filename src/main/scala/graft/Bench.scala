@@ -80,8 +80,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val nErr = results.count(_._2.isLeft)
+    // Streaming queries pay a fixed per-micro-batch trigger cost that
+    // dominates at toy scale but amortizes at 100 TB — list them and
+    // split the totals so baseline ratios can separate the two groups.
+    val streamingNames = graft.queries.Registry.all
+      .collect { case (n, q) if q.streaming => n }.toSet
+    val streamingList = results.collect {
+      case (k, _) if streamingNames(k) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val totalStreaming = results
+      .collect { case (k, Right(t)) if streamingNames(k) => t }.sum
+    val totalBatch = total - totalStreaming
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"streaming":$streamingList,"total_streaming":$totalStreaming,"total_batch":$totalBatch,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: the driver's BENCH_rN.json artifact truncates the
     // per-query map, so also write the full line to a repo-committed

@@ -31,7 +31,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    // SPARK_GRAFT_SQL_ONLY=1 → emit just oracle_sql.json (the ANN
+    // oracles are data-dependent, so tools/ratio.py needs them
+    // generated at the target sf dir without a full result dump).
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
+    val selected = (if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.queries).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -16,21 +16,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `oracle` / `oracleGen` should be set (or neither, for rows-only).
   *
   * `bench = true` marks the headline set timed by `graft.Bench`.
+  *
+  * `streaming = true` marks queries that execute as Structured
+  * Streaming micro-batch runs; Bench lists them separately in its
+  * JSON so baseline ratios can separate per-trigger fixed overhead
+  * (a micro-batch artifact at toy scale) from dataflow cost.
   */
 final case class Q(
     impl: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = false,
-    oracleGen: Option[(SparkSession, String) => String] = None)
+    oracleGen: Option[(SparkSession, String) => String] = None,
+    streaming: Boolean = false)
 
 object Registry {
-  lazy val all: Map[String, Q] =
-    Relational.queries ++ EventQueries.queries ++ DocQueries.queries ++
-      VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries ++
-      Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
-      Extended5.queries ++ Extended6.queries ++ Extended7.queries ++
-      Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
-      Extended11.queries ++ Extended12.queries ++ Extended13.queries ++
-      Extended14.queries ++ Extended15.queries ++ Extended16.queries ++
-      Extended17.queries ++ Extended18.queries
+
+  /** The Structured-Streaming micro-batch queries (marked centrally so
+    * the declarations stay uncluttered; `all` applies the flag). Kept
+    * consistent with the declarations by the require below.
+    */
+  private val streamingNames: Set[String] = Set(
+    "q20_stream_tumbling", "q39_stream_sessionize", "q63_stream_stream_join",
+    "q71_stream_dedup", "q74_stream_sliding", "q82_stream_watermark",
+    "q100_stream_static_enrich", "q108_stream_outer_join",
+    "q111_stream_dedup_watermark", "q142_stream_spend_monitor")
+
+  lazy val all: Map[String, Q] = {
+    val base =
+      Relational.queries ++ EventQueries.queries ++ DocQueries.queries ++
+        VectorQueries.queries ++ EtlQueries.queries ++ Extended.queries ++
+        Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
+        Extended5.queries ++ Extended6.queries ++ Extended7.queries ++
+        Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
+        Extended11.queries ++ Extended12.queries ++ Extended13.queries ++
+        Extended14.queries ++ Extended15.queries ++ Extended16.queries ++
+        Extended17.queries ++ Extended18.queries
+    val missing = streamingNames -- base.keySet
+    require(missing.isEmpty, s"streamingNames not in registry: $missing")
+    base.map { case (n, q) =>
+      n -> (if (streamingNames(n)) q.copy(streaming = true) else q)
+    }
+  }
 }
