@@ -171,6 +171,7 @@ object Extended8 {
     // naive a<b<c three-way join must agree exactly ------------------
     "q117_lsh_triangles" -> Q(
       impl = (s, d) => {
+        import s.implicits._
         val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
         val sigs = MinHashLsh.signaturesFromTokens(
@@ -180,31 +181,52 @@ object Extended8 {
           .filter(col("est") >= 0.5)
           .select(col("a"), col("b"))
           .persist() // consumed by degree/orientation/closure joins
-        val sym = pairs.select(col("a").as("u"), col("b").as("v"))
-          .union(pairs.select(col("b").as("u"), col("a").as("v")))
-        // node-keyed frames are |V|-bounded (≪ edges on any dense
-        // graph) → broadcast both degree attachments; the closing
-        // e3 probe broadcasts the oriented edge list itself (|E| here
-        // is LSH-pair-sparse; at true scale it shuffles instead)
-        val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-        val attr = sym
-          .join(broadcast(deg.withColumnRenamed("u", "su").withColumnRenamed("deg", "sdeg")),
-            col("u") === col("su"))
-          .join(broadcast(deg.withColumnRenamed("u", "du").withColumnRenamed("deg", "ddeg")),
-            col("v") === col("du"))
-        val oriented = attr
-          .filter(col("sdeg") < col("ddeg") ||
-            (col("sdeg") === col("ddeg") && col("u") < col("v")))
-          .select(col("u"), col("v"))
-        val paths = oriented.as("e1")
-          .join(broadcast(oriented.as("e2")), col("e1.v") === col("e2.u"))
-          .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-        val tris = paths.join(broadcast(oriented.as("e3")),
-          col("x") === col("e3.u") && col("z") === col("e3.v"))
-        val nNodes = sym.agg(countDistinct("u").as("n_nodes"))
-        val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
-        val nTris = tris.agg(count(lit(1)).as("n_triangles"))
-        nNodes.crossJoin(nEdges).crossJoin(nTris)
+        // The output needs n_edges anyway, so the count doubles as a
+        // free size gate: a near-dup graph that fits on the driver
+        // (edges ≪ the collect cap shared with Components' fast path)
+        // is closed locally — the distributed plan below spends ~5
+        // sequential broadcast-build jobs on what is one in-memory
+        // pass. Beyond the cap the oriented-join plan takes over.
+        val nEdgesL = pairs.count()
+        if (nEdgesL <= 500000L) {
+          val es = pairs.as[(Long, Long)].collect()
+          val adj = es.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+          // oracle shape: (a,b),(b,c) canonical pairs closed by (a,c)
+          val nTrisL = es.iterator.map { case (a, b) =>
+            val bn = adj.getOrElse(b, Set.empty)
+            adj.getOrElse(a, Set.empty).count(bn.contains)
+          }.sum.toLong
+          val nNodesL = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.size.toLong
+          pairs.unpersist()
+          Seq((nNodesL, nEdgesL, nTrisL))
+            .toDF("n_nodes", "n_edges", "n_triangles")
+        } else {
+          val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+            .union(pairs.select(col("b").as("u"), col("a").as("v")))
+          // node-keyed frames are |V|-bounded (≪ edges on any dense
+          // graph) → broadcast both degree attachments; the closing
+          // e3 probe broadcasts the oriented edge list itself (at
+          // true scale it shuffles instead)
+          val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+          val attr = sym
+            .join(broadcast(deg.withColumnRenamed("u", "su").withColumnRenamed("deg", "sdeg")),
+              col("u") === col("su"))
+            .join(broadcast(deg.withColumnRenamed("u", "du").withColumnRenamed("deg", "ddeg")),
+              col("v") === col("du"))
+          val oriented = attr
+            .filter(col("sdeg") < col("ddeg") ||
+              (col("sdeg") === col("ddeg") && col("u") < col("v")))
+            .select(col("u"), col("v"))
+          val paths = oriented.as("e1")
+            .join(broadcast(oriented.as("e2")), col("e1.v") === col("e2.u"))
+            .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+          val tris = paths.join(broadcast(oriented.as("e3")),
+            col("x") === col("e3.u") && col("z") === col("e3.v"))
+          val nNodes = sym.agg(countDistinct("u").as("n_nodes"))
+          val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+          val nTris = tris.agg(count(lit(1)).as("n_triangles"))
+          nNodes.crossJoin(nEdges).crossJoin(nTris)
+        }
       },
       oracle = Some(s"""
         WITH ${Extended2.lshPairCtes(0.5)}
