@@ -18,8 +18,8 @@ object Extended18 {
   private val NShards = 32      // epoch shard count
   private val JlPlanes = 16     // projection dims for the JL audit
   private val Dim = 64          // embedding dims
-  private val Stopwords = Seq("the", "a", "of", "and", "to")
-  private val Bm25Terms = Seq("join", "window", "hash", "scan", "filter")
+  private[queries] val Stopwords = Seq("the", "a", "of", "and", "to")
+  private[queries] val Bm25Terms = Seq("join", "window", "hash", "scan", "filter")
 
   val queries: Map[String, Q] = Map(
     // ---- per-customer EWMA of order totals: e_1 = x_1, e_i = α·x_i
