@@ -37,12 +37,75 @@ object Extended19 {
     */
   private def probeFeatures(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents").select(
+      col("doc_id"),
       when(col("lang") === "en", 1000000L).otherwise(0L).as("y"),
       least(size(TextFns.tokens(col("text"))), lit(256)).cast("long").as("f1"),
       expr("least(length(text), 4096) div 16").cast("long").as("f2"),
       least(size(expr(
         s"filter(split(text, ' '), x -> x IN (${Extended18.Stopwords.map("'" + _ + "'").mkString(",")}))")),
         lit(64)).cast("long").as("f3"))
+
+  /** Run the q175 training loop: each epoch is one corpus aggregation
+    * against the current weights (folded into codegen as literals);
+    * returns the per-epoch (weights-after, sse-before) trajectory.
+    * Shared by q175 (reports it) and q179 (scores with the final
+    * weights).
+    */
+  private def trainProbe(feats: DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    var w = Array(0L, 0L, 0L, 0L)
+    (1 to Iters).map { it =>
+      val predE = expr(
+        s"${w(0)}L + (${w(1)}L * f1 + ${w(2)}L * f2 + ${w(3)}L * f3) div 256")
+      val g = feats.select((col("y") - predE).as("r"), col("f1"), col("f2"), col("f3"))
+        .agg(sum("r").as("sr"), sum(col("r") * col("f1")).as("s1"),
+          sum(col("r") * col("f2")).as("s2"), sum(col("r") * col("f3")).as("s3"),
+          sum(col("r") * col("r")).as("ss"), count(lit(1)).as("n"))
+        .collect()(0)
+      val (sr, s1, s2, s3, ss, n) =
+        (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5))
+      w = Array(
+        w(0) + sr / n / 2,
+        w(1) + s1 / n / 256 / 2,
+        w(2) + s2 / n / 256 / 2,
+        w(3) + s3 / n / 256 / 2)
+      (it.toLong, w(0), w(1), w(2), w(3), ss / 1000000000L)
+    }
+  }
+
+  /** The q175 oracle's feature + training CTE chain (f, w0..wIters,
+    * g1..gIters) — shared verbatim by the q179 oracle so both engines
+    * provably score with the SAME trained weights.
+    */
+  private def probeCtes: String = {
+    val stop = Extended18.Stopwords.map("'" + _ + "'").mkString(",")
+    val ctes = new StringBuilder(s"""
+        f AS (SELECT doc_id,
+          CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS y,
+          CAST(least(len(string_split(text, ' ')), 256) AS BIGINT) AS f1,
+          CAST(least(length(text), 4096) // 16 AS BIGINT) AS f2,
+          CAST(least(len(list_filter(string_split(text, ' '),
+            x -> x IN ($stop))), 64) AS BIGINT) AS f3
+          FROM documents),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                      CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""")
+    for (i <- 1 to Iters) {
+      ctes.append(s""",
+        r$i AS (SELECT f1, f2, f3,
+          y - (w.w0 + (w.w1*f1 + w.w2*f2 + w.w3*f3) // 256) AS r
+          FROM f CROSS JOIN w${i - 1} w),
+        g$i AS (SELECT CAST(sum(r) AS BIGINT) AS sr,
+          CAST(sum(r*f1) AS BIGINT) AS s1, CAST(sum(r*f2) AS BIGINT) AS s2,
+          CAST(sum(r*f3) AS BIGINT) AS s3, CAST(sum(r*r) AS BIGINT) AS ss,
+          CAST(count(*) AS BIGINT) AS n FROM r$i),
+        w$i AS (SELECT
+          w.w0 + (g.sr // g.n) // 2 AS w0,
+          w.w1 + ((g.s1 // g.n) // 256) // 2 AS w1,
+          w.w2 + ((g.s2 // g.n) // 256) // 2 AS w2,
+          w.w3 + ((g.s3 // g.n) // 256) // 2 AS w3
+          FROM w${i - 1} w CROSS JOIN g$i g)""")
+    }
+    ctes.toString
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- distributed classifier training: a linear probe predicting
