@@ -79,22 +79,26 @@ object Extended8 {
     // ---- interval merge (gaps-and-islands): collapse overlapping
     // shipment intervals per supplier into maximal covered islands.
     // Both scans (prefix-MAX of interval end, then prefix-SUM of the
-    // new-island flag) are the range-partitioned grouped scan — a
-    // group spans many partitions, so a 10 TB supplier never lands on
-    // one task the way `max() OVER (PARTITION BY s)` would ----------
+    // new-island flag) are built-in windows over the SAME (s → sort)
+    // partitioning: per-supplier groups are numerous and bounded
+    // (lineitem/supplier is a constant ratio at every TPC-H sf), so
+    // WindowExec — hash-partitioned by s, per-group in-memory sort —
+    // is already fully distributed, and the stacked windows plus the
+    // island aggregation all ride ONE exchange. This is the
+    // HIGH-cardinality side of the grouped-scan decision rule
+    // (operators/GroupedPrefix.scala): the range-partitioned scan is
+    // for few giant groups (q93/q110's by-source scans), not this ----
     "q115_interval_merge" -> Q(
       impl = (s, d) => {
-        val sort = Seq(col("st"), col("en"), col("ok"), col("ln"))
-        val withPmax = GroupedPrefixSum.withRunningMax(
-          shipIntervals(s, d), "s", sort, "en", "pmax", inclusive = false)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("s").orderBy(col("st"), col("en"), col("ok"), col("ln"))
+        val withPmax = shipIntervals(s, d).withColumn("pmax",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
         val flagged = withPmax.withColumn("isnew",
-          when(col("pmax") === lit(Long.MinValue) || col("st") > col("pmax"), 1L)
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
             .otherwise(0L))
-        // narrow projection preserves scan 1's range layout → the
-        // island scan composes on the SAME exchange (one shuffle total)
-        val islands = GroupedPrefixSum.withRunningSum(
-          flagged, "s", sort, "isnew", "island", inclusive = true,
-          preRanged = true)
+        val islands = flagged.withColumn("island",
+          sum(col("isnew")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         islands.groupBy(col("s"), col("island"))
           .agg(min("st").as("island_start"), max("en").as("island_end"),
             count(lit(1)).as("n_intervals"))
