@@ -16,12 +16,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events` carries TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // nanos are read as raw longs — set it on every events read so a
-    // query is self-contained (not dependent on an earlier query in
-    // the session having set it). See `events` below.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `events` has shipped as TIMESTAMP(NANOS) (which Spark 4 rejects
+    // unless nanos are read as raw longs) and as TIMESTAMP(MICROS) NTZ
+    // depending on harness version — set the read conf on every events
+    // read so a query is self-contained (not dependent on an earlier
+    // query in the session having set it). See `usFromTs` below.
+    if (name == "events") eventsReadConf(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -55,15 +55,44 @@ object Tables {
     else df.repartition(target)
   }
 
-  /** The `events` table carries parquet TIMESTAMP(NANOS) which Spark 4
-    * rejects by default. We read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive epoch-micros
-    * with floor division — exactly DuckDB's ns→us truncation, so the
-    * oracle comparison is integer-exact and completely timezone-free.
+  /** Epoch-micros expression for an events `ts` column, adaptive to
+    * the parquet flavor the harness generated:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it unless read as raw longs
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, set by [[load]]) —
+    *    floor-divide to micros, exactly DuckDB's ns→us truncation;
+    *  - TIMESTAMP(MICROS) NTZ (current harness output): cast the
+    *    wall-clock value to an instant under the UTC session zone
+    *    [[events]] pins, then `unix_micros` — the same integer DuckDB's
+    *    `epoch_us(ts)` yields on the naive timestamp.
+    *
+    * Either way `us` is an exact BIGINT and the oracle comparison is
+    * timezone-free.
+    */
+  def usFromTs(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+
+  /** Session knobs every events read needs: the nanos-as-long escape
+    * hatch for TIMESTAMP(NANOS) files, and an explicit UTC session
+    * zone so the NTZ→instant cast in [[usFromTs]] is deterministic on
+    * any machine.
+    */
+  def eventsReadConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** The `events` table with a derived epoch-micros `us` column (see
+    * [[usFromTs]] for the schema-adaptive derivation).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("us", expr("ts div 1000"))
+    eventsReadConf(spark)
+    val df = load(spark, dir, "events")
+    df.withColumn("us", usFromTs(df.schema("ts").dataType))
   }
 }

@@ -35,14 +35,14 @@ object EventStream {
 
   /** Tumbling count/sum per (window, event_type), via streaming. */
   def tumblingCounts(spark: SparkSession, dir: String, windowUs: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.eventsReadConf(spark)
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // FileStreamSource needs a glob (a bare file path trips its
     // basePath directory check), so match the single file by pattern.
     val stream = spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/events.parque*")
-      .withColumn("us", expr("ts div 1000"))
+      .withColumn("us", graft.Tables.usFromTs(schema("ts").dataType))
       .withColumn("w_start_us", expr(s"(us div $windowUs) * $windowUs"))
       .groupBy("w_start_us", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
@@ -76,11 +76,12 @@ object EventStream {
       gapUs: Long = 1800000000L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.eventsReadConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/events.parque*")
-      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.usFromTs(schema("ts").dataType).as("us"))
       .as[UserEvent]
 
     def update(userId: Long, events: Iterator[UserEvent],
@@ -114,11 +115,11 @@ object EventStream {
 
   /** Streamed `events` source with epoch-micros + event-time columns. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.eventsReadConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/events.parque*")
-      .withColumn("us", expr("ts div 1000"))
+      .withColumn("us", graft.Tables.usFromTs(schema("ts").dataType))
       .withColumn("ets", timestamp_micros(col("us")))
   }
 
