@@ -153,6 +153,56 @@ object AnnOracles {
         fcand AS (SELECT q_id, n_id FROM acand),
         ${finalSelect(k)}"""
 
+  /** q178: SemDeDup — k-means cells from the same coarse quantizer as
+    * q54, then the within-cell "dominated by an earlier vector"
+    * pruning rule: vector b is dropped iff some a < b in b's cell has
+    * quantized-cosine(a, b) ≥ tau. Everything is the exact integer
+    * arithmetic of the shared CTEs, so the per-cell kept-id hashes are
+    * engine-exact. `tauMicro` is the threshold in micro-units
+    * (300000 = 0.30) so the SQL literal round-trips exactly.
+    */
+  def semDedupOracle(model: Ivf.Model, tauMicro: Long): String = s"""
+        WITH ${VectorQueries.quantCtes},
+        cent0(j, i, c) AS (VALUES ${centValues(model.centroidsQ)}),
+        cent AS (SELECT j, i, CAST(c AS BIGINT) AS c FROM cent0),
+        cdist AS (
+          SELECT qv.vec_id, cent.j,
+                 CAST(sum(cent.c * cent.c - 2 * qv.e * cent.c) AS BIGINT) AS d
+          FROM qv JOIN cent ON qv.i = cent.i GROUP BY 1, 2),
+        asg AS (
+          SELECT vec_id, j AS cell FROM (
+            SELECT vec_id, j, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, j) AS rn FROM cdist)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM asg a JOIN asg b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        dots AS (
+          SELECT p.a_id, p.b_id, CAST(sum(x.e * y.e) AS BIGINT) AS dot
+          FROM pairs p
+            JOIN qv x ON x.vec_id = p.a_id
+            JOIN qv y ON y.vec_id = p.b_id AND y.i = x.i
+          GROUP BY 1, 2),
+        dropped AS (
+          SELECT d.b_id
+          FROM dots d
+            JOIN norms na ON na.vec_id = d.a_id
+            JOIN norms nb ON nb.vec_id = d.b_id
+          WHERE CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+            >= $tauMicro / 1000000.0
+          GROUP BY 1)
+        SELECT CAST(a.cell AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(dr.b_id) AS BIGINT) AS n_dropped,
+               md5(coalesce(string_agg(
+                 CASE WHEN dr.b_id IS NULL
+                   THEN CAST(a.vec_id AS VARCHAR) END, ','
+                 ORDER BY a.vec_id), '')) AS kept_hash
+        FROM asg a LEFT JOIN dropped dr ON dr.b_id = a.vec_id
+        GROUP BY 1 ORDER BY cell"""
+
   /** q167: IVF-PQ — ADC restricted to the probed cells' code lists. */
   def ivfPqOracle(coarse: Ivf.Model, model: Pq.Model, nq: Int,
       nprobe: Int, rerank: Int, k: Int): String = s"""

@@ -50,7 +50,8 @@ object Registry {
         Extended8.queries ++ Extended9.queries ++ Extended10.queries ++
         Extended11.queries ++ Extended12.queries ++ Extended13.queries ++
         Extended14.queries ++ Extended15.queries ++ Extended16.queries ++
-        Extended17.queries ++ Extended18.queries ++ Extended19.queries
+        Extended17.queries ++ Extended18.queries ++ Extended19.queries ++
+        Extended20.queries
     val missing = streamingNames -- base.keySet
     require(missing.isEmpty, s"streamingNames not in registry: $missing")
     base.map { case (n, q) =>
