@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 32 shuffle partitions needs headroom: at 8g the
+  // 180-query bench spends whole seconds in full GCs that land on
+  // random queries (measured: batch total 94s -> 79s at 24g on the
+  // same data). The bench box has 128 GiB; override via
+  // SPARK_DRIVER_MEM when running somewhere smaller.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
