@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * k/bands rows; band key = md5 of the '|'-joined components.
   * Documents sharing any band key become candidate pairs. The band
   * join is a pure equi-join on (band index, band key) — at 100 TB this
-  * is one shuffle on a short string key, with near-duplicate clusters
-  * appearing as key-skew that AQE's skew-join splitting handles.
+  * is one shuffle on a short string key. Moderate key-skew from
+  * near-duplicate clusters is re-balanced by AQE's skew-join
+  * splitting; *degenerate* buckets (beyond [[LshGuard.DefaultMaxBucket]]
+  * rows behind one key, e.g. millions of empty docs) are capped by the
+  * [[LshGuard]] chain-link guard, which AQE cannot do — splitting
+  * partitions never bounds a single key's O(m²) pair count.
   */
 object MinHashLsh {
 
@@ -162,22 +166,55 @@ object MinHashLsh {
       .select(bandedCols: _*)
   }
 
-  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  /** Candidate pairs with the [[LshGuard]] hot-bucket cap: buckets
+    * holding at most `maxBucket` rows take the exact all-pairs band
+    * self-join; degenerate buckets above it are chain-linked (each row
+    * paired with its ascending-id predecessor), bounding any single
+    * band key to O(m) pairs instead of O(m²) while keeping the bucket
+    * one connected component for downstream clustering. `est` is the
+    * same k-component comparison on either path, so a pair reachable
+    * both ways dedups in the final `distinct()`.
+    */
+  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     // Persist before the self-join: both join sides reference this
     // subplan, and without materialization the whole shingle→minhash
     // pipeline would execute twice (signatures are the expensive part
-    // — the md5 work over every shingle).
-    val banded = bandKeys(sigs, idCol, k, bands).persist()
-    val l = banded.as("l")
-    val rj = banded.as("r")
+    // — the md5 work over every shingle). The occupancy window's
+    // (band, key) hash-partitioning is what the join shuffles on, so
+    // the cached frame feeds both sides exchange-free.
+    val banded = LshGuard.withOccupancy(bandKeys(sigs, idCol, k, bands))
+      .persist()
+
+    val cold = banded.filter(col("__cnt") <= maxBucket)
+    val l = cold.as("l")
+    val rj = cold.as("r")
     val matches = (0 until k)
       .map(i => when(col(s"l.s$i") === col(s"r.s$i"), 1).otherwise(0))
       .reduce(_ + _)
-    l.join(rj,
+    val coldPairs = l.join(rj,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         round(matches / lit(k.toDouble), 4).as("est"))
-      .distinct()
+
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+    val sigStruct = struct((0 until k).map(i => col(s"s$i")): _*)
+    val hotMatches = (0 until k)
+      .map(i => when(col("__prev")(s"s$i") === col(s"s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val hotPairs = LshGuard.instrument(banded
+      .filter(col("__cnt") > maxBucket)
+      .withColumn("__pid", lag(col(idCol), 1).over(ordered))
+      .withColumn("__prev", lag(sigStruct, 1).over(ordered))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__pid").isNotNull)
+      .select(col("__pid").as("a"), col(idCol).as("b"),
+        round(hotMatches / lit(k.toDouble), 4).as("est"),
+        col("__cnt"), col("__rn")))
+
+    coldPairs.unionByName(hotPairs).distinct()
   }
 }

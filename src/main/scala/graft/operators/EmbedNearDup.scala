@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.VecFns
+import graft.functions.{LshGuard, VecFns}
 
 /** Embedding-cosine near-duplicate pairs.
   *
@@ -43,32 +43,61 @@ object EmbedNearDup {
     * @return (a, b, cos_r) with a < b, each candidate pair scored once
     */
   def bandedPairs(vecs: DataFrame, idCol: String, bands: Int,
-      planesPerBand: Int, dim: Int, minCos: Double): DataFrame =
-    bandedPairsWithCleanup(vecs, idCol, bands, planesPerBand, dim, minCos)._1
+      planesPerBand: Int, dim: Int, minCos: Double,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame =
+    bandedPairsWithCleanup(vecs, idCol, bands, planesPerBand, dim, minCos,
+      maxBucket)._1
 
   /** [[bandedPairs]] plus an unpersist handle for the banded frame —
     * call it after the consuming action to release the cached blocks
     * deterministically (idempotent, non-blocking).
+    *
+    * Hot-bucket guard: a (band, key) bucket holding more than
+    * `maxBucket` rows (a degenerate hyperplane cell — e.g. millions of
+    * zero or boilerplate-identical embeddings) skips the all-pairs
+    * self-join and is chain-linked in ascending-id order via
+    * [[graft.functions.LshGuard]], bounding the cell to O(m) candidate
+    * pairs while keeping it one connected component for clustering.
+    * Chained candidates still go through the exact cosine verify.
     */
   def bandedPairsWithCleanup(vecs: DataFrame, idCol: String, bands: Int,
-      planesPerBand: Int, dim: Int, minCos: Double): (DataFrame, () => Unit) = {
+      planesPerBand: Int, dim: Int, minCos: Double,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): (DataFrame, () => Unit) = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         VecFns.lshBandKey(col("vq"), b, planesPerBand, dim).as("key"))
     }
-    val banded = vecs
-      .withColumn("__bk", explode(array(bandKeys: _*)))
-      .select(col(idCol), col("vq"), col("nsq"),
-        col("__bk.band").as("band"), col("__bk.key").as("key"))
+    val banded = LshGuard.withOccupancy(vecs
+        .withColumn("__bk", explode(array(bandKeys: _*)))
+        .select(col(idCol), col("vq"), col("nsq"),
+          col("__bk.band").as("band"), col("__bk.key").as("key")))
       .persist()
-    val l = banded.toDF("a", "a_vq", "a_nsq", "band", "key")
-    val r = banded.toDF("b", "b_vq", "b_nsq", "band", "key")
-    // distinct before scoring: a pair sharing several bands must be
-    // examined (and emitted) exactly once
-    val cand = l.join(r, Seq("band", "key"))
+
+    val cold = banded.filter(col("__cnt") <= maxBucket)
+      .drop("__cnt")
+    val l = cold.toDF("a", "a_vq", "a_nsq", "band", "key")
+    val r = cold.toDF("b", "b_vq", "b_nsq", "band", "key")
+    val coldCand = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
-      .distinct()
+
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+    val hotCand = LshGuard.instrument(banded
+      .filter(col("__cnt") > maxBucket)
+      .withColumn("__prev", lag(struct(col(idCol).as("id"),
+        col("vq").as("vq"), col("nsq").as("nsq")), 1).over(ordered))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev")("id").as("a"), col(idCol).as("b"),
+        col("__prev")("vq").as("a_vq"), col("__prev")("nsq").as("a_nsq"),
+        col("vq").as("b_vq"), col("nsq").as("b_nsq"),
+        col("__cnt"), col("__rn")))
+
+    // distinct before scoring: a pair sharing several bands (possibly
+    // cold in one, chained in another) must be examined exactly once
+    val cand = coldCand.unionByName(hotCand).distinct()
     (verify(cand, minCos), () => { banded.unpersist(blocking = false); () })
   }
 

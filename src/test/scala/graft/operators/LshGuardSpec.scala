@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.{LshGuard, MinHashLsh, TextFns, VecFns}
+
+/** Adversarial-corpus proof of the LSH hot-bucket guard.
+  *
+  * The threat: a degenerate band key shared by m documents (empty
+  * docs, boilerplate, zero embeddings) makes the band self-join emit
+  * m(m−1)/2 pairs from ONE bucket — at 100 TB, m in the millions turns
+  * that into ~10¹² rows AQE cannot split away (skew splitting
+  * re-balances partitions, not a single key's pair count). The guard
+  * must (a) bound the degenerate bucket to O(m) pairs, (b) keep the
+  * bucket one connected component so dedup clustering is unchanged,
+  * and (c) leave every non-degenerate pair exactly as before.
+  */
+class LshGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 12
+  private val Bands = 4
+
+  /** Signature frame: every id in `ids` gets the constant signature
+    * `base`, so all of them share every band key.
+    */
+  private def constSigs(ids: Range, base: Long) =
+    ids.map(i => (i.toLong, Array.fill(K)(base))).toDF("doc_id", "s")
+      .select(col("doc_id") +:
+        (0 until K).map(i => col("s")(i).as(s"s$i")): _*)
+
+  test("degenerate bucket is chain-linked: O(m) pairs, still one component, cold pairs untouched") {
+    // 100 identical docs (ids 1000-1099) — one hot bucket per band
+    val hot = constSigs(1000 until 1100, 7L)
+    // small genuine clusters, all below the cap: {1,2} and {3,4,5}
+    val cold = constSigs(1 to 2, 11L).union(constSigs(3 to 5, 13L))
+    // singletons with distinct signatures — must produce no pairs
+    val solo = (10 until 20)
+      .map(i => (i.toLong, Array.tabulate(K)(j => 1000L * i + j)))
+      .toDF("doc_id", "s")
+      .select(col("doc_id") +:
+        (0 until K).map(i => col("s")(i).as(s"s$i")): _*)
+    val sigs = hot.union(cold).union(solo)
+
+    val pairs = MinHashLsh
+      .candidatePairs(sigs, "doc_id", K, Bands, maxBucket = 10)
+      .orderBy("a", "b")
+      .as[(Long, Long, Double)].collect()
+
+    val hotPairs = pairs.filter(_._1 >= 1000L)
+    val coldPairs = pairs.filter(_._1 < 1000L)
+
+    // (a) bounded: m−1 = 99 chained pairs, not m(m−1)/2 = 4950
+    assert(hotPairs.length === 99,
+      s"expected 99 chained pairs, got ${hotPairs.length}")
+    assert(hotPairs.toSeq === (1000L until 1099L).map(i => (i, i + 1, 1.0)),
+      "chain must link ascending-id neighbors with est=1.0")
+
+    // (c) non-degenerate pairs are exactly the unguarded all-pairs set
+    assert(coldPairs.toSeq === Seq(
+      (1L, 2L, 1.0), (3L, 4L, 1.0), (3L, 5L, 1.0), (4L, 5L, 1.0)))
+
+    // metric, read after exactly ONE action on the guarded plan: one
+    // hot bucket per band; suppressed = 4950 − 99 per band (Spark
+    // accumulators re-count if the plan is executed again)
+    val m = LshGuard.lastMetrics.get
+    assert(m.hotBuckets.value === Bands.toLong)
+    assert(m.suppressedPairs.value === Bands.toLong * (4950L - 99L))
+
+    // (b) connectivity: the whole degenerate cluster is one component
+    val comp = Components
+      .connectedComponents(
+        MinHashLsh.candidatePairs(sigs, "doc_id", K, Bands, maxBucket = 10),
+        "a", "b")
+      .filter(col("node") >= 1000)
+      .select("component").distinct().count()
+    assert(comp === 1L, "degenerate cluster split into >1 component")
+  }
+
+  test("guard at default threshold is a no-op on a realistic corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val sigs = MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, K)
+      .persist()
+    def pairSet(maxBucket: Int) = MinHashLsh
+      .candidatePairs(sigs, "doc_id", K, Bands, maxBucket)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairSet(LshGuard.DefaultMaxBucket) === pairSet(Int.MaxValue),
+      "default-threshold guard changed pairs on a non-degenerate corpus")
+    sigs.unpersist()
+  }
+
+  test("adversarial scale: 20k identical docs stay O(m) at the default threshold") {
+    val sigs = constSigs(0 until 20000, 42L)
+    val n = MinHashLsh.candidatePairs(sigs, "doc_id", K, Bands).count()
+    assert(n === 19999L, s"expected 19999 chained pairs, got $n")
+  }
+
+  test("embedding band guard: degenerate hyperplane cell is chain-linked and verified") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // 50 identical embeddings + 3 distinct near-identical ones
+    val dim = 8
+    val base = Array.tabulate(dim)(i => 0.1f * (i + 1))
+    val rows =
+      (0 until 50).map(i => (i.toLong, base)) ++
+        Seq((100L, base.map(_ * 1.0001f)), (101L, base.map(_ * 1.0002f)),
+          (200L, Array.tabulate(dim)(i => if (i % 2 == 0) -1.0f else 1.0f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+      .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+
+    val guarded = EmbedNearDup
+      .bandedPairs(vecs, "vec_id", bands = 4, planesPerBand = 4, dim = dim,
+        minCos = 0.99, maxBucket = 10)
+      .as[(Long, Long, Double)].collect()
+
+    // ids 0..49 and 100..101 all land in the same cells (identical /
+    // near-identical directions). The 0..49 chain contributes 49
+    // pairs; pairs touching 100/101 come from the guard chain or the
+    // cold path depending on cell occupancy — what matters: bounded
+    // count, full connectivity, and exact cosine on every emitted pair
+    val within = guarded.filter(p => p._1 < 50 && p._2 < 50)
+    assert(within.length === 49, s"expected 49 chained pairs, got ${within.length}")
+    assert(within.forall(_._3 >= 0.999999), "identical vectors must verify at cos≈1")
+    assert(guarded.forall(p => p._1 != 200L && p._2 != 200L),
+      "opposite-direction vector must not pair")
+
+    val compDf = Components.connectedComponents(
+      EmbedNearDup.bandedPairs(vecs, "vec_id", 4, 4, dim, 0.99, maxBucket = 10)
+        .select("a", "b"), "a", "b")
+    assert(compDf.filter(col("node") < 50).select("component").distinct()
+      .count() === 1L, "degenerate embedding cluster split")
+  }
+}
