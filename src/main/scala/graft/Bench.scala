@@ -53,25 +53,62 @@ object Bench {
       .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
-    val results: Seq[(String, Either[String, Double])] =
-      selected.map { case (name, fn) =>
-        val runs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          val outcome =
-            try { fn(spark, sfDir).count(); Right(()) }
-            catch { case e: Throwable => Left(e.getClass.getSimpleName) }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // drop per-query persisted frames so later timings aren't
-          // skewed by accumulated block-manager state
-          spark.catalog.clearCache()
-          outcome.map(_ => dt)
-        }
-        val best = runs.collect { case Right(t) => t } match {
-          case ts if ts.nonEmpty => Right(ts.min)
-          case _ => Left(runs.collectFirst { case Left(e) => e }.getOrElse("err"))
-        }
-        name -> best
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val outcome =
+          try { fn(spark, sfDir).count(); Right(()) }
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted frames so later timings aren't
+        // skewed by accumulated block-manager state
+        spark.catalog.clearCache()
+        outcome.map(_ => dt)
       }
+      runs.collect { case Right(t) => t } match {
+        case ts if ts.nonEmpty => Right(ts.min)
+        case _ => Left(runs.collectFirst { case Left(e) => e }.getOrElse("err"))
+      }
+    }
+    val firstPass: Seq[(String, Either[String, Double])] =
+      selected.map { case (name, fn) => name -> timeQuery(name, fn) }
+    // Contention guard: a single noisy snapshot run must not read as a
+    // regression. Any query measuring >3× its last committed
+    // full-registry time (bench/bench_latest.json) is re-timed once
+    // after the main pass; the report carries the better time plus a
+    // "retimed" map with both measurements so the spike stays visible.
+    val priorTimes: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench/bench_latest.json")
+        if (java.nio.file.Files.exists(p)) {
+          val json = org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(p))
+          (json \ "queries") match {
+            case org.json4s.JObject(fields) => fields.collect {
+              case (k, org.json4s.JDouble(v)) => k -> v
+              case (k, org.json4s.JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } else Map.empty[String, Double]
+      } catch { case _: Exception => Map.empty[String, Double] }
+    val suspects = firstPass.collect {
+      case (name, Right(t)) if priorTimes.get(name).exists(p => t > 3 * p) => name
+    }.toSet
+    val retimes: Map[String, Double] = selected
+      .collect { case (name, fn) if suspects(name) =>
+        name -> timeQuery(name, fn) }
+      .collect { case (name, Right(t)) => name -> t }.toMap
+    val results: Seq[(String, Either[String, Double])] = firstPass.map {
+      case (name, Right(t)) if retimes.contains(name) =>
+        name -> Right(math.min(t, retimes(name)))
+      case other => other
+    }
+    val retimedJson = firstPass.collect {
+      case (name, Right(t)) if retimes.contains(name) =>
+        "\"" + name + "\":{\"first\":" + t + ",\"retry\":" + retimes(name) + "}"
+    }.mkString("{", ",", "}")
     val qs = results.map {
       case (k, Right(t)) => "\"" + k + "\":" + t
       case (k, Left(_)) => "\"" + k + "\":\"err\""
@@ -91,7 +128,7 @@ object Bench {
       .collect { case (k, Right(t)) if streamingNames(k) => t }.sum
     val totalBatch = total - totalStreaming
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"streaming":$streamingList,"total_streaming":$totalStreaming,"total_batch":$totalBatch,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"retimed":$retimedJson,"streaming":$streamingList,"total_streaming":$totalStreaming,"total_batch":$totalBatch,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: the driver's BENCH_rN.json artifact truncates the
     // per-query map, so also write the full line to a repo-committed

@@ -290,21 +290,25 @@ object Extended7 {
     // ---- time-grid resample + forward fill: align every user's event
     // series to a fixed 6-hour grid, carrying the latest observation
     // forward — the gap-filling step of time-series feature prep. The
-    // grid is users × sequence(span) (the span is a one-row broadcast);
-    // the fill is the as-of operator (union + carry-forward window, one
-    // shuffle on user_id — never a per-grid-point range join). Events
-    // sharing (user, ts) are pre-aggregated so the fill is
-    // deterministic under any as-of tie order --------------------------
+    // grid is PER-USER: each user's sequence spans only their own
+    // [min(us), max(us)] (t0 floored to the global step so grid points
+    // stay phase-aligned across users) — at 100 TB a user active for
+    // an hour pays for an hour, not for the corpus's multi-year span
+    // (a global-span grid is O(users × corpus_span / step), a
+    // scale-killer). The span agg and the grid ride the same
+    // groupBy(user) shuffle; the fill is the as-of operator (union +
+    // carry-forward window, one shuffle on user_id — never a
+    // per-grid-point range join). Events sharing (user, ts) are
+    // pre-aggregated so the fill is deterministic under any as-of tie
+    // order -----------------------------------------------------------
     "q112_resample_ffill" -> Q(
       impl = (s, d) => {
         val ev = Tables.events(s, d)
           .groupBy(col("user_id"), col("us"))
           .agg(max("value").as("value"))
-        val span = ev.agg(
-          expr(s"(min(us) div $ResampleStepUs) * $ResampleStepUs").as("t0"),
-          max("us").as("mx"))
-        val grid = ev.select("user_id").distinct()
-          .crossJoin(broadcast(span))
+        val grid = ev.groupBy("user_id")
+          .agg(expr(s"(min(us) div $ResampleStepUs) * $ResampleStepUs").as("t0"),
+            max("us").as("mx"))
           .select(col("user_id"),
             explode(sequence(col("t0"), col("mx"),
               lit(ResampleStepUs))).as("gus"))
@@ -318,11 +322,13 @@ object Extended7 {
       oracle = Some(s"""
         WITH ev AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS value
                     FROM events GROUP BY 1, 2),
-        span AS (SELECT (min(us) // $ResampleStepUs) * $ResampleStepUs AS t0,
-                        max(us) AS mx FROM ev),
+        spanu AS (SELECT user_id,
+                         (min(us) // $ResampleStepUs) * $ResampleStepUs AS t0,
+                         max(us) AS mx
+                  FROM ev GROUP BY user_id),
         grid AS (SELECT user_id,
                         unnest(generate_series(t0, mx, $ResampleStepUs)) AS gus
-                 FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN span)
+                 FROM spanu)
         SELECT g.user_id, g.gus, e.us AS last_us,
                round(e.value, 3) AS last_value
         FROM grid g ASOF JOIN ev e
