@@ -33,7 +33,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with 32 shuffle partitions needs headroom: at 8g the
   // 180-query bench spends whole seconds in full GCs that land on
   // random queries (measured: batch total 94s -> 79s at 24g on the
-  // same data). The bench box has 128 GiB; override via
-  // SPARK_DRIVER_MEM when running somewhere smaller.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // same data). Default 24g, clamped to half the detected physical
+  // memory so a smaller host degrades with GC instead of getting
+  // OOM-killed; override via SPARK_DRIVER_MEM either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGb =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getTotalMemorySize >> 30
+      catch { case _: Throwable => 48L }
+    s"${math.min(24L, math.max(4L, physGb / 2))}g"
+  })}",
 )

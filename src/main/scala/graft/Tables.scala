@@ -68,6 +68,11 @@ object Tables {
     *
     * Either way `us` is an exact BIGINT and the oracle comparison is
     * timezone-free.
+    *
+    * Post-1970 assumption (NANOS flavor): Spark `div` truncates toward
+    * zero while a floor division truncates toward −∞ — the two differ
+    * by 1 µs only for negative (pre-epoch) nanosecond timestamps,
+    * which the events table never contains (synthetic 2024+ data).
     */
   def usFromTs(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
     tsType match {
@@ -78,13 +83,24 @@ object Tables {
     }
 
   /** Session knobs every events read needs: the nanos-as-long escape
-    * hatch for TIMESTAMP(NANOS) files, and an explicit UTC session
-    * zone so the NTZ→instant cast in [[usFromTs]] is deterministic on
-    * any machine.
+    * hatch for TIMESTAMP(NANOS) files, and a UTC session zone so the
+    * NTZ→instant cast in [[usFromTs]] is deterministic on any machine.
+    *
+    * The zone is asserted, not overwritten: silently mutating the
+    * session zone as a side effect of a table load would clobber a
+    * caller's setting for every query run afterwards. All graft entry
+    * points (Bench, Verify, the test harness, build.sbt's forked JVM)
+    * pin UTC at session construction; a caller that deliberately runs
+    * another zone gets a loud failure here instead of wrong-by-an-
+    * offset event timestamps.
     */
   def eventsReadConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC")
+      throw new IllegalStateException(
+        s"events require spark.sql.session.timeZone=UTC (found '$tz'): " +
+          "set it on the SparkSession builder before loading events")
   }
 
   /** The `events` table with a derived epoch-micros `us` column (see

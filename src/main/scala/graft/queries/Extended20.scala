@@ -166,6 +166,13 @@ object Extended20 {
         val tot = toks.agg(count(lit(1)).as("tot"))
         val scored = toks.join(broadcast(vocab), "tok")
           .crossJoin(broadcast(tot))
+          // Portability note: unlike +/−/×/sqrt, ln is not IEEE-754
+          // correctly-rounded-guaranteed, so this leans on JVM
+          // Math.log and DuckDB's libm agreeing to the last bit on
+          // ratios of small integers (they do on every platform we
+          // run; a 1-ulp divergence at a round(x*1e6) halfway point
+          // would flip a micro-nat). The integer-exact paths (q103/
+          // q118 fixed-point NLL) are the engine-exact alternative.
           .withColumn("surp",
             round(log(col("tot") / col("c")) * 1e6, 0).cast("long"))
           .groupBy("doc_id", "lang")

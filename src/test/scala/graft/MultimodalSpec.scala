@@ -129,7 +129,7 @@ class MultimodalSpec extends AnyFunSuite {
     // standard decode path runs on the scanned bytes.
     val spark = TestSpark.spark
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    val dir = graft.TestSpark.scratchDir("graft_media")
     val ids = (0L until 20L) // covers png/gif/bmp/jpeg/wav rotation
     val rows = ids.map { id =>
       Multimodal.MediaRow(id, s"src${id % 3}",

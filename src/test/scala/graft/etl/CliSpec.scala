@@ -13,7 +13,7 @@ class CliSpec extends AnyFunSuite {
   private val fx = "/root/repo/src/test/resources/fixtures"
 
   test("create-then-append matches the shell script's family pattern") {
-    val out = Files.createTempDirectory("graft_cli").toString
+    val out = graft.TestSpark.scratchDir("graft_cli")
     Main.run(spark, "genes-exons", create = true, out,
       Array(s"$fx/genes_human.gff3", "9606"))
     val n1 = spark.read.parquet(s"$out/gene").count()
@@ -29,7 +29,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("jdbc sink: Derby round-trip equals the direct load, append appends") {
-    val dir = Files.createTempDirectory("graft_jdbc").toString
+    val dir = graft.TestSpark.scratchDir("graft_jdbc")
     val url = s"jdbc:derby:$dir/graft.db;create=true"
     Main.run(spark, "genes-exons", create = true, url,
       Array(s"$fx/genes_human.gff3", "9606"))
@@ -47,7 +47,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("Pipeline.writeJdbc lands every table of a run") {
-    val dir = Files.createTempDirectory("graft_jdbc_pipe").toString
+    val dir = graft.TestSpark.scratchDir("graft_jdbc_pipe")
     val url = s"jdbc:derby:$dir/pipe.db;create=true"
     val tables = Pipeline.run(spark, Pipeline.Inputs(
       genes = Seq(Pipeline.SpeciesFile(s"$fx/genes_human.gff3", 9606)),
@@ -59,7 +59,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("ontology command loads terms, closure pairs, and GAF map") {
-    val out = Files.createTempDirectory("graft_cli_onto").toString
+    val out = graft.TestSpark.scratchDir("graft_cli_onto")
     Main.run(spark, "ontology", create = true, out,
       Array(s"$fx/ontology_go.obo,$fx/ontology_mp.obo",
         s"$fx/annotations_go_human.gaf:9606"))

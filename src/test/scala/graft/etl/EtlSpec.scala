@@ -221,7 +221,7 @@ class EtlSpec extends AnyFunSuite {
     // mouse: 7 rows − 2 blacklisted − 1 D3 dup = 4 (mRNA incl.); rat: 2
     assert(tables("feature").count() === 6)
     assert(tables("homolog").count() === 10) // 6 + 4 across two files
-    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val out = graft.TestSpark.scratchDir("graft_pipeline")
     Pipeline.write(tables, out)
     val geneBack = spark.read.parquet(s"$out/gene")
     assert(geneBack.count() === tables("gene").count())
@@ -231,7 +231,7 @@ class EtlSpec extends AnyFunSuite {
   test("writeObserved: in-flight row accounting matches what landed (A4)") {
     val tables = Pipeline.run(spark, Pipeline.Inputs(
       genes = Seq(Pipeline.SpeciesFile(fx("genes_human.gff3"), 9606))))
-    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    val out = graft.TestSpark.scratchDir("graft_obs")
     val metrics = Pipeline.writeObserved(tables, out)
     // the observed count rode the write job — assert it equals a
     // fresh count of what's actually on disk, for every table

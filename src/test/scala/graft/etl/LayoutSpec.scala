@@ -17,7 +17,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("taxon filter prunes partitions; rows sorted within partition") {
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_layout").toString
+    val out = graft.TestSpark.scratchDir("graft_layout")
     // two species of genes via the reference loaders (same file,
     // different taxon — the layout is what's under test)
     val g1 = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).genes
@@ -63,7 +63,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("dynamic partition overwrite replaces one taxon, leaves the others intact") {
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_layout_dyn").toString
+    val out = graft.TestSpark.scratchDir("graft_layout_dyn")
     val human = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).genes
     val mouse = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 10090).genes
       .withColumn("gene_taxonid", lit(10090))
@@ -88,7 +88,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("exon layout mirrors index exon(parent_gene, exon_start_pos)") {
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_layout_exon").toString
+    val out = graft.TestSpark.scratchDir("graft_layout_exon")
     val exons = GenesExonsEtl.load(spark, s"$fx/genes_human.gff3", 9606).exons
     Pipeline.write(Map("exon" -> exons), out)
     val files = new java.io.File(s"$out/exon/taxonid=9606")

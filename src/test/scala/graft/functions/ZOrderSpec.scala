@@ -45,7 +45,7 @@ class ZOrderSpec extends AnyFunSuite {
     }
 
   test("z-ordered layout prunes on both dims; x-sort only prunes x") {
-    val base = Files.createTempDirectory("graft_zorder").toString
+    val base = graft.TestSpark.scratchDir("graft_zorder")
     // Deterministic stand-in for a range partition on the sort key:
     // 64 equal-width key buckets, one file each. (repartitionByRange
     // draws its reservoir-sample seed from the RDD id, which depends

@@ -13,7 +13,7 @@ class CompactSpec extends AnyFunSuite {
 
   test("compaction collapses a small-file leaf, preserves data, and is idempotent") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val dir = graft.TestSpark.scratchDir("compact") + "/t"
     (1L to 10000L).toDF("id").repartition(64)
       .write.parquet(dir)
     assert(fileCount(dir) === 64)
@@ -32,7 +32,7 @@ class CompactSpec extends AnyFunSuite {
 
   test("partitioned tables compact per leaf and leave compacted leaves alone") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    val dir = graft.TestSpark.scratchDir("compactp") + "/t"
     (1L to 4000L).map(i => (i % 2, i)).toDF("k", "id")
       .repartition(16).write.partitionBy("k").parquet(dir)
     assert(fileCount(s"$dir/k=0") === 16 && fileCount(s"$dir/k=1") === 16)
@@ -49,7 +49,7 @@ class CompactSpec extends AnyFunSuite {
 
   test("a leaf larger than one target file splits into the computed bin count") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("compactb").toString + "/t"
+    val dir = graft.TestSpark.scratchDir("compactb") + "/t"
     // ~ a few hundred KB of parquet over 32 files
     (1L to 200000L).toDF("id").repartition(32).write.parquet(dir)
     val bytes = Option(new java.io.File(dir).listFiles()).get

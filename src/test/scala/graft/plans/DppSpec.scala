@@ -16,7 +16,7 @@ class DppSpec extends AnyFunSuite {
   test("a filtered dimension join prunes the fact table's partitions at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/fact"
+    val dir = graft.TestSpark.scratchDir("dpp") + "/fact"
     (1L to 20000L).map(i => (s"p${i % 8}", i)).toDF("part_key", "v")
       .write.partitionBy("part_key").parquet(dir)
     val fact = spark.read.parquet(dir)
@@ -25,7 +25,7 @@ class DppSpec extends AnyFunSuite {
     // constant-folded away (ConvertToLocalRelation), erasing the
     // predicate DPP's insertion heuristic keys on — so the dim is a
     // parquet-backed read with the filter applied on top
-    val dimDir = java.nio.file.Files.createTempDirectory("dpp").toString + "/dim"
+    val dimDir = graft.TestSpark.scratchDir("dpp") + "/dim"
     Seq(("p3", "keep"), ("p7", "drop")).toDF("part_key", "tag")
       .write.parquet(dimDir)
     val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")

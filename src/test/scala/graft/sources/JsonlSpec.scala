@@ -23,7 +23,7 @@ class JsonlSpec extends AnyFunSuite {
     """{"doc_id": 3, "text": "epsilon"}""")
 
   private def writePlain(): String = {
-    val dir = Files.createTempDirectory("jsonl")
+    val dir = graft.TestSpark.scratchPath("jsonl")
     Files.write(dir.resolve("part-0.jsonl"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     dir.toString
@@ -39,7 +39,7 @@ class JsonlSpec extends AnyFunSuite {
   }
 
   test("gzip members read transparently (the .jsonl.gz shard layout)") {
-    val dir = Files.createTempDirectory("jsonlgz")
+    val dir = graft.TestSpark.scratchPath("jsonlgz")
     val out = new GZIPOutputStream(
       Files.newOutputStream(dir.resolve("part-0.jsonl.gz")))
     out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

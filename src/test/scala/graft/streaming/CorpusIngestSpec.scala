@@ -16,7 +16,7 @@ class CorpusIngestSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def store(): String =
-    Files.createTempDirectory("ingest_store").resolve("corpus").toString
+    graft.TestSpark.scratchPath("ingest_store").resolve("corpus").toString
 
   test("cross-batch and in-batch duplicate ids never re-land") {
     val dir = store()
@@ -59,7 +59,7 @@ class CorpusIngestSpec extends AnyFunSuite {
   }
 
   test("stream end-to-end: file-source micro-batches land deduped") {
-    val src = Files.createTempDirectory("ingest_src").toString
+    val src = graft.TestSpark.scratchDir("ingest_src")
     val dir = store()
     Seq((10L, "a"), (11L, "b"), (10L, "a-dup")).toDF("doc_id", "text")
       .write.mode("append").parquet(src)

@@ -84,7 +84,7 @@ class StreamingSpec extends AnyFunSuite {
     // boundaries. u1 crosses the threshold only with its second
     // file's spend; u2 never crosses. (Sums and the latch are
     // order-independent, so file processing order can't matter.)
-    val tmp = java.nio.file.Files.createTempDirectory("statev2").toFile
+    val tmp = graft.TestSpark.scratchPath("statev2").toFile
     val dir2 = tmp.getAbsolutePath
     def write(eventId: Long, user: Long, value: Double): Unit =
       spark.range(1).select(
