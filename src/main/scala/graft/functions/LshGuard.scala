@@ -60,6 +60,50 @@ object LshGuard {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("key"))))
 
+  /** Index-side guard for probe joins (delta-vs-index LSH lookup): a
+    * degenerate index bucket of m rows multiplies EVERY colliding
+    * probe row by m. Buckets over `maxBucket` keep only their first
+    * `maxBucket` rows in ascending-id order — for the production
+    * decision ("does this delta doc collide with the standing
+    * corpus?") any bounded set of representatives is sufficient, and
+    * buckets at or under the threshold are untouched. Overflow is
+    * metered via the `graft.lsh.indexRowsCapped` accumulator and an
+    * executor-side warning (on each capped bucket's first row).
+    */
+  def capBuckets(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val withCnt = withOccupancy(banded)
+    // cold side untouched — stays inside whole-stage codegen
+    val cold = withCnt.filter(col("__cnt") <= maxBucket).drop("__cnt")
+    // hot side (normally empty): keep the first maxBucket rows per
+    // bucket and meter the overflow through the pass-through stage
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+    val hot = withCnt.filter(col("__cnt") > maxBucket)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+    val sc = banded.sparkSession.sparkContext
+    val capped = sc.longAccumulator("graft.lsh.indexRowsCapped")
+    val schema = hot.schema
+    val cntIdx = schema.fieldIndex("__cnt")
+    val rnIdx = schema.fieldIndex("__rn")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val mb = maxBucket.toLong
+    val hotMetered = hot.mapPartitions { it =>
+      lazy val log = org.slf4j.LoggerFactory.getLogger("graft.lsh.guard")
+      it.map { r =>
+        if (r.getInt(rnIdx) == 1) {
+          val m = r.getLong(cntIdx)
+          capped.add(m - mb)
+          log.warn(s"hot LSH index bucket: $m rows behind one band key; " +
+            s"capped to $mb representatives (dropped ${m - mb})")
+        }
+        r
+      }
+    }(enc).drop("__cnt", "__rn")
+    cold.unionByName(hotMetered)
+  }
+
   /** Pass-through instrumentation of the chained hot-pair rows: bumps
     * the accumulators and logs once per hot bucket (on the bucket's
     * first emitted pair, `__rn` == 2), then drops the bookkeeping

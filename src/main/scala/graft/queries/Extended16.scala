@@ -307,8 +307,15 @@ object Extended16 {
         val sigs = MinHashLsh
           .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
           .persist() // index + probe sides; cleared by harness clearCache
-        val index = MinHashLsh.bandKeys(
-          sigs.filter(col("doc_id") % 10 =!= 0), "doc_id", MinhashK, Bands)
+        // index side carries the hot-bucket cap: a degenerate band key
+        // multiplies every colliding probe row by the bucket size, so
+        // buckets over the threshold keep maxBucket representatives
+        // (plenty for the collides-with-corpus decision; a no-op on
+        // non-degenerate data — see functions/LshGuard.scala)
+        val index = graft.functions.LshGuard.capBuckets(
+          MinHashLsh.bandKeys(
+            sigs.filter(col("doc_id") % 10 =!= 0), "doc_id", MinhashK, Bands),
+          "doc_id", graft.functions.LshGuard.DefaultMaxBucket)
         val probe = MinHashLsh.bandKeys(
           sigs.filter(col("doc_id") % 10 === 0), "doc_id", MinhashK, Bands)
         val matches = (0 until MinhashK)
@@ -383,13 +390,12 @@ object Extended16 {
           .filter(col("j") >= 0.3)
         val sigs = MinHashLsh
           .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
-        val banded = MinHashLsh.bandKeys(sigs, "doc_id", MinhashK, Bands)
-        val found = banded.toDF((Seq("a", "band", "key") ++
-            (0 until MinhashK).map(i => s"sa$i")): _*)
-          .join(banded.toDF((Seq("b", "band", "key") ++
-            (0 until MinhashK).map(i => s"sb$i")): _*), Seq("band", "key"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+        // "found" = surfaced by the guarded band join — the SAME path
+        // production dedup runs (hot-bucket chain-link included), so
+        // the audit measures the recall of what actually ships
+        val found = MinHashLsh
+          .candidatePairs(sigs, "doc_id", MinhashK, Bands)
+          .select("a", "b")
           .withColumn("found", lit(1L))
         exact.join(found, Seq("a", "b"), "left")
           .withColumn("bucket", floor(col("j") * 10).cast("long"))

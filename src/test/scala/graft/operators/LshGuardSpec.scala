@@ -98,6 +98,41 @@ class LshGuardSpec extends AnyFunSuite {
     assert(n === 19999L, s"expected 19999 chained pairs, got $n")
   }
 
+  test("index-probe cap: degenerate index bucket bounded, non-degenerate lookups exact") {
+    // index: 100 identical docs (one degenerate bucket per band) plus
+    // two normal docs; probe: one doc colliding with the degenerate
+    // bucket, one colliding with the normal docs
+    val idxSigs = constSigs(1000 until 1100, 7L).union(constSigs(1 to 2, 11L))
+    val banded = MinHashLsh.bandKeys(idxSigs, "doc_id", K, Bands)
+    val capped = graft.functions.LshGuard.capBuckets(banded, "doc_id", maxBucket = 10)
+
+    // per (band, key): at most 10 rows, ascending-id prefix kept
+    val byBucket = capped.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .as[(Int, String, Long, Long)].collect()
+    assert(byBucket.forall(_._3 <= 10), "a bucket exceeds the cap")
+    assert(byBucket.filter(_._3 == 10).forall(_._4 === 1009L),
+      "cap must keep the ascending-id prefix (1000..1009)")
+    // the normal bucket is untouched
+    assert(byBucket.count(_._3 == 2) === Bands,
+      "non-degenerate bucket lost rows")
+
+    // a probe against the capped index is bounded but still collides
+    val probe = MinHashLsh.bandKeys(
+      constSigs(5000 to 5000, 7L).union(constSigs(5001 to 5001, 11L)),
+      "doc_id", K, Bands)
+    val hits = probe.as("l")
+      .join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.doc_id").as("p"), col("r.doc_id").as("i"))
+      .distinct()
+      .as[(Long, Long)].collect()
+    assert(hits.count(_._1 == 5000L) === 10,
+      "degenerate-bucket probe must see exactly the capped representatives")
+    assert(hits.count(_._1 == 5001L) === 2,
+      "non-degenerate probe must see every index partner")
+  }
+
   test("embedding band guard: degenerate hyperplane cell is chain-linked and verified") {
     graft.functions.expressions.GraftFunctions.register(spark)
     // 50 identical embeddings + 3 distinct near-identical ones
