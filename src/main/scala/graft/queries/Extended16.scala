@@ -17,6 +17,94 @@ object Extended16 {
   private val MinhashK = Extended2.MinhashK
   private val Bands = Extended2.Bands
 
+  /** Expected sample size for q181's bounded-cost recall audit. */
+  private val RecallSampleTarget = 1000
+
+  /** Shared dataflow of q162/q181: exact-Jaccard ground truth (3-gram
+    * shingle-set self-join, J ≥ 0.3) left-joined against the pairs the
+    * guarded production band join surfaces, bucketed by J decile.
+    * Expects a (doc_id, text, ...) frame.
+    */
+  private def recallAudit(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val withT = docs.withColumn("t", TextFns.tokens(col("text")))
+    val sh = TextFns.distinctShingles(docs, 3)
+      .select(col("doc_id"), xxhash64(col("shs")).as("h"))
+      .repartition(col("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("a", "h").join(sh.toDF("b", "h2"),
+        col("h") === col("h2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val exact = inter
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.3)
+    val sigs = MinHashLsh
+      .signaturesFromTokens(withT, "doc_id", "t", 3, MinhashK)
+    // "found" = surfaced by the guarded band join — the SAME path
+    // production dedup runs (hot-bucket chain-link included), so the
+    // audit measures the recall of what actually ships
+    val found = MinHashLsh
+      .candidatePairs(sigs, "doc_id", MinhashK, Bands)
+      .select("a", "b")
+      .withColumn("found", lit(1L))
+    exact.join(found, Seq("a", "b"), "left")
+      .withColumn("bucket", floor(col("j") * 10).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB SQL mirroring [[recallAudit]] over `src` (a table or a CTE
+    * emitted in `prefixCtes`, providing doc_id + text).
+    */
+  private def recallAuditSql(prefixCtes: String, src: String): String = {
+    val sigSelect = (0 until MinhashK).map(i =>
+      s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+        s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+    val r = MinhashK / Bands
+    val bandRows = (0 until Bands).map { b =>
+      val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""
+        WITH $prefixCtes
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                  FROM sh x JOIN sh y
+                    ON x.sh = y.sh AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+        exact AS (SELECT a, b,
+                         c / (sa.n + sb.n - c) AS j
+                  FROM inter
+                    JOIN sizes sa ON sa.doc_id = a
+                    JOIN sizes sb ON sb.doc_id = b
+                  WHERE c / (sa.n + sb.n - c) >= 0.3),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
+        band AS ($bandRows),
+        found AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM band l JOIN band r
+                    ON l.band = r.band AND l.key = r.key
+                       AND l.doc_id < r.doc_id)
+        SELECT CAST(floor(e.j * 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_found
+        FROM exact e LEFT JOIN found f ON f.a = e.a AND f.b = e.b
+        GROUP BY 1 ORDER BY bucket"""
+  }
+
   /** DuckDB expression reproducing [[SimHash.simhashAgg]] over a
     * token column — same construction as the q29 oracle.
     */
@@ -371,82 +459,47 @@ object Extended16 {
     // "found" means the pair shares at least one band key. This is the
     // measurement that justifies (k, bands) choices before a corpus-
     // wide rollout — the audit itself is LSH-shaped (band equi-join +
-    // shingle equi-join), never all-pairs --------------------------------
+    // shingle equi-join), never all-pairs. The exact ground truth is
+    // still super-linear in posting-list density; the bounded-cost
+    // variant for corpus scale is q181's sampled audit -------------------
     "q162_lsh_recall_audit" -> Q(
+      impl = (s, d) => recallAudit(Tables.docsParallel(s, d)),
+      oracle = Some(recallAuditSql(prefixCtes = "", src = "documents")),
+      bench = true),
+
+    // ---- sampled LSH recall audit: q162's measurement at a cost that
+    // does NOT grow with the corpus. A deterministic md5 draw keeps an
+    // expected `RecallSampleTarget` documents (rate = target/N, so the
+    // audit's exact-Jaccard ground truth is O(target²) posting-list
+    // work at ANY corpus size); "found" for a sampled pair is computed
+    // from the pair's own band keys, which depend only on the two
+    // documents — so it equals exactly what the full-corpus band join
+    // would report for that pair, and per-bucket recall is an unbiased
+    // estimate of the full audit's. This is the 100 TB shape: q162's
+    // exact ground truth is super-linear in posting-list density and
+    // exists to calibrate (k, bands) at test scale ------------------------
+    "q181_sampled_recall_audit" -> Q(
       impl = (s, d) => {
         val docs = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-        val sh = TextFns.distinctShingles(Tables.docsParallel(s, d), 3)
-          .select(col("doc_id"), xxhash64(col("shs")).as("h"))
-          .repartition(col("h"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.toDF("a", "h").join(sh.toDF("b", "h2"),
-            col("h") === col("h2") && col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        val exact = inter
-          .join(sizes.toDF("a", "na"), "a")
-          .join(sizes.toDF("b", "nb"), "b")
-          .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
-          .filter(col("j") >= 0.3)
-        val sigs = MinHashLsh
-          .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
-        // "found" = surfaced by the guarded band join — the SAME path
-        // production dedup runs (hot-bucket chain-link included), so
-        // the audit measures the recall of what actually ships
-        val found = MinHashLsh
-          .candidatePairs(sigs, "doc_id", MinhashK, Bands)
-          .select("a", "b")
-          .withColumn("found", lit(1L))
-        exact.join(found, Seq("a", "b"), "left")
-          .withColumn("bucket", floor(col("j") * 10).cast("long"))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n_exact"),
-            sum(coalesce(col("found"), lit(0L))).as("n_found"))
-          .orderBy("bucket")
+        val nRow = docs.agg(count(lit(1)).as("__n"))
+        val u = conv(substring(md5(concat(lit("audit:"),
+            col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("double") / lit(16777216.0)
+        val sampled = docs.crossJoin(broadcast(nRow))
+          .filter(u < least(lit(1.0),
+            lit(RecallSampleTarget.toDouble) / col("__n")))
+          .drop("__n")
+        recallAudit(sampled)
       },
-      oracle = Some {
-        val sigSelect = (0 until MinhashK).map(i =>
-          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
-            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
-        val r = MinhashK / Bands
-        val bandRows = (0 until Bands).map { b =>
-          val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($key) AS key FROM sig"
-        }.mkString("\n UNION ALL\n ")
-        s"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        idx AS (SELECT doc_id, t,
-                       unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
-        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-               FROM idx WHERE i + 2 <= len(t)),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-                  FROM sh x JOIN sh y
-                    ON x.sh = y.sh AND x.doc_id < y.doc_id
-                  GROUP BY 1, 2),
-        exact AS (SELECT a, b,
-                         c / (sa.n + sb.n - c) AS j
-                  FROM inter
-                    JOIN sizes sa ON sa.doc_id = a
-                    JOIN sizes sb ON sb.doc_id = b
-                  WHERE c / (sa.n + sb.n - c) >= 0.3),
-        hh AS (SELECT doc_id,
-                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
-                        % ${MinHashLsh.P} AS x
-               FROM sh),
-        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
-        band AS ($bandRows),
-        found AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                  FROM band l JOIN band r
-                    ON l.band = r.band AND l.key = r.key
-                       AND l.doc_id < r.doc_id)
-        SELECT CAST(floor(e.j * 10) AS BIGINT) AS bucket,
-               CAST(count(*) AS BIGINT) AS n_exact,
-               CAST(sum(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_found
-        FROM exact e LEFT JOIN found f ON f.a = e.a AND f.b = e.b
-        GROUP BY 1 ORDER BY bucket"""
-      },
+      oracle = Some(recallAuditSql(
+        prefixCtes = s"""
+        nn AS (SELECT count(*) AS n FROM documents),
+        samp AS (SELECT d.* FROM documents d CROSS JOIN nn
+                 WHERE CAST('0x' || substr(md5('audit:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                       / 16777216.0
+                     < least(1.0, ${RecallSampleTarget.toDouble} / n)),""",
+        src = "samp")),
       bench = true),
 
     // ---- canonical train/val/test holdout: deterministic md5-bucket
