@@ -18,13 +18,31 @@ object TestSpark {
 
   def scratchDir(prefix: String): String = scratchPath(prefix).toString
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", scratchDir("graft_wh"))
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", scratchDir("graft_wh"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // Kill the CRC-sidecar race at its root: the transient
+    // ChecksumException on a just-written spec parquet reproduced even
+    // on tmpfs, so it was never disk flakiness. Hadoop caches ONE
+    // LocalFileSystem instance per scheme, and Spark's streaming
+    // checkpoint managers toggle checksum flags on that shared
+    // instance mid-run — a parquet written by a parallel suite while
+    // the flags flip can get a stale/partial .crc and fail its
+    // read-back. Disabling sidecars once, up front, removes the shared
+    // mutable state entirely (swapping in RawLocalFileSystem instead
+    // breaks RocksDB state-store commits, which need LocalFileSystem
+    // rename semantics).
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(s.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    s
+  }
 
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
