@@ -88,6 +88,70 @@ object Curation {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** LSH recall audit (the q162 dataflow): exact-Jaccard ground-truth
+    * pairs (shingle-set self-join, J ≥ `jMin`) left-joined against
+    * what the GUARDED production band join surfaces, bucketed by J
+    * decile → (bucket, n_exact, n_found). The measurement that
+    * justifies (k, bands) before a corpus-wide rollout. The exact
+    * ground truth is super-linear in posting-list density — run it at
+    * calibration scale, or use [[sampledRecallAudit]] for a cost that
+    * does not grow with the corpus.
+    */
+  def recallAudit(shingleWidth: Int = 3, jMin: Double = 0.3, k: Int = 12,
+      bands: Int = 4, idCol: String = "doc_id", textCol: String = "text")(
+      df: DataFrame): DataFrame = {
+    val withT = df.withColumn("__t", TextFns.tokens(col(textCol)))
+    // per-doc shingle dedup is LOCAL (array_distinct) — a duplicate
+    // shingle only repeats within its own document, so no corpus-wide
+    // distinct shuffle is needed before hashing
+    val sh = withT.select(col(idCol), explode(array_distinct(
+        TextFns.wordShinglesFromTokens(col("__t"), shingleWidth))).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("h"))
+      .repartition(col("h"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("a", "h").join(sh.toDF("b", "h2"),
+        col("h") === col("h2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val exact = inter
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= jMin)
+    val sigs = MinHashLsh.signaturesFromTokens(withT, idCol, "__t",
+      shingleWidth, k)
+    val found = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
+      .select("a", "b")
+      .withColumn("found", lit(1L))
+    exact.join(found, Seq("a", "b"), "left")
+      .withColumn("bucket", floor(col("j") * 10).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .orderBy("bucket")
+  }
+
+  /** [[recallAudit]] on a deterministic md5-draw sample with an
+    * expected `targetDocs` rows (rate = target/N): the ground truth is
+    * O(target²) at ANY corpus size, and a sampled pair's "found" bit
+    * depends only on the two documents' own band keys — identical to
+    * the full-corpus band join's verdict for that pair — so per-bucket
+    * recall is an unbiased estimate of the full audit's (the q181
+    * shape).
+    */
+  def sampledRecallAudit(targetDocs: Int = 1000, salt: String = "audit:",
+      shingleWidth: Int = 3, jMin: Double = 0.3, k: Int = 12,
+      bands: Int = 4, idCol: String = "doc_id", textCol: String = "text")(
+      df: DataFrame): DataFrame = {
+    val nRow = df.agg(count(lit(1)).as("__n"))
+    val u = conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    val sampled = df.crossJoin(broadcast(nRow))
+      .filter(u < least(lit(1.0), lit(targetDocs.toDouble) / col("__n")))
+      .drop("__n")
+    recallAudit(shingleWidth, jMin, k, bands, idCol, textCol)(sampled)
+  }
+
   /** Benchmark decontamination: drop every document sharing ANY
     * `shingleWidth`-gram with the eval corpus. Exact — the bloom is
     * only a candidate prefilter (never a false negative), survivors

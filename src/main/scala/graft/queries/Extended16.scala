@@ -20,44 +20,7 @@ object Extended16 {
   /** Expected sample size for q181's bounded-cost recall audit. */
   private val RecallSampleTarget = 1000
 
-  /** Shared dataflow of q162/q181: exact-Jaccard ground truth (3-gram
-    * shingle-set self-join, J ≥ 0.3) left-joined against the pairs the
-    * guarded production band join surfaces, bucketed by J decile.
-    * Expects a (doc_id, text, ...) frame.
-    */
-  private def recallAudit(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val withT = docs.withColumn("t", TextFns.tokens(col("text")))
-    val sh = TextFns.distinctShingles(docs, 3)
-      .select(col("doc_id"), xxhash64(col("shs")).as("h"))
-      .repartition(col("h"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("a", "h").join(sh.toDF("b", "h2"),
-        col("h") === col("h2") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val exact = inter
-      .join(sizes.toDF("a", "na"), "a")
-      .join(sizes.toDF("b", "nb"), "b")
-      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("j") >= 0.3)
-    val sigs = MinHashLsh
-      .signaturesFromTokens(withT, "doc_id", "t", 3, MinhashK)
-    // "found" = surfaced by the guarded band join — the SAME path
-    // production dedup runs (hot-bucket chain-link included), so the
-    // audit measures the recall of what actually ships
-    val found = MinHashLsh
-      .candidatePairs(sigs, "doc_id", MinhashK, Bands)
-      .select("a", "b")
-      .withColumn("found", lit(1L))
-    exact.join(found, Seq("a", "b"), "left")
-      .withColumn("bucket", floor(col("j") * 10).cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("found"), lit(0L))).as("n_found"))
-      .orderBy("bucket")
-  }
-
-  /** DuckDB SQL mirroring [[recallAudit]] over `src` (a table or a CTE
+  /** DuckDB SQL mirroring `Curation.recallAudit` over `src` (a table or a CTE
     * emitted in `prefixCtes`, providing doc_id + text).
     */
   private def recallAuditSql(prefixCtes: String, src: String): String = {
@@ -463,7 +426,8 @@ object Extended16 {
     // still super-linear in posting-list density; the bounded-cost
     // variant for corpus scale is q181's sampled audit -------------------
     "q162_lsh_recall_audit" -> Q(
-      impl = (s, d) => recallAudit(Tables.docsParallel(s, d)),
+      impl = (s, d) => graft.corpus.Curation
+        .recallAudit(3, 0.3, MinhashK, Bands)(Tables.docsParallel(s, d)),
       oracle = Some(recallAuditSql(prefixCtes = "", src = "documents")),
       bench = true),
 
@@ -479,18 +443,9 @@ object Extended16 {
     // exact ground truth is super-linear in posting-list density and
     // exists to calibrate (k, bands) at test scale ------------------------
     "q181_sampled_recall_audit" -> Q(
-      impl = (s, d) => {
-        val docs = Tables.docsParallel(s, d)
-        val nRow = docs.agg(count(lit(1)).as("__n"))
-        val u = conv(substring(md5(concat(lit("audit:"),
-            col("doc_id").cast("string"))), 1, 6), 16, 10)
-          .cast("double") / lit(16777216.0)
-        val sampled = docs.crossJoin(broadcast(nRow))
-          .filter(u < least(lit(1.0),
-            lit(RecallSampleTarget.toDouble) / col("__n")))
-          .drop("__n")
-        recallAudit(sampled)
-      },
+      impl = (s, d) => graft.corpus.Curation
+        .sampledRecallAudit(RecallSampleTarget, "audit:", 3, 0.3,
+          MinhashK, Bands)(Tables.docsParallel(s, d)),
       oracle = Some(recallAuditSql(
         prefixCtes = s"""
         nn AS (SELECT count(*) AS n FROM documents),
