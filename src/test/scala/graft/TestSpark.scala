@@ -26,17 +26,16 @@ object TestSpark {
       .config("spark.sql.warehouse.dir", scratchDir("graft_wh"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // Kill the CRC-sidecar race at its root: the transient
-    // ChecksumException on a just-written spec parquet reproduced even
-    // on tmpfs, so it was never disk flakiness. Hadoop caches ONE
-    // LocalFileSystem instance per scheme, and Spark's streaming
-    // checkpoint managers toggle checksum flags on that shared
-    // instance mid-run — a parquet written by a parallel suite while
-    // the flags flip can get a stale/partial .crc and fail its
-    // read-back. Disabling sidecars once, up front, removes the shared
-    // mutable state entirely (swapping in RawLocalFileSystem instead
-    // breaks RocksDB state-store commits, which need LocalFileSystem
-    // rename semantics).
+    // Kill the CRC-sidecar race: Hadoop caches ONE LocalFileSystem
+    // instance per scheme, and Spark's streaming checkpoint managers
+    // toggle checksum flags on that shared instance mid-run — a
+    // parquet written by a parallel suite while the flags flip could
+    // get a stale/partial .crc and fail its read-back (reproduced on
+    // tmpfs, so never disk flakiness). Disabling sidecars once, up
+    // front, removes that shared state. (Per-instance FS via
+    // fs.file.impl.disable.cache reintroduces default-on checksums and
+    // made it worse; RawLocalFileSystem breaks RocksDB state-store
+    // commits — both measured before settling here.)
     val fs = org.apache.hadoop.fs.FileSystem
       .getLocal(s.sparkContext.hadoopConfiguration)
     fs.setWriteChecksum(false)
