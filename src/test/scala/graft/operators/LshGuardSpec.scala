@@ -98,6 +98,42 @@ class LshGuardSpec extends AnyFunSuite {
     assert(n === 19999L, s"expected 19999 chained pairs, got $n")
   }
 
+  test("chained pairs report the same est a cold join would (partial signature match)") {
+    // 8 docs share band 0 (s0..s2 identical) but differ elsewhere in a
+    // known pattern: even ids share s3..s11 = id-independent constants,
+    // odd ids get distinct values. With maxBucket=3 the band-0 bucket
+    // (8 docs) chains; est must still be the full k-component
+    // comparison of the two NEIGHBORS' signatures, not a placeholder.
+    val rows = (0 until 8).map { i =>
+      val sig = Array.tabulate(K) { j =>
+        if (j < 3) 5L                       // shared band 0
+        else if (i % 2 == 0) 100L + j       // evens agree pairwise
+        else 1000L * i + j                  // odds unique
+      }
+      (i.toLong, sig)
+    }
+    val sigs = rows.toDF("doc_id", "s")
+      .select(col("doc_id") +: (0 until K).map(i => col("s")(i).as(s"s$i")): _*)
+    val pairs = MinHashLsh
+      .candidatePairs(sigs, "doc_id", K, Bands, maxBucket = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+
+    // band 0 (all 8 docs, over the cap) chains consecutive ids
+    // 0-1,...,6-7 — always an (even, odd) pair, so exactly the 3
+    // band-0 components match → est = 3/k. The evens ALSO share their
+    // full signatures, so bands 1-3 hold an evens-only bucket of 4
+    // (over the cap too) chaining 0-2, 2-4, 4-6 at est = 1.0.
+    val oddChain = (0L until 7L).map(i => (i, i + 1)).toSet
+    val evenChain = Set((0L, 2L), (2L, 4L), (4L, 6L))
+    assert(pairs.keySet === oddChain ++ evenChain)
+    val estQuarter = math.round(3.0 / K * 10000) / 10000.0
+    assert(oddChain.forall(p => pairs(p) == estQuarter),
+      s"even-odd chained est must be 3/$K, got ${oddChain.map(pairs)}")
+    assert(evenChain.forall(p => pairs(p) == 1.0),
+      "identical-signature chained est must be 1.0")
+  }
+
   test("index-probe cap: degenerate index bucket bounded, non-degenerate lookups exact") {
     // index: 100 identical docs (one degenerate bucket per band) plus
     // two normal docs; probe: one doc colliding with the degenerate
