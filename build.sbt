@@ -37,11 +37,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // memory so a smaller host degrades with GC instead of getting
   // OOM-killed; override via SPARK_DRIVER_MEM either way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    // Fallback is CONSERVATIVE (16 GiB -> -Xmx8g): detection fails
+    // exactly on nonstandard JVMs/containers where the host may be
+    // small, so assuming a big box there would reproduce the
+    // OOM-kill this clamp exists to prevent. A real big box that
+    // fails detection still has SPARK_DRIVER_MEM as the override.
     val physGb =
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
         .getTotalMemorySize >> 30
-      catch { case _: Throwable => 48L }
+      catch { case _: Throwable => 16L }
     s"${math.min(24L, math.max(4L, physGb / 2))}g"
   })}",
 )

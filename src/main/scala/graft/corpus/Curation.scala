@@ -3,7 +3,7 @@ package graft.corpus
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashLsh, TextFns}
+import graft.functions.{LshGuard, MinHashLsh, TextFns}
 import graft.operators.{BloomDecontaminate, Components}
 
 /** Composable corpus-curation stages — the public API form of the
@@ -98,7 +98,8 @@ object Curation {
     * does not grow with the corpus.
     */
   def recallAudit(shingleWidth: Int = 3, jMin: Double = 0.3, k: Int = 12,
-      bands: Int = 4, idCol: String = "doc_id", textCol: String = "text")(
+      bands: Int = 4, idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = LshGuard.DefaultMaxBucket)(
       df: DataFrame): DataFrame = {
     val withT = df.withColumn("__t", TextFns.tokens(col(textCol)))
     // per-doc shingle dedup is LOCAL (array_distinct) — a duplicate
@@ -119,7 +120,7 @@ object Curation {
       .filter(col("j") >= jMin)
     val sigs = MinHashLsh.signaturesFromTokens(withT, idCol, "__t",
       shingleWidth, k)
-    val found = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
+    val found = MinHashLsh.candidatePairs(sigs, idCol, k, bands, maxBucket)
       .select("a", "b")
       .withColumn("found", lit(1L))
     exact.join(found, Seq("a", "b"), "left")
@@ -137,10 +138,25 @@ object Curation {
     * the full-corpus band join's verdict for that pair — so per-bucket
     * recall is an unbiased estimate of the full audit's (the q181
     * shape).
+    *
+    * CAVEAT — [[graft.functions.LshGuard]] interaction: the
+    * band-key-only argument above holds for the UNguarded join. A
+    * bucket that is hot (> maxBucket occupants) in the full corpus is
+    * chain-linked there, while the same bucket sampled down by
+    * rate = target/N can fall under the threshold and take the exact
+    * all-pairs path — so on guard-affected buckets the sampled audit
+    * measures unguarded recall and can overstate guarded production
+    * recall. To audit the guarded regime itself, scale the threshold
+    * with the sample (`maxBucket ≈ default · target/N`) via the
+    * `maxBucket` parameter; the default (`DefaultMaxBucket`, i.e.
+    * effectively unguarded on a ≤`targetDocs` sample) keeps the
+    * unbiased-estimate property for the non-degenerate corpus, which
+    * is what (k, bands) calibration needs.
     */
   def sampledRecallAudit(targetDocs: Int = 1000, salt: String = "audit:",
       shingleWidth: Int = 3, jMin: Double = 0.3, k: Int = 12,
-      bands: Int = 4, idCol: String = "doc_id", textCol: String = "text")(
+      bands: Int = 4, idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = LshGuard.DefaultMaxBucket)(
       df: DataFrame): DataFrame = {
     val nRow = df.agg(count(lit(1)).as("__n"))
     val u = conv(substring(md5(concat(lit(salt),
@@ -149,7 +165,8 @@ object Curation {
     val sampled = df.crossJoin(broadcast(nRow))
       .filter(u < least(lit(1.0), lit(targetDocs.toDouble) / col("__n")))
       .drop("__n")
-    recallAudit(shingleWidth, jMin, k, bands, idCol, textCol)(sampled)
+    recallAudit(shingleWidth, jMin, k, bands, idCol, textCol,
+      maxBucket)(sampled)
   }
 
   /** Benchmark decontamination: drop every document sharing ANY

@@ -16,13 +16,28 @@ import org.apache.spark.util.LongAccumulator
   * The guard bounds that bucket to O(m) while preserving what dedup
   * needs from it: rows behind a (band, key) bucket with more than
   * `maxBucket` occupants skip the all-pairs self-join and are instead
-  * chain-linked — each row paired with its predecessor in ascending-id
-  * order. A chain keeps every member of the degenerate bucket in one
-  * connected component (so connected-components clustering,
-  * keep-lowest-id filtering, and canonical selection all see the same
-  * clusters), emits m−1 pairs instead of m(m−1)/2, and leaves every
-  * bucket at or under the threshold — and therefore every
+  * chain-linked — each row paired with its predecessor in
+  * (content, id) order, where "content" is the full signature
+  * (MinHash path) or quantized vector (embedding path). A chain emits
+  * m−1 pairs instead of m(m−1)/2, keeps every member of the bucket in
+  * one connected component of the RAW candidate graph, and leaves
+  * every bucket at or under the threshold — and therefore every
   * non-degenerate pair — untouched.
+  *
+  * Ordering by content FIRST is what makes the chain survive the
+  * similarity filter nearly every consumer applies AFTER candidate
+  * generation (`est >= t` / `cos >= minCos`): content-identical rows
+  * form contiguous runs whose links score est = 1.0 / cos = 1, so a
+  * degenerate bucket of identical content stays one connected
+  * component post-filter too — identical clusters to the unguarded
+  * join. In a MIXED hot bucket (rows sharing one band key but
+  * differing elsewhere) only the cross-run links can fall below the
+  * threshold; those are links between genuinely dissimilar rows,
+  * which the unguarded all-pairs join would filter out as well. The
+  * one shape the guard does change: rows similar-but-not-identical
+  * (est in [t, 1)) inside a hot bucket may connect through the bucket
+  * on the unguarded path but not via the surviving chains — the
+  * documented precision/recall trade of capping a degenerate bucket.
   *
   * Metrics: each triggered run registers two named Spark accumulators
   * (`graft.lsh.hotBuckets`, `graft.lsh.suppressedPairs`) visible in

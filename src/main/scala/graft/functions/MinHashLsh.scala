@@ -168,12 +168,20 @@ object MinHashLsh {
 
   /** Candidate pairs with the [[LshGuard]] hot-bucket cap: buckets
     * holding at most `maxBucket` rows take the exact all-pairs band
-    * self-join; degenerate buckets above it are chain-linked (each row
-    * paired with its ascending-id predecessor), bounding any single
-    * band key to O(m) pairs instead of O(m²) while keeping the bucket
-    * one connected component for downstream clustering. `est` is the
-    * same k-component comparison on either path, so a pair reachable
-    * both ways dedups in the final `distinct()`.
+    * self-join; degenerate buckets above it are chain-linked — each
+    * row paired with its predecessor in (signature, id) order —
+    * bounding any single band key to O(m) pairs instead of O(m²)
+    * while keeping the bucket one connected component for downstream
+    * clustering. Ordering by signature FIRST means rows with
+    * identical full signatures form contiguous runs chained at
+    * est = 1.0, so the degenerate cluster survives any downstream
+    * `est >= t` filter intact (exactly as the unguarded all-pairs
+    * join would keep its signature-identical pairs); only the m' − 1
+    * cross-run links (between rows that genuinely differ outside the
+    * hot band) carry est < 1 and may be severed by such a filter —
+    * the same pairs the unguarded join would drop. `est` is the same
+    * k-component comparison on either path, so a pair reachable both
+    * ways dedups in the final `distinct()`.
     */
   def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
@@ -199,9 +207,13 @@ object MinHashLsh {
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         round(matches / lit(k.toDouble), 4).as("est"))
 
-    val ordered = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+    // Chain in (signature, id) order: signature-identical rows form
+    // contiguous runs, so their chain links carry est = 1.0 and
+    // survive downstream est-threshold filters (see scaladoc above).
     val sigStruct = struct((0 until k).map(i => col(s"s$i")): _*)
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+      .orderBy(sigStruct.asc, col(idCol).asc)
     val hotMatches = (0 until k)
       .map(i => when(col("__prev")(s"s$i") === col(s"s$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -211,7 +223,10 @@ object MinHashLsh {
       .withColumn("__prev", lag(sigStruct, 1).over(ordered))
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__pid").isNotNull)
-      .select(col("__pid").as("a"), col(idCol).as("b"),
+      // est is symmetric; only the (a, b) ids need the canonical
+      // a < b orientation (cross-run links can run id-descending)
+      .select(least(col("__pid"), col(idCol)).as("a"),
+        greatest(col("__pid"), col(idCol)).as("b"),
         round(hotMatches / lit(k.toDouble), 4).as("est"),
         col("__cnt"), col("__rn")))
 

@@ -55,10 +55,16 @@ object EmbedNearDup {
     * Hot-bucket guard: a (band, key) bucket holding more than
     * `maxBucket` rows (a degenerate hyperplane cell — e.g. millions of
     * zero or boilerplate-identical embeddings) skips the all-pairs
-    * self-join and is chain-linked in ascending-id order via
+    * self-join and is chain-linked in (quantized-vector, id) order via
     * [[graft.functions.LshGuard]], bounding the cell to O(m) candidate
     * pairs while keeping it one connected component for clustering.
-    * Chained candidates still go through the exact cosine verify.
+    * Ordering by vector FIRST makes identical vectors contiguous, so
+    * their chain links verify at cos = 1 and survive the `minCos`
+    * filter — the degenerate cluster is preserved through
+    * verification, not just through raw candidate generation; only
+    * links between genuinely different vectors can be filtered, as
+    * they would be on the all-pairs path. Chained candidates still go
+    * through the exact cosine verify.
     */
   def bandedPairsWithCleanup(vecs: DataFrame, idCol: String, bands: Int,
       planesPerBand: Int, dim: Int, minCos: Double,
@@ -82,17 +88,28 @@ object EmbedNearDup {
       .filter(col("a") < col("b"))
       .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
 
+    // Chain in (vector, id) order so identical vectors form
+    // contiguous runs whose links verify at cos = 1 (see scaladoc);
+    // the (a, b) sides are then re-oriented to the canonical a < b
+    // the cold path emits, keeping the pre-verify distinct() able to
+    // collapse a pair reachable through both paths.
     val ordered = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+      .partitionBy(col("band"), col("key"))
+      .orderBy(col("vq").asc, col(idCol).asc)
+    val self = struct(col(idCol).as("id"), col("vq").as("vq"),
+      col("nsq").as("nsq"))
     val hotCand = LshGuard.instrument(banded
       .filter(col("__cnt") > maxBucket)
-      .withColumn("__prev", lag(struct(col(idCol).as("id"),
-        col("vq").as("vq"), col("nsq").as("nsq")), 1).over(ordered))
+      .withColumn("__prev", lag(self, 1).over(ordered))
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__prev").isNotNull)
-      .select(col("__prev")("id").as("a"), col(idCol).as("b"),
-        col("__prev")("vq").as("a_vq"), col("__prev")("nsq").as("a_nsq"),
-        col("vq").as("b_vq"), col("nsq").as("b_nsq"),
+      .withColumn("__lo",
+        when(col("__prev")("id") < col(idCol), col("__prev")).otherwise(self))
+      .withColumn("__hi",
+        when(col("__prev")("id") < col(idCol), self).otherwise(col("__prev")))
+      .select(col("__lo")("id").as("a"), col("__hi")("id").as("b"),
+        col("__lo")("vq").as("a_vq"), col("__lo")("nsq").as("a_nsq"),
+        col("__hi")("vq").as("b_vq"), col("__hi")("nsq").as("b_nsq"),
         col("__cnt"), col("__rn")))
 
     // distinct before scoring: a pair sharing several bands (possibly

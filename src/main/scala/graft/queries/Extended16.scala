@@ -22,6 +22,19 @@ object Extended16 {
 
   /** DuckDB SQL mirroring `Curation.recallAudit` over `src` (a table or a CTE
     * emitted in `prefixCtes`, providing doc_id + text).
+    *
+    * GUARDED/UNGUARDED ASYMMETRY: the `found` CTE below is the plain
+    * (unguarded) all-pairs band join, while the implementation routes
+    * through `MinHashLsh.candidatePairs`, whose LshGuard chain-links
+    * any (band, key) bucket holding more than
+    * `LshGuard.DefaultMaxBucket` (1000) rows. Parity therefore rests
+    * on the precondition that no bucket in the test corpus exceeds
+    * that cap — LshGuardSpec's "no-op on a realistic corpus" test
+    * pins it for the sf0.01 fixture, and LshGuardSpec's recall tests
+    * cover the guarded regime directly. A future fixture with >1000
+    * signature-colliding docs would fail hash-comparison HERE, and
+    * the guard would be why (run with maxBucket = Int.MaxValue to
+    * confirm).
     */
   private def recallAuditSql(prefixCtes: String, src: String): String = {
     val sigSelect = (0 until MinhashK).map(i =>

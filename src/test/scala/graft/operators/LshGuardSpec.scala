@@ -98,11 +98,16 @@ class LshGuardSpec extends AnyFunSuite {
     assert(n === 19999L, s"expected 19999 chained pairs, got $n")
   }
 
-  test("chained pairs report the same est a cold join would (partial signature match)") {
+  test("mixed hot bucket chains in (signature, id) runs: est exact, identical runs survive an est filter") {
     // 8 docs share band 0 (s0..s2 identical) but differ elsewhere in a
     // known pattern: even ids share s3..s11 = id-independent constants,
     // odd ids get distinct values. With maxBucket=3 the band-0 bucket
-    // (8 docs) chains; est must still be the full k-component
+    // (8 docs) chains IN (signature, id) ORDER — evens (identical
+    // signatures, the smaller s3..s11 values) first as one contiguous
+    // run, then the odds ascending — so the signature-identical run
+    // chains at est = 1.0 and survives any downstream est filter,
+    // while only cross-run links (genuinely dissimilar docs) carry the
+    // lower exact est. est must still be the full k-component
     // comparison of the two NEIGHBORS' signatures, not a placeholder.
     val rows = (0 until 8).map { i =>
       val sig = Array.tabulate(K) { j =>
@@ -114,24 +119,39 @@ class LshGuardSpec extends AnyFunSuite {
     }
     val sigs = rows.toDF("doc_id", "s")
       .select(col("doc_id") +: (0 until K).map(i => col("s")(i).as(s"s$i")): _*)
-    val pairs = MinHashLsh
+    val guarded = MinHashLsh
       .candidatePairs(sigs, "doc_id", K, Bands, maxBucket = 3)
+    val pairs = guarded
       .as[(Long, Long, Double)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
 
-    // band 0 (all 8 docs, over the cap) chains consecutive ids
-    // 0-1,...,6-7 — always an (even, odd) pair, so exactly the 3
-    // band-0 components match → est = 3/k. The evens ALSO share their
-    // full signatures, so bands 1-3 hold an evens-only bucket of 4
-    // (over the cap too) chaining 0-2, 2-4, 4-6 at est = 1.0.
-    val oddChain = (0L until 7L).map(i => (i, i + 1)).toSet
-    val evenChain = Set((0L, 2L), (2L, 4L), (4L, 6L))
-    assert(pairs.keySet === oddChain ++ evenChain)
+    // band 0 (all 8 docs, over the cap) sorted by (signature, id):
+    // 0,2,4,6 (identical sigs, id tiebreak) then 1,3,5,7 (by s3).
+    // Even-run links chain at est = 1.0; the run boundary 6-1 and the
+    // odd-odd links share exactly the 3 band-0 components → est = 3/k.
+    // Bands 1-3 hold an evens-only bucket of 4 (over the cap too)
+    // chaining the same 0-2, 2-4, 4-6 at est = 1.0 (distinct() folds
+    // them with band 0's).
+    val evenRun = Set((0L, 2L), (2L, 4L), (4L, 6L))
+    val crossRun = Set((1L, 6L), (1L, 3L), (3L, 5L), (5L, 7L))
+    assert(pairs.keySet === evenRun ++ crossRun)
     val estQuarter = math.round(3.0 / K * 10000) / 10000.0
-    assert(oddChain.forall(p => pairs(p) == estQuarter),
-      s"even-odd chained est must be 3/$K, got ${oddChain.map(pairs)}")
-    assert(evenChain.forall(p => pairs(p) == 1.0),
+    assert(crossRun.forall(p => pairs(p) == estQuarter),
+      s"cross-run chained est must be 3/$K, got ${crossRun.map(pairs)}")
+    assert(evenRun.forall(p => pairs(p) == 1.0),
       "identical-signature chained est must be 1.0")
+
+    // the consumer-facing guarantee: after the est >= 0.5 filter every
+    // dedup path applies, the signature-identical docs {0,2,4,6} are
+    // STILL one connected component — identical clusters to the
+    // unguarded all-pairs join post-filter
+    val comps = Components.connectedComponents(
+        guarded.filter(col("est") >= 0.5), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps.keySet === Set(0L, 2L, 4L, 6L),
+      "est filter must keep exactly the signature-identical run")
+    assert(comps.values.toSet.size === 1,
+      "signature-identical run split by the est filter")
   }
 
   test("index-probe cap: degenerate index bucket bounded, non-degenerate lookups exact") {
