@@ -71,11 +71,12 @@ object Extended13 {
     // (pointer-doubling, O(log diameter) rounds) -------------------
     "q140_cluster_histogram" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", graft.functions.TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(graft.functions.TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = graft.functions.MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        // one-pass per-doc signatures: no shingle explode, no
+        // corpus-wide groupBy shuffle (bit-equal to the exploded form)
+        val sigs = graft.functions.MinHashLsh
+          .signaturesFromTokens(docs, "doc_id", "t", 3, MinhashK)
         val pairs = graft.functions.MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .filter(col("est") >= 0.5)
         Components.connectedComponents(pairs, "a", "b")

@@ -27,11 +27,12 @@ object Extended14 {
     // LSH-bounded, never quadratic --------------------------------
     "q144_cross_source_dups" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", MinhashK)
+        // one-pass per-doc signatures: no shingle explode, no
+        // corpus-wide groupBy shuffle (bit-equal to the exploded form)
+        val sigs = MinHashLsh.signaturesFromTokens(docs, "doc_id", "t",
+          3, MinhashK)
         val pairs = MinHashLsh.candidatePairs(sigs, "doc_id", MinhashK, Bands)
           .filter(col("est") >= 0.5)
         val src = Tables.load(s, d, "documents").select("doc_id", "source")

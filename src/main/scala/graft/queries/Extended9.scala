@@ -75,11 +75,12 @@ object Extended9 {
     // operator shape and the per-round cost --------------------------
     "q121_pagerank" -> Q(
       impl = (s, d) => {
-        val sh = Tables.docsParallel(s, d)
+        val docs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sh"))
-        val sigs = MinHashLsh.signatures(sh, "doc_id", "sh", Extended2.MinhashK)
+        // one-pass per-doc signatures: no shingle explode, no
+        // corpus-wide groupBy shuffle (bit-equal to the exploded form)
+        val sigs = MinHashLsh.signaturesFromTokens(docs, "doc_id", "t",
+          3, Extended2.MinhashK)
         val pairs = MinHashLsh
           .candidatePairs(sigs, "doc_id", Extended2.MinhashK, Extended2.Bands)
           .filter(col("est") >= 0.5)
