@@ -39,6 +39,26 @@ import org.apache.spark.util.LongAccumulator
   * on the unguarded path but not via the surviving chains — the
   * documented precision/recall trade of capping a degenerate bucket.
   *
+  * HOW OCCUPANCY IS FOUND (round 13): the round-12 guard materialized
+  * a `count(*) OVER (PARTITION BY band, key)` column on the full
+  * banded frame — an exchange + sort + window ahead of the band join
+  * that the A/B referee (LshGuardPerfSpec) measured at ~1.35–1.5× the
+  * unguarded floor even when NO bucket is hot. [[splitHot]] replaces
+  * it with a partial-aggregate occupancy probe: `groupBy(band, key)
+  * .count` (map-side combined — the shuffle carries one row per
+  * distinct key, not per input row) filtered to keys above the
+  * threshold, collected to the driver (bounded: at most |banded| /
+  * maxBucket keys can be hot, and [[HotKeyCollectCap]] guards the
+  * pathological corpus where that is still too many). The common case
+  * — zero hot keys — then returns the input untouched, so the cold
+  * path IS the unguarded plan: fully codegen'd, no added exchange, no
+  * sort, no bookkeeping column. When hot keys exist, the frame is
+  * split by a broadcast hash anti/semi join against the tiny key set,
+  * which adds a broadcast lookup but still no exchange to the cold
+  * side. The probe costs one Spark job at plan-construction time; its
+  * scan is the same one that materializes the caller's persisted
+  * banded frame, which the band self-join was about to pay anyway.
+  *
   * Metrics: each triggered run registers two named Spark accumulators
   * (`graft.lsh.hotBuckets`, `graft.lsh.suppressedPairs`) visible in
   * the UI and via [[lastMetrics]], and the first emitted pair of each
@@ -53,27 +73,64 @@ object LshGuard {
     */
   val DefaultMaxBucket = 1000
 
+  /** Most hot (band, key) keys the occupancy probe collects to the
+    * driver. At the default `maxBucket` = 1000 this bounds the
+    * driver-side set to ~4 MB; a corpus with MORE hot keys than this
+    * (over 10⁸ rows of pure boilerplate) takes the distributed-split
+    * fallback instead of failing.
+    */
+  val HotKeyCollectCap = 100000
+
   final class Metrics(val hotBuckets: LongAccumulator,
       val suppressedPairs: LongAccumulator)
 
   @volatile private var last: Metrics = _
 
   /** Metrics of the most recently *constructed* guarded join in this
-    * JVM (populated when the guarded plan is built; accumulator values
-    * update as the job runs). Introspection hook for specs and ops —
-    * not a per-query API.
+    * JVM (populated when a guarded plan with a non-empty hot side is
+    * built; accumulator values update as the job runs). When the
+    * occupancy probe finds no hot bucket the guard is a structural
+    * no-op and registers nothing. Introspection hook for specs and
+    * ops — not a per-query API.
     */
   def lastMetrics: Option[Metrics] = Option(last)
 
-  /** Adds a `__cnt` per-(band, key) occupancy column. One
-    * hash-partition + sort on (band, key) — the same shuffle the
-    * downstream band join needs, so when the result is persisted the
-    * join reuses the partitioning instead of re-exchanging.
+  /** Splits a banded frame (must carry `band` and `key` columns) into
+    * (cold, hot) on per-(band, key) occupancy. Cold rows belong to
+    * buckets at or under `maxBucket`; the hot side — `None` in the
+    * common no-hot-bucket case, where cold is the INPUT FRAME
+    * UNCHANGED — carries every row of each over-threshold bucket plus
+    * that bucket's occupancy as `__cnt`.
+    *
+    * EAGER: runs the occupancy probe (one aggregate job over `banded`)
+    * at call time to decide the plan shape. Callers persist `banded`
+    * first so the probe's scan doubles as the cache materialization
+    * the downstream self-join needs.
     */
-  def withOccupancy(banded: DataFrame): DataFrame =
-    banded.withColumn("__cnt",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
+  def splitHot(banded: DataFrame, maxBucket: Int): (DataFrame, Option[DataFrame]) = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val spark = banded.sparkSession
+    val hotKeys = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+    val probe = hotKeys.limit(HotKeyCollectCap + 1).collect()
+    if (probe.isEmpty) (banded, None)
+    else if (probe.length <= HotKeyCollectCap) {
+      // hot keys known exactly: broadcast the local set, split with
+      // hash anti/semi lookups — no exchange added to either side
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(probe: _*), hotKeys.schema)
+      val cold = banded.join(broadcast(local.select("band", "key")),
+        Seq("band", "key"), "left_anti")
+      val hot = banded.join(broadcast(local), Seq("band", "key"))
+      (cold, Some(hot))
+    } else {
+      // pathological corpus (≥ cap hot keys): keep the split lazy and
+      // distributed; AQE still broadcasts `hotKeys` when it fits
+      (banded.join(hotKeys.select("band", "key"), Seq("band", "key"), "left_anti"),
+        Some(banded.join(hotKeys, Seq("band", "key"))))
+    }
+  }
 
   /** Index-side guard for probe joins (delta-vs-index LSH lookup): a
     * degenerate index bucket of m rows multiplies EVERY colliding
@@ -81,49 +138,47 @@ object LshGuard {
     * `maxBucket` rows in ascending-id order — for the production
     * decision ("does this delta doc collide with the standing
     * corpus?") any bounded set of representatives is sufficient, and
-    * buckets at or under the threshold are untouched. Overflow is
-    * metered via the `graft.lsh.indexRowsCapped` accumulator and an
+    * buckets at or under the threshold are untouched (structurally:
+    * with no hot bucket the input frame is returned as-is). Overflow
+    * is metered via the `graft.lsh.indexRowsCapped` accumulator and an
     * executor-side warning (on each capped bucket's first row).
     */
-  def capBuckets(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val withCnt = withOccupancy(banded)
-    // cold side untouched — stays inside whole-stage codegen
-    val cold = withCnt.filter(col("__cnt") <= maxBucket).drop("__cnt")
-    // hot side (normally empty): keep the first maxBucket rows per
-    // bucket and meter the overflow through the pass-through stage
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key")).orderBy(col(idCol))
-    val hot = withCnt.filter(col("__cnt") > maxBucket)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket)
-    val sc = banded.sparkSession.sparkContext
-    val capped = sc.longAccumulator("graft.lsh.indexRowsCapped")
-    val schema = hot.schema
-    val cntIdx = schema.fieldIndex("__cnt")
-    val rnIdx = schema.fieldIndex("__rn")
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    val mb = maxBucket.toLong
-    val hotMetered = hot.mapPartitions { it =>
-      lazy val log = org.slf4j.LoggerFactory.getLogger("graft.lsh.guard")
-      it.map { r =>
-        if (r.getInt(rnIdx) == 1) {
-          val m = r.getLong(cntIdx)
-          capped.add(m - mb)
-          log.warn(s"hot LSH index bucket: $m rows behind one band key; " +
-            s"capped to $mb representatives (dropped ${m - mb})")
-        }
-        r
-      }
-    }(enc).drop("__cnt", "__rn")
-    cold.unionByName(hotMetered)
-  }
+  def capBuckets(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame =
+    splitHot(banded, maxBucket) match {
+      case (cold, None) => cold
+      case (cold, Some(hot)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+        val capped = hot.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket)
+        val sc = banded.sparkSession.sparkContext
+        val cappedAcc = sc.longAccumulator("graft.lsh.indexRowsCapped")
+        val schema = capped.schema
+        val cntIdx = schema.fieldIndex("__cnt")
+        val rnIdx = schema.fieldIndex("__rn")
+        val enc = org.apache.spark.sql.Encoders.row(schema)
+        val mb = maxBucket.toLong
+        val hotMetered = capped.mapPartitions { it =>
+          lazy val log = org.slf4j.LoggerFactory.getLogger("graft.lsh.guard")
+          it.map { r =>
+            if (r.getInt(rnIdx) == 1) {
+              val m = r.getLong(cntIdx)
+              cappedAcc.add(m - mb)
+              log.warn(s"hot LSH index bucket: $m rows behind one band key; " +
+                s"capped to $mb representatives (dropped ${m - mb})")
+            }
+            r
+          }
+        }(enc).drop("__cnt", "__rn")
+        cold.unionByName(hotMetered)
+    }
 
   /** Pass-through instrumentation of the chained hot-pair rows: bumps
     * the accumulators and logs once per hot bucket (on the bucket's
     * first emitted pair, `__rn` == 2), then drops the bookkeeping
-    * columns. The hot side is empty unless the guard triggered, so
-    * this non-codegen stage costs nothing in the common case.
+    * columns. Only ever in the plan when the occupancy probe found a
+    * hot bucket, so the non-codegen stage never touches the common
+    * case.
     */
   def instrument(hotPairs: DataFrame): DataFrame = {
     val sc = hotPairs.sparkSession.sparkContext

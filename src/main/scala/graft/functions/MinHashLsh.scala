@@ -189,13 +189,12 @@ object MinHashLsh {
     // Persist before the self-join: both join sides reference this
     // subplan, and without materialization the whole shingle→minhash
     // pipeline would execute twice (signatures are the expensive part
-    // — the md5 work over every shingle). The occupancy window's
-    // (band, key) hash-partitioning is what the join shuffles on, so
-    // the cached frame feeds both sides exchange-free.
-    val banded = LshGuard.withOccupancy(bandKeys(sigs, idCol, k, bands))
-      .persist()
+    // — the md5 work over every shingle). The splitHot occupancy probe
+    // below materializes the cache as a side effect, so the self-join
+    // reads only cached blocks.
+    val banded = bandKeys(sigs, idCol, k, bands).persist()
+    val (cold, hotOpt) = LshGuard.splitHot(banded, maxBucket)
 
-    val cold = banded.filter(col("__cnt") <= maxBucket)
     val l = cold.as("l")
     val rj = cold.as("r")
     val matches = (0 until k)
@@ -210,26 +209,29 @@ object MinHashLsh {
     // Chain in (signature, id) order: signature-identical rows form
     // contiguous runs, so their chain links carry est = 1.0 and
     // survive downstream est-threshold filters (see scaladoc above).
-    val sigStruct = struct((0 until k).map(i => col(s"s$i")): _*)
-    val ordered = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key"))
-      .orderBy(sigStruct.asc, col(idCol).asc)
-    val hotMatches = (0 until k)
-      .map(i => when(col("__prev")(s"s$i") === col(s"s$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val hotPairs = LshGuard.instrument(banded
-      .filter(col("__cnt") > maxBucket)
-      .withColumn("__pid", lag(col(idCol), 1).over(ordered))
-      .withColumn("__prev", lag(sigStruct, 1).over(ordered))
-      .withColumn("__rn", row_number().over(ordered))
-      .filter(col("__pid").isNotNull)
-      // est is symmetric; only the (a, b) ids need the canonical
-      // a < b orientation (cross-run links can run id-descending)
-      .select(least(col("__pid"), col(idCol)).as("a"),
-        greatest(col("__pid"), col(idCol)).as("b"),
-        round(hotMatches / lit(k.toDouble), 4).as("est"),
-        col("__cnt"), col("__rn")))
+    // Only built when the occupancy probe found a hot bucket; the
+    // common-case plan is exactly the unguarded self-join.
+    val hotPairs = hotOpt.map { hot =>
+      val sigStruct = struct((0 until k).map(i => col(s"s$i")): _*)
+      val ordered = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))
+        .orderBy(sigStruct.asc, col(idCol).asc)
+      val hotMatches = (0 until k)
+        .map(i => when(col("__prev")(s"s$i") === col(s"s$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      LshGuard.instrument(hot
+        .withColumn("__pid", lag(col(idCol), 1).over(ordered))
+        .withColumn("__prev", lag(sigStruct, 1).over(ordered))
+        .withColumn("__rn", row_number().over(ordered))
+        .filter(col("__pid").isNotNull)
+        // est is symmetric; only the (a, b) ids need the canonical
+        // a < b orientation (cross-run links can run id-descending)
+        .select(least(col("__pid"), col(idCol)).as("a"),
+          greatest(col("__pid"), col(idCol)).as("b"),
+          round(hotMatches / lit(k.toDouble), 4).as("est"),
+          col("__cnt"), col("__rn")))
+    }
 
-    coldPairs.unionByName(hotPairs).distinct()
+    hotPairs.fold(coldPairs)(coldPairs.unionByName).distinct()
   }
 }

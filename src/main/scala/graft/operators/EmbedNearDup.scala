@@ -74,16 +74,17 @@ object EmbedNearDup {
       struct(lit(b).as("band"),
         VecFns.lshBandKey(col("vq"), b, planesPerBand, dim).as("key"))
     }
-    val banded = LshGuard.withOccupancy(vecs
-        .withColumn("__bk", explode(array(bandKeys: _*)))
-        .select(col(idCol), col("vq"), col("nsq"),
-          col("__bk.band").as("band"), col("__bk.key").as("key")))
+    val banded = vecs
+      .withColumn("__bk", explode(array(bandKeys: _*)))
+      .select(col(idCol), col("vq"), col("nsq"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
       .persist()
+    val (cold, hotOpt) = LshGuard.splitHot(banded, maxBucket)
 
-    val cold = banded.filter(col("__cnt") <= maxBucket)
-      .drop("__cnt")
-    val l = cold.toDF("a", "a_vq", "a_nsq", "band", "key")
-    val r = cold.toDF("b", "b_vq", "b_nsq", "band", "key")
+    val l = cold.select(col(idCol).as("a"), col("vq").as("a_vq"),
+      col("nsq").as("a_nsq"), col("band"), col("key"))
+    val r = cold.select(col(idCol).as("b"), col("vq").as("b_vq"),
+      col("nsq").as("b_nsq"), col("band"), col("key"))
     val coldCand = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b", "a_vq", "a_nsq", "b_vq", "b_nsq")
@@ -92,29 +93,31 @@ object EmbedNearDup {
     // contiguous runs whose links verify at cos = 1 (see scaladoc);
     // the (a, b) sides are then re-oriented to the canonical a < b
     // the cold path emits, keeping the pre-verify distinct() able to
-    // collapse a pair reachable through both paths.
-    val ordered = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key"))
-      .orderBy(col("vq").asc, col(idCol).asc)
-    val self = struct(col(idCol).as("id"), col("vq").as("vq"),
-      col("nsq").as("nsq"))
-    val hotCand = LshGuard.instrument(banded
-      .filter(col("__cnt") > maxBucket)
-      .withColumn("__prev", lag(self, 1).over(ordered))
-      .withColumn("__rn", row_number().over(ordered))
-      .filter(col("__prev").isNotNull)
-      .withColumn("__lo",
-        when(col("__prev")("id") < col(idCol), col("__prev")).otherwise(self))
-      .withColumn("__hi",
-        when(col("__prev")("id") < col(idCol), self).otherwise(col("__prev")))
-      .select(col("__lo")("id").as("a"), col("__hi")("id").as("b"),
-        col("__lo")("vq").as("a_vq"), col("__lo")("nsq").as("a_nsq"),
-        col("__hi")("vq").as("b_vq"), col("__hi")("nsq").as("b_nsq"),
-        col("__cnt"), col("__rn")))
+    // collapse a pair reachable through both paths. Only in the plan
+    // when the occupancy probe found a degenerate cell.
+    val hotCand = hotOpt.map { hot =>
+      val ordered = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))
+        .orderBy(col("vq").asc, col(idCol).asc)
+      val self = struct(col(idCol).as("id"), col("vq").as("vq"),
+        col("nsq").as("nsq"))
+      LshGuard.instrument(hot
+        .withColumn("__prev", lag(self, 1).over(ordered))
+        .withColumn("__rn", row_number().over(ordered))
+        .filter(col("__prev").isNotNull)
+        .withColumn("__lo",
+          when(col("__prev")("id") < col(idCol), col("__prev")).otherwise(self))
+        .withColumn("__hi",
+          when(col("__prev")("id") < col(idCol), self).otherwise(col("__prev")))
+        .select(col("__lo")("id").as("a"), col("__hi")("id").as("b"),
+          col("__lo")("vq").as("a_vq"), col("__lo")("nsq").as("a_nsq"),
+          col("__hi")("vq").as("b_vq"), col("__hi")("nsq").as("b_nsq"),
+          col("__cnt"), col("__rn")))
+    }
 
     // distinct before scoring: a pair sharing several bands (possibly
     // cold in one, chained in another) must be examined exactly once
-    val cand = coldCand.unionByName(hotCand).distinct()
+    val cand = hotCand.fold(coldCand)(coldCand.unionByName).distinct()
     (verify(cand, minCos), () => { banded.unpersist(blocking = false); () })
   }
 
