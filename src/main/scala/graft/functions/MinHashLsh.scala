@@ -151,6 +151,18 @@ object MinHashLsh {
     * estimate without a second signature lookup). This IS the "LSH
     * index" layout: persisted (or written out) once, an incremental
     * batch probes it with an equi-join on (band, key).
+    *
+    * GUARD CONTRACT: never feed this frame to a join on (band, key)
+    * directly — a degenerate bucket makes any such join O(m²) (pair
+    * build) or O(m·probes) (index lookup), which AQE cannot bound.
+    * Route self-joins through [[candidatePairs]] and index sides
+    * through [[LshGuard.capBuckets]]; only an unguarded PROBE side
+    * (the delta batch of an incremental lookup, each row multiplied
+    * only by the already-capped index bucket) may use the raw frame.
+    * Call-site audit as of round 13: `Extended16` q161 caps the index
+    * and probes with the delta; `EmbedNearDup` builds its own banded
+    * frame and splits via [[LshGuard.splitHot]]; no other consumer
+    * joins raw band keys.
     */
   def bandKeys(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")

@@ -154,6 +154,53 @@ class LshGuardSpec extends AnyFunSuite {
       "signature-identical run split by the est filter")
   }
 
+  test("recall-audit neutrality: forcing the guard low changes ONLY the degenerate bucket") {
+    // Corpus: one degenerate cluster (30 byte-identical docs → exact
+    // Jaccard 1.0, bucket 10) plus disjoint two-doc near-dup pairs in
+    // lower deciles and unrelated singletons. With maxBucket = 2 the
+    // identical cluster's band buckets (30 occupants) go hot and
+    // chain-link, while every two-doc bucket stays at or under the
+    // threshold — so per-decile recall must change in bucket 10 and
+    // NOWHERE else, pinning the guarantee at the recall level (not
+    // just the pair-set level LshGuardSpec asserts above).
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val dup = (1000 until 1030).map(i => (i.toLong, boiler))
+    // per-pair private vocab so pairs never share shingles; the second
+    // doc drops trailing tokens to land J in mid deciles
+    val pairs = (0 until 6).flatMap { p =>
+      val toks = (0 until 12).map(j => s"w${p}_$j")
+      Seq(((2000 + 2 * p).toLong, toks.mkString(" ")),
+        ((2001 + 2 * p).toLong, toks.dropRight(1 + p % 3).mkString(" ")))
+    }
+    val solo = (3000 until 3010).map(i =>
+      (i.toLong, (0 until 12).map(j => s"u${i}_$j").mkString(" ")))
+    val docs = (dup ++ pairs ++ solo).toDF("doc_id", "text")
+
+    def audit(maxBucket: Int) = graft.corpus.Curation
+      .recallAudit(shingleWidth = 3, jMin = 0.3, k = K, bands = Bands,
+        maxBucket = maxBucket)(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+    val unguarded = audit(Int.MaxValue)
+    val guarded = audit(2)
+
+    // the degenerate decile: all C(30,2) exact pairs, found drops to
+    // the m−1 chain links (signature-identical → chains survive)
+    val un10 = unguarded.find(_._1 == 10L).get
+    val g10 = guarded.find(_._1 == 10L).get
+    assert(un10 === ((10L, 435L, 435L)),
+      s"unguarded degenerate decile off: $un10")
+    assert(g10 === ((10L, 435L, 29L)),
+      s"guarded degenerate decile must chain to m−1 found: $g10")
+
+    // every other decile identical between the two runs
+    assert(unguarded.filterNot(_._1 == 10L) === guarded.filterNot(_._1 == 10L),
+      "guard leaked into a non-degenerate decile")
+    // and the audit actually exercised lower deciles
+    assert(unguarded.exists(r => r._1 < 10L && r._2 > 0L),
+      "fixture produced no mid-decile ground-truth pairs")
+  }
+
   test("index-probe cap: degenerate index bucket bounded, non-degenerate lookups exact") {
     // index: 100 identical docs (one degenerate bucket per band) plus
     // two normal docs; probe: one doc colliding with the degenerate
