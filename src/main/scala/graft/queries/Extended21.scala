@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Round-13: iterated BPE merge training — the full
+  * count → pick-top-pair → re-segment tokenizer-training loop that
+  * q130 only ran one counting pass of.
+  *
+  * Shape at 100 TB: classic BPE trainers iterate over the *distinct
+  * word vocabulary weighted by corpus frequency*, never the corpus
+  * itself — the word-count table is corpus-bounded (vocabulary grows
+  * ~O(sqrt(corpus)) by Heaps' law), so after the single corpus-wide
+  * counting shuffle every merge round touches only that compact
+  * table: one map-side-combined pair aggregation, a 1-row driver
+  * collect of the argmax pair (the only driver state, as in q175's
+  * 4-weight model), and a codegen'd map applying the merge with the
+  * chosen pair folded in as a string literal. Each round's vocab is
+  * persisted and the predecessor unpersisted, so lineage stays one
+  * map deep.
+  *
+  * Determinism/portability: a word's segmentation is the pipe-framed
+  * string `|s1||s2||…|` — merging pair (a, b) is then literal
+  * `replace(repr, '|a||b|', '|ab|')`, and both Spark and DuckDB scan
+  * replace() left-to-right resuming AFTER each replacement, which IS
+  * BPE's greedy merge order (verified: both engines give
+  * `|aa||a|` for (a,a) on `|a||a||a|`). Ties on pair count break by
+  * (a, b) lexicographic; the oracle replays the identical 8 merges as
+  * chained CTEs (the q175 trajectory-reproducibility pattern).
+  */
+object Extended21 {
+
+  /** Merge rounds trained (vocab budget = 8 new symbols). */
+  private val Merges = 8
+
+  val queries: Map[String, Q] = Map(
+    // ---- iterated BPE merge training: emit the (iter, a, b, c)
+    // merge table — the merges.txt a tokenizer trainer ships. Words
+    // are restricted to ^[a-z]{2,}$ so the pipe framing can never
+    // collide with symbol bytes ------------------------------------
+    "q182_bpe_train" -> Q(
+      impl = (s, d) => {
+        import s.implicits._
+        val words = Tables.docsParallel(s, d)
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        var vocab = words.select(
+            regexp_replace(col("w"), "(.)", "|$1|").as("repr"), col("freq"))
+          .persist()
+        val trajectory = (1 to Merges).map { it =>
+          val (a, b, c) = vocab
+            .select(col("freq"),
+              expr("split(trim(BOTH '|' FROM repr), '\\\\|\\\\|')").as("l"))
+            .filter(size(col("l")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
+              .as("p"))
+            .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+            .groupBy("a", "b").agg(sum("freq").as("c"))
+            .orderBy(desc("c"), col("a"), col("b"))
+            .limit(1).as[(String, String, Long)].head()
+          val prev = vocab
+          vocab = prev.withColumn("repr",
+              expr(s"replace(repr, '|$a||$b|', '|$a$b|')"))
+            .persist()
+          vocab.count() // materialize: lineage stays one map deep
+          prev.unpersist()
+          (it.toLong, a, b, c)
+        }
+        vocab.unpersist()
+        trajectory.toDF("iter", "a", "b", "c").orderBy("iter")
+      },
+      oracle = Some {
+        val ctes = new StringBuilder("""
+        w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+              GROUP BY 1),
+        v0 AS (SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS repr, freq
+               FROM w)""")
+        for (i <- 1 to Merges) {
+          ctes.append(s""",
+        p$i AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS c
+                FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr,
+                             freq
+                      FROM (SELECT string_split(trim(repr, '|'), '||') AS l,
+                                   freq FROM v${i - 1})
+                      WHERE len(l) >= 2)
+                GROUP BY 1, 2),
+        m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+        v$i AS (SELECT replace(repr, '|' || m.a || '||' || m.b || '|',
+                               '|' || m.a || m.b || '|') AS repr, freq
+                FROM v${i - 1} CROSS JOIN m$i m)""")
+        }
+        val outs = (1 to Merges).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS iter, a, b, c FROM m$i")
+        "WITH " + ctes + "\n" + outs.mkString(" UNION ALL ") + " ORDER BY iter"
+      },
+      bench = true))
+}
