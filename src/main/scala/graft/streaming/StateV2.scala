@@ -64,7 +64,7 @@ object StateV2 {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = EventStream.eventsSchema(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("basePath", dir).options(sourceOptions)
       .parquet(s"$dir/events.parque*")
