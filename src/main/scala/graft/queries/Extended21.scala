@@ -1,13 +1,15 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
 
-/** Round-13: iterated BPE merge training — the full
-  * count → pick-top-pair → re-segment tokenizer-training loop that
-  * q130 only ran one counting pass of.
+/** Round-13: iterated BPE tokenizer training and application — the
+  * full count → pick-top-pair → re-segment loop that q130 only ran
+  * one counting pass of (q182), plus segmentation of the corpus with
+  * the trained merges (q183).
   *
   * Shape at 100 TB: classic BPE trainers iterate over the *distinct
   * word vocabulary weighted by corpus frequency*, never the corpus
@@ -19,7 +21,9 @@ import graft.functions.TextFns
   * 4-weight model), and a codegen'd map applying the merge with the
   * chosen pair folded in as a string literal. Each round's vocab is
   * persisted and the predecessor unpersisted, so lineage stays one
-  * map deep.
+  * map deep. Applying the trained tokenizer (q183) is again
+  * vocab-sized: corpus symbol statistics are Σ freq per symbol over
+  * the final segmentation — the corpus itself is never re-scanned.
   *
   * Determinism/portability: a word's segmentation is the pipe-framed
   * string `|s1||s2||…|` — merging pair (a, b) is then literal
@@ -27,7 +31,7 @@ import graft.functions.TextFns
   * replace() left-to-right resuming AFTER each replacement, which IS
   * BPE's greedy merge order (verified: both engines give
   * `|aa||a|` for (a,a) on `|a||a||a|`). Ties on pair count break by
-  * (a, b) lexicographic; the oracle replays the identical 8 merges as
+  * (a, b) lexicographic; the oracles replay the identical 8 merges as
   * chained CTEs (the q175 trajectory-reproducibility pattern).
   */
 object Extended21 {
@@ -35,54 +39,61 @@ object Extended21 {
   /** Merge rounds trained (vocab budget = 8 new symbols). */
   private val Merges = 8
 
-  val queries: Map[String, Q] = Map(
-    // ---- iterated BPE merge training: emit the (iter, a, b, c)
-    // merge table — the merges.txt a tokenizer trainer ships. Words
-    // are restricted to ^[a-z]{2,}$ so the pipe framing can never
-    // collide with symbol bytes ------------------------------------
-    "q182_bpe_train" -> Q(
-      impl = (s, d) => {
-        import s.implicits._
-        val words = Tables.docsParallel(s, d)
-          .select(explode(TextFns.tokens(col("text"))).as("w"))
-          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-        var vocab = words.select(
-            regexp_replace(col("w"), "(.)", "|$1|").as("repr"), col("freq"))
-          .persist()
-        val trajectory = (1 to Merges).map { it =>
-          val (a, b, c) = vocab
-            .select(col("freq"),
-              expr("split(trim(BOTH '|' FROM repr), '\\\\|\\\\|')").as("l"))
-            .filter(size(col("l")) >= 2)
-            .select(col("freq"), explode(expr(
-              "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
-              .as("p"))
-            .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
-            .groupBy("a", "b").agg(sum("freq").as("c"))
-            .orderBy(desc("c"), col("a"), col("b"))
-            .limit(1).as[(String, String, Long)].head()
-          val prev = vocab
-          vocab = prev.withColumn("repr",
-              expr(s"replace(repr, '|$a||$b|', '|$a$b|')"))
-            .persist()
-          vocab.count() // materialize: lineage stays one map deep
-          prev.unpersist()
-          (it.toLong, a, b, c)
-        }
-        vocab.unpersist()
-        trajectory.toDF("iter", "a", "b", "c").orderBy("iter")
-      },
-      oracle = Some {
-        val ctes = new StringBuilder("""
+  /** Corpus word counts, restricted to ^[a-z]{2,}$ so the pipe
+    * framing can never collide with symbol bytes.
+    */
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.docsParallel(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Run the training loop: returns the merge trajectory and the
+    * FINAL segmented vocab (persisted — caller unpersists).
+    */
+  private def train(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    var vocab = wordCounts(s, d).select(
+        regexp_replace(col("w"), "(.)", "|$1|").as("repr"), col("freq"))
+      .persist()
+    val trajectory = (1 to Merges).map { it =>
+      val (a, b, c) = vocab
+        .select(col("freq"),
+          expr("split(trim(BOTH '|' FROM repr), '\\\\|\\\\|')").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS a, l[i] AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("c"))
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(1).as[(String, String, Long)].head()
+      val prev = vocab
+      vocab = prev.withColumn("repr",
+          expr(s"replace(repr, '|$a||$b|', '|$a$b|')"))
+        .persist()
+      vocab.count() // materialize: lineage stays one map deep
+      prev.unpersist()
+      (it.toLong, a, b, c)
+    }
+    (trajectory, vocab)
+  }
+
+  /** The shared oracle CTE chain: w (word counts), v0 (char-split
+    * framing), then p/m/v per merge round — vMerges is the final
+    * segmented vocabulary.
+    */
+  private def trainCtes: String = {
+    val ctes = new StringBuilder("""
         w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
                 SELECT unnest(string_split(text, ' ')) AS word FROM documents)
               WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
               GROUP BY 1),
         v0 AS (SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS repr, freq
                FROM w)""")
-        for (i <- 1 to Merges) {
-          ctes.append(s""",
+    for (i <- 1 to Merges) {
+      ctes.append(s""",
         p$i AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS c
                 FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr,
                              freq
@@ -94,10 +105,48 @@ object Extended21 {
         v$i AS (SELECT replace(repr, '|' || m.a || '||' || m.b || '|',
                                '|' || m.a || m.b || '|') AS repr, freq
                 FROM v${i - 1} CROSS JOIN m$i m)""")
-        }
+    }
+    "WITH " + ctes
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- iterated BPE merge training: emit the (iter, a, b, c)
+    // merge table — the merges.txt a tokenizer trainer ships --------
+    "q182_bpe_train" -> Q(
+      impl = (s, d) => {
+        import s.implicits._
+        val (trajectory, vocab) = train(s, d)
+        vocab.unpersist()
+        trajectory.toDF("iter", "a", "b", "c").orderBy("iter")
+      },
+      oracle = Some {
         val outs = (1 to Merges).map(i =>
           s"SELECT CAST($i AS BIGINT) AS iter, a, b, c FROM m$i")
-        "WITH " + ctes + "\n" + outs.mkString(" UNION ALL ") + " ORDER BY iter"
+        trainCtes + "\n" + outs.mkString(" UNION ALL ") + " ORDER BY iter"
       },
+      bench = true),
+
+    // ---- tokenizer application: segment the corpus with the trained
+    // merges and report the symbol-frequency table (top 25) — corpus
+    // token statistics under the learned vocabulary, computed from
+    // the weighted word vocab without re-scanning the corpus --------
+    "q183_bpe_segment" -> Q(
+      impl = (s, d) => {
+        // final vocab stays persisted until the harness clearCache —
+        // the returned frame reads it lazily (same policy as q161)
+        val (_, vocab) = train(s, d)
+        vocab
+          .select(col("freq"),
+            explode(expr("split(trim(BOTH '|' FROM repr), '\\\\|\\\\|')"))
+              .as("sym"))
+          .groupBy("sym").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), col("sym"))
+          .limit(25)
+      },
+      oracle = Some(trainCtes + s"""
+        SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(trim(repr, '|'), '||')) AS sym, freq
+              FROM v$Merges)
+        GROUP BY 1 ORDER BY n DESC, sym LIMIT 25"""),
       bench = true))
 }
