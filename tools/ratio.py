@@ -11,7 +11,7 @@ Usage: python3 tools/ratio.py <sfdir> <oracle_sql.json> <bench.json>
   oracle_sql.json comes from a graft.Verify run at the SAME sf dir
   (the ANN oracles are data-dependent).
 """
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
 sfdir = sys.argv[1]
@@ -27,7 +27,12 @@ streaming = set(bench.get("streaming", []))
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # Spark-written tables (ScaleGen's sf1 docs/embeddings) are
+    # directories of part files; harness tables are single files.
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 rows = []
 for name in sorted(oracle):
