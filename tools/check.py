@@ -12,18 +12,33 @@ import pyarrow.dataset as pads
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# CHECK_SKIP: comma-separated query names whose oracles are known not to
+# complete on single-node DuckDB at this sf (e.g. exact-replay CTEs that
+# need >RAM+spill at sf1-docs) — reported, not compared.
+skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
+con.sql(f"SET memory_limit='{os.environ.get('CHECK_MEMLIMIT', '24GB')}'")
+con.sql("SET temp_directory='.check_tmp'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # harness tables are single files; Spark-written (ScaleGen) tables
+    # are directories of part files
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 def load_spark(name):
     return pads.dataset(f"{outdir}/{name}").to_table().to_pandas()
 
 n_pass = n_fail = 0
+skipped = []
 for name in sorted(oracle):
+    if name in skip:
+        skipped.append(name)
+        continue
     try:
         sdf = load_spark(name)
     except Exception as e:
@@ -80,5 +95,7 @@ missing = [n for n in os.listdir(outdir)
            if os.path.isdir(f"{outdir}/{n}") and n not in oracle]
 if missing:
     print(f"rows-only (no oracle): {sorted(missing)}")
+if skipped:
+    print(f"skipped (CHECK_SKIP, oracle infeasible here): {sorted(skipped)}")
 print(f"== {n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)
