@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Invariant checks for q184 banded-LSH self-calibration beyond the
+  * DuckDB hash gate: structural properties that must hold for ANY
+  * corpus, not just the one the oracle happened to see.
+  */
+class Extended22Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val rows =
+    Registry.all("q184_band_calibration").impl(spark, dir).collect()
+
+  test("q184: one row per grid config, exactly one selected") {
+    assert(rows.map(_.getAs[Long]("planes_per_band")).toSeq == Seq(2L, 4L, 6L, 8L))
+    assert(rows.map(_.getAs[Long]("selected")).sum === 1L)
+  }
+
+  test("q184: candidate load decreases monotonically with band width") {
+    // more sign bits per key split buckets, so Σ m(m-1)/2 can only
+    // shrink — the monotone trade the budget selection relies on
+    val byP = rows.sortBy(_.getAs[Long]("planes_per_band"))
+      .map(_.getAs[Long]("cand_pairs"))
+    assert(byP.zip(byP.tail).forall { case (a, b) => a >= b }, byP.toSeq)
+    val buckets = rows.sortBy(_.getAs[Long]("planes_per_band"))
+      .map(_.getAs[Long]("n_buckets"))
+    assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b },
+      buckets.toSeq)
+  }
+
+  test("q184: occupancy accounting is conserved per config") {
+    // each config assigns every vector to exactly Bands=4 buckets, so
+    // per-bucket occupancies sum to 4N; max_occ is bounded by N
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("max_occ") <= n)
+      assert(r.getAs[Long]("max_occ") >= 1L)
+      // n_buckets cannot exceed 4N (each vector opens at most 4)
+      assert(r.getAs[Long]("n_buckets") <= 4 * n)
+    }
+  }
+
+  test("q184: selection obeys the per-vector pair budget rule") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val budget = 20L * n
+    val fitting = rows.filter(_.getAs[Long]("cand_pairs") <= budget)
+      .map(_.getAs[Long]("planes_per_band"))
+    val selected = rows.filter(_.getAs[Long]("selected") == 1L)
+      .map(_.getAs[Long]("planes_per_band")).head
+    if (fitting.nonEmpty) assert(selected === fitting.min)
+    else assert(selected === rows.map(_.getAs[Long]("planes_per_band")).max)
+  }
+}
