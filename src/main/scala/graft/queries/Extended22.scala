@@ -4,29 +4,38 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VecFns
+import graft.functions.{MinHashLsh, TextFns, VecFns}
 
-/** Round-13: banded-LSH self-calibration (q184) — the "calibration
-  * knob" the decade curve documents for the embedding near-dup family
-  * (ARCHITECTURE.md: hyperplane-band collision rate is scale-invariant
-  * on isotropic vectors, so within-bucket candidate pairs densify as
-  * the corpus grows; production holds expected bucket occupancy by
-  * raising planes-per-band with log N), turned into an operator.
+/** Round-13: LSH self-calibration — the "calibration knob" the decade
+  * curve documents, turned into operators for BOTH banded-LSH
+  * families:
   *
-  * For each candidate config (planes-per-band over a fixed band
-  * count), ONE pass over the corpus computes the exact per-bucket
-  * occupancy histogram and from it the exact banded-join cost —
-  * Σ m·(m−1)/2 candidate pairs — plus the bucket count and the worst
-  * bucket. The selected config is the narrowest one whose candidate
-  * load fits the per-vector budget (the monotone trade: fewer planes →
-  * higher recall → more pairs), falling back to the widest config when
-  * none fits. At 100 TB this is a single groupBy over short keys per
-  * config — the same shape as the candidate join it calibrates, minus
-  * the join — so tuning costs one scan, not a dry-run of the dedup.
+  *   - q184 (embedding / hyperplane): for each planes-per-band config,
+  *     ONE corpus pass computes the exact per-bucket occupancy
+  *     histogram and from it the exact banded-join cost —
+  *     Σ m·(m−1)/2 candidate pairs — plus the bucket count and the
+  *     worst bucket; selects the narrowest config whose candidate load
+  *     fits a per-vector pair budget (the monotone trade: fewer
+  *     planes → higher recall → more pairs), widest as fallback.
+  *   - q185 (text / MinHash): the same occupancy/cost sweep over the
+  *     band-count grid of a fixed k=12 signature, each config tagged
+  *     with its analytic recall threshold j50 — the Jaccard at which
+  *     the banded s-curve reaches 50% detection, (1−0.5^(1/b))^(1/r) —
+  *     and selection = the highest-recall (most-bands) config fitting
+  *     the budget, fewest-bands as fallback. Signatures are computed
+  *     once by the zero-shuffle `signaturesFromTokens` pass and
+  *     persisted; the grid sweep re-reads the tiny cached signature
+  *     frame, never the corpus.
   *
-  * Oracle: replays the identical md5-derived ±1 hyperplanes per config
-  * as literal VALUES (the q53/q31 pattern), so the stats match
-  * hash-exactly by construction.
+  * At 100 TB each sweep is a groupBy over short keys per config — the
+  * same shape as the candidate join it calibrates, minus the join —
+  * so tuning costs one scan, not a dry-run of the dedup.
+  *
+  * Oracles: q184 replays the identical md5-derived ±1 hyperplanes per
+  * config as literal VALUES (the q53/q31 pattern); q185 replays the
+  * md5-prefix MinHash signature construction (the q162 pattern) and
+  * the per-band md5 keys, with j50 emitted as the identical rounded
+  * literal on both sides.
   */
 object Extended22 {
 
@@ -43,6 +52,25 @@ object Extended22 {
     * before `queries`: the oracle string is built at object init.)
     */
   private val EmbDim = 64
+
+  /** q185: MinHash signature length (matches the near-dup family). */
+  private val MinhashK = Extended2.MinhashK
+
+  /** q185: candidate band-count grid (divisors of k), fewest first. */
+  private val BandGrid = Seq(2, 3, 4, 6)
+
+  /** q185: accepted candidate pairs per signed document. */
+  private val PairsPerDocBudget = 20L
+
+  /** Analytic 50%-detection Jaccard of a (b bands × r rows) banded
+    * join — the banded s-curve 1−(1−j^r)^b solved at 0.5 — rounded to
+    * 6 places so the Scala impl and the SQL literal agree bit-exactly.
+    */
+  private def j50(b: Int): Double = {
+    val r = MinhashK / b
+    BigDecimal(math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 
   val queries: Map[String, Q] = Map(
     "q184_band_calibration" -> Q(
@@ -133,6 +161,96 @@ object Extended22 {
                CAST(planes_per_band = coalesce(p_fit, p_max) AS BIGINT) AS selected
         FROM allstats CROSS JOIN sel
         ORDER BY planes_per_band"""
+      },
+      bench = true),
+
+    "q185_minhash_calibration" -> Q(
+      impl = (s, d) => {
+        import s.implicits._
+        val toks = Tables.docsParallel(s, d)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        // one zero-shuffle signature pass; the grid sweep below
+        // re-reads the cached per-doc frame, never the corpus
+        val sigs = MinHashLsh.signaturesFromTokens(
+          toks, "doc_id", "t", 3, MinhashK).persist()
+        val keyed = BandGrid.map { b =>
+          MinHashLsh.bandKeys(sigs, "doc_id", MinhashK, b)
+            .select(lit(b).as("bands"), col("band"), col("key"))
+        }.reduce(_ unionByName _)
+        val occ = keyed.groupBy("bands", "band", "key")
+          .agg(count(lit(1)).as("m"))
+        val stats = occ.groupBy("bands").agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("m")).as("max_occ"),
+            sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+            sum(col("m")).as("tot"))
+          .withColumn("n_docs", expr("tot div bands"))
+        val curve = BandGrid
+          .map(b => (b, (MinhashK / b).toLong, j50(b)))
+          .toDF("bands", "r", "j50")
+        val w = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        stats.join(broadcast(curve), "bands")
+          .withColumn("b_fit",
+            max(when(col("cand_pairs") <= col("n_docs") * PairsPerDocBudget,
+              col("bands"))).over(w))
+          .withColumn("b_min", min(col("bands")).over(w))
+          .select(col("bands").cast("long"), col("r"), col("j50"),
+            col("n_buckets"), col("max_occ"), col("cand_pairs"),
+            (col("bands") === coalesce(col("b_fit"), col("b_min")))
+              .cast("long").as("selected"))
+          .orderBy("bands")
+      },
+      oracle = Some {
+        val sigSelect = (0 until MinhashK).map(i =>
+          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+        val perConfig = BandGrid.map { b =>
+          val r = MinhashK / b
+          val bandRows = (0 until b).map { bi =>
+            val key = (bi * r until (bi + 1) * r)
+              .map(i => s"s$i").mkString(" || '|' || ")
+            s"SELECT doc_id, $bi AS band, md5($key) AS key FROM sig"
+          }.mkString("\n UNION ALL\n ")
+          s"""
+        band$b AS ($bandRows),
+        occ$b AS (
+          SELECT band, key, count(*) AS m FROM band$b GROUP BY 1, 2),
+        stat$b AS (
+          SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS r,
+                 CAST(${j50(b)} AS DOUBLE) AS j50,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(max(m) AS BIGINT) AS max_occ,
+                 CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_pairs,
+                 CAST(sum(m) // $b AS BIGINT) AS n_docs
+          FROM occ$b)"""
+        }.mkString(",")
+        val unioned = BandGrid.map(b => s"SELECT * FROM stat$b")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),$perConfig,
+        allstats AS ($unioned),
+        sel AS (
+          SELECT max(CASE WHEN cand_pairs <= $PairsPerDocBudget * n_docs
+                     THEN bands END) AS b_fit,
+                 min(bands) AS b_min
+          FROM allstats)
+        SELECT bands, r, j50, n_buckets, max_occ, cand_pairs,
+               CAST(bands = coalesce(b_fit, b_min) AS BIGINT) AS selected
+        FROM allstats CROSS JOIN sel
+        ORDER BY bands"""
       },
       bench = true))
 }

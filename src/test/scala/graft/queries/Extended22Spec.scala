@@ -53,4 +53,40 @@ class Extended22Spec extends AnyFunSuite {
     if (fitting.nonEmpty) assert(selected === fitting.min)
     else assert(selected === rows.map(_.getAs[Long]("planes_per_band")).max)
   }
+
+  private lazy val mrows =
+    Registry.all("q185_minhash_calibration").impl(spark, dir).collect()
+
+  test("q185: one row per band config, exactly one selected, k conserved") {
+    assert(mrows.map(_.getAs[Long]("bands")).toSeq == Seq(2L, 3L, 4L, 6L))
+    assert(mrows.map(_.getAs[Long]("selected")).sum === 1L)
+    for (r <- mrows)
+      assert(r.getAs[Long]("bands") * r.getAs[Long]("r") === 12L)
+  }
+
+  test("q185: more bands -> more candidates, lower j50 (the recall trade)") {
+    val byB = mrows.sortBy(_.getAs[Long]("bands"))
+    val pairs = byB.map(_.getAs[Long]("cand_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b },
+      pairs.toSeq)
+    val j = byB.map(_.getAs[Double]("j50"))
+    assert(j.zip(j.tail).forall { case (a, b) => a > b }, j.toSeq)
+  }
+
+  test("q185: selection = most bands within the pair budget") {
+    // n_docs (docs with >= 1 shingle) recovered from any config's
+    // bucket occupancies is not exposed; re-derive the budget bound
+    // from the corpus like the impl does
+    val n = Registry.all("q185_minhash_calibration").impl(spark, dir)
+      .sparkSession.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("size(split(text, ' ')) >= 3 AS ok")
+      .where("ok").count()
+    val budget = 20L * n
+    val fitting = mrows.filter(_.getAs[Long]("cand_pairs") <= budget)
+      .map(_.getAs[Long]("bands"))
+    val selected = mrows.filter(_.getAs[Long]("selected") == 1L)
+      .map(_.getAs[Long]("bands")).head
+    if (fitting.nonEmpty) assert(selected === fitting.max)
+    else assert(selected === mrows.map(_.getAs[Long]("bands")).min)
+  }
 }
