@@ -175,8 +175,9 @@ object Curation {
     * are verified by semi-join (the q109 shape).
     */
   def decontaminate(evalDocs: DataFrame, shingleWidth: Int = 3,
-      expectedEvalShingles: Long = 1000000L, idCol: String = "doc_id",
-      tokensCol: String = "t")(df: DataFrame): DataFrame = {
+      expectedEvalShingles: Long = BloomDecontaminate.AutoSize,
+      idCol: String = "doc_id", tokensCol: String = "t")(
+      df: DataFrame): DataFrame = {
     def shingles(d: DataFrame): DataFrame =
       d.select(col(idCol),
           explode(TextFns.wordShinglesFromTokens(col(tokensCol), shingleWidth))
@@ -185,12 +186,12 @@ object Curation {
         // probe/verify joins (both sides reduce identically, so the
         // choice of hash never surfaces in results)
         .select(col(idCol), xxhash64(col("__sh")).as("__h"))
-    val evalSh = shingles(evalDocs).select("__h").distinct()
-    val candidates = BloomDecontaminate
-      .flag(shingles(df), "__h", evalSh, "__h", expectedEvalShingles)
-      .filter(col("maybe_contaminated"))
-    val contaminated = candidates
-      .join(evalSh, Seq("__h"), "left_semi")
+    // tiered eval side (see BloomDecontaminate.verifiedFlags): one
+    // collect job + broadcast verify when the eval set is bounded,
+    // persisted distributed build + shuffle semi-join beyond the cap
+    val contaminated = BloomDecontaminate
+      .verifiedFlags(shingles(df), "__h", shingles(evalDocs).select("__h"),
+        "__h", expectedEvalShingles)
       .select(idCol).distinct()
     df.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -26,31 +26,150 @@ import org.apache.spark.sql.functions._
   * The exact per-doc overlap fraction stays q96's job; this operator
   * answers the binary "touches the benchmark?" gate, which is how
   * decontamination actually runs at corpus scale.
+  *
+  * TIERED EVAL SIDE (round 14): the eval set's size spans six orders
+  * of magnitude between a single benchmark (10³ shingles) and a full
+  * eval suite (10⁹), and the right plan differs. A `limit(cap+1)`
+  * probe-collect (the LshGuard pattern) picks per run:
+  *  - ≤ [[EvalCollectCap]] rows: ONE narrow job collects the eval
+  *    hashes; dedup, exact sizing, and the bloom build all happen on
+  *    the driver (microseconds at this size), and [[verifiedFlags]]
+  *    reuses the same local set as a broadcast verify relation — the
+  *    whole eval side costs one job with no shuffle.
+  *  - above the cap: the original distributed shape — persist, exact
+  *    pre-count for sizing, partial+final `bloom_filter_agg`, shuffle
+  *    semi-join verify. The filter bytes stay constant-size no matter
+  *    the corpus.
+  * Both tiers produce a [[org.apache.spark.util.sketch.BloomFilter]]
+  * in the identical serialized form, sized by the same
+  * m = −n·ln(p)/ln²2 formula, so the probe results are
+  * tier-independent (pinned by BloomDecontaminateSpec).
   */
 object BloomDecontaminate {
+
+  /** `expectedItems` sentinel: size the bloom from the eval side
+    * itself (collect-dedup when bounded, exact pre-count otherwise).
+    * Keeps toy-scale runs from paying megabyte filter construction
+    * for a few-hundred-shingle eval set while a 10⁹-shingle suite
+    * still gets a correctly-sized filter.
+    */
+  val AutoSize = -1L
+
+  /** Floor for the auto-sized bloom: below this the filter bytes are
+    * noise either way, and a floor guards the empty-eval-set edge.
+    */
+  val AutoSizeFloor = 1024L
+
+  /** Most eval rows the bounded tier collects (longs; ~8 MB plus row
+    * overhead). Counts raw rows, not distinct values, so the probe
+    * bounds driver memory even on a duplicate-heavy eval frame.
+    */
+  val EvalCollectCap = 1000000
 
   /** Flag corpus rows whose shingle might be contaminated.
     *
     * @param corpusShingles (idCol, shingleCol) rows, shingleCol LONG
     * @param evalShingles single-column frame of eval shingle hashes
+    *        (duplicates allowed — both tiers dedup or tolerate them)
     * @param expectedItems sizing for the bloom (eval-set cardinality
-    *        estimate; over-sizing only costs bytes, never correctness)
+    *        estimate; over-sizing only costs bytes, never correctness;
+    *        [[AutoSize]] = derive from the eval side)
     * @param fpp target false-positive probability
     * @return corpusShingles plus a `maybe_contaminated` boolean
     */
   def flag(corpusShingles: DataFrame, shingleCol: String,
       evalShingles: DataFrame, evalCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+      expectedItems: Long = AutoSize, fpp: Double = 0.001,
+      collectCap: Int = EvalCollectCap): DataFrame = {
+    val bytes =
+      buildBloom(evalShingles, evalCol, expectedItems, fpp, collectCap) match {
+        case Left((b, _)) => b
+        case Right(b) => b
+      }
+    probe(corpusShingles, shingleCol, bytes)
+  }
+
+  /** [[flag]] + exact verification in one operator: rows that pass
+    * the bloom prefilter AND truly appear in the eval set (the
+    * no-false-positive final answer). The eval side is materialized
+    * once per tier: the bounded tier's collected set feeds the bloom
+    * and a broadcast local-relation semi-join; the unbounded tier
+    * persists the eval frame across sizing count, bloom aggregation,
+    * and the shuffle semi-join.
+    *
+    * @return the flagged-and-verified subset of `corpusShingles`
+    *         (original columns, `maybe_contaminated` dropped)
+    */
+  def verifiedFlags(corpusShingles: DataFrame, shingleCol: String,
+      evalShingles: DataFrame, evalCol: String,
+      expectedItems: Long = AutoSize, fpp: Double = 0.001,
+      collectCap: Int = EvalCollectCap): DataFrame = {
+    val spark = corpusShingles.sparkSession
+    import spark.implicits._
+    buildBloom(evalShingles, evalCol, expectedItems, fpp, collectCap) match {
+      case Left((bytes, local)) =>
+        val evalLocal = local.toSeq.toDF(shingleCol)
+        probe(corpusShingles, shingleCol, bytes)
+          .filter(col("maybe_contaminated"))
+          .join(broadcast(evalLocal), Seq(shingleCol), "left_semi")
+          .drop("maybe_contaminated")
+      case Right(bytes) =>
+        // evalShingles was persisted by buildBloom; the semi-join is
+        // its third and final consumer
+        probe(corpusShingles, shingleCol, bytes)
+          .filter(col("maybe_contaminated"))
+          .join(evalShingles.toDF(shingleCol), Seq(shingleCol), "left_semi")
+          .drop("maybe_contaminated")
+    }
+  }
+
+  /** Eval-side build. Left = bounded tier (serialized bloom + the
+    * deduped local hash set); Right = distributed tier (bloom bytes;
+    * `evalShingles` left persisted for the caller's verify join).
+    */
+  private def buildBloom(evalShingles: DataFrame, evalCol: String,
+      expectedItems: Long, fpp: Double,
+      collectCap: Int): Either[(Array[Byte], Array[Long]), Array[Byte]] = {
+    val probeRows = evalShingles.select(col(evalCol).cast("long"))
+      .limit(collectCap + 1).collect()
+    if (probeRows.length <= collectCap) {
+      val hs = new java.util.HashSet[java.lang.Long](probeRows.length * 2)
+      probeRows.foreach(r => hs.add(r.getLong(0)))
+      val n = math.max(if (expectedItems > 0) expectedItems else hs.size.toLong,
+        AutoSizeFloor)
+      val bloom = org.apache.spark.util.sketch.BloomFilter
+        .create(n, numBits(n, fpp))
+      hs.forEach(x => bloom.putLong(x))
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val arr = new Array[Long](hs.size)
+      var i = 0
+      val it = hs.iterator()
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      Left((bos.toByteArray, arr))
+    } else {
+      // eval set beyond the collect cap: distributed build. Persist —
+      // the sizing count materializes the cache the aggregation (and
+      // verifiedFlags' semi-join) then reads.
+      evalShingles.persist()
+      val n = math.max(
+        if (expectedItems > 0) expectedItems else evalShingles.count(),
+        AutoSizeFloor)
+      graft.functions.expressions.GraftFunctions.register(
+        evalShingles.sparkSession)
+      Right(evalShingles
+        .agg(bloomFilterAgg(col(evalCol), n, fpp).as("__bloom"))
+        .head().getAs[Array[Byte]](0))
+    }
+  }
+
+  private def probe(corpusShingles: DataFrame, shingleCol: String,
+      bloomBytes: Array[Byte]): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(
       corpusShingles.sparkSession)
-    // The filter is BUILT distributed (partial+final aggregation over
-    // the eval shingles); only the finished bytes come back — one
-    // bounded binary row (`might_contain` requires a constant/scalar
-    // bloom, and a plan literal ships with the task binary exactly
-    // like the scalar subquery Spark's own runtime filtering injects).
-    val bloomBytes = evalShingles
-      .agg(bloomFilterAgg(col(evalCol), expectedItems, fpp).as("__bloom"))
-      .head().getAs[Array[Byte]](0)
+    // the serialized filter ships as a plan literal with the task
+    // binary, exactly like the scalar subquery Spark's own runtime
+    // filtering injects; `might_contain` is codegen'd
     corpusShingles.withColumn("maybe_contaminated",
       call_function("graft_might_contain", lit(bloomBytes), col(shingleCol)))
   }
@@ -60,7 +179,7 @@ object BloomDecontaminate {
     */
   def flagDocs(corpusShingles: DataFrame, idCol: String, shingleCol: String,
       evalShingles: DataFrame, evalCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.001): DataFrame =
+      expectedItems: Long = AutoSize, fpp: Double = 0.001): DataFrame =
     flag(corpusShingles, shingleCol, evalShingles, evalCol, expectedItems, fpp)
       .groupBy(idCol)
       .agg(max(col("maybe_contaminated")).as("maybe_contaminated"))

@@ -375,11 +375,16 @@ object Extended16 {
         // multiplies every colliding probe row by the bucket size, so
         // buckets over the threshold keep maxBucket representatives
         // (plenty for the collides-with-corpus decision; a no-op on
-        // non-degenerate data — see functions/LshGuard.scala)
+        // non-degenerate data — see functions/LshGuard.scala). The
+        // banded frame is persisted BEFORE capBuckets per splitHot's
+        // contract: the eager occupancy probe materializes the cache,
+        // so the probe and the probe-join read the same cached blocks
+        // instead of re-deriving band keys from the sigs cache twice.
+        val indexBanded = MinHashLsh.bandKeys(
+          sigs.filter(col("doc_id") % 10 =!= 0), "doc_id", MinhashK, Bands)
+          .persist()
         val index = graft.functions.LshGuard.capBuckets(
-          MinHashLsh.bandKeys(
-            sigs.filter(col("doc_id") % 10 =!= 0), "doc_id", MinhashK, Bands),
-          "doc_id", graft.functions.LshGuard.DefaultMaxBucket)
+          indexBanded, "doc_id", graft.functions.LshGuard.DefaultMaxBucket)
         val probe = MinHashLsh.bandKeys(
           sigs.filter(col("doc_id") % 10 === 0), "doc_id", MinhashK, Bands)
         val matches = (0 until MinhashK)

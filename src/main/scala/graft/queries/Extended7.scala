@@ -213,18 +213,25 @@ object Extended7 {
       impl = (s, d) => {
         // per-doc distinct shingle sets build locally (no dedup
         // shuffle); 64-bit xxhash64 keys are internal identity only,
-        // so the oracle joins raw shingle strings
+        // so the oracle joins raw shingle strings. Raw scan, not
+        // docsParallel: the per-shingle work here is one xxhash64 (no
+        // md5 fan-out), so the parquet scan's own splits are the right
+        // parallelism at any real volume and a round-robin repartition
+        // costs more than the work it would spread (referee-measured
+        // ~2x on the whole query at sf0.1).
         val sh = TextFns
-          .distinctShinglesBySource(Tables.docsParallel(s, d), 3)
+          .distinctShinglesBySource(Tables.load(s, d, "documents"), 3)
           .select(col("doc_id"), col("source"), xxhash64(col("shs")).as("h"))
-        val evalSh = sh.filter(col("source") === EvalSrc)
-          .select("h").distinct()
-        val train = sh.filter(col("source") =!= EvalSrc)
-          .select("doc_id", "h")
-        val gated = graft.operators.BloomDecontaminate
-          .flag(train, "h", evalSh, "h", expectedItems = 200000L)
-          .filter(col("maybe_contaminated"))
-        gated.join(evalSh, Seq("h"), "left_semi") // exact verify
+        // AutoSize + tiered eval side (BloomDecontaminate round-14):
+        // the bounded tier collects the eval hashes in ONE narrow job,
+        // builds the exactly-sized bloom on the driver, and reuses the
+        // collected set as the broadcast verify relation — a fixed
+        // 200k sizing paid ~350 KB of bloom construction plus two
+        // extra eval-side jobs for a 10k-shingle toy eval set
+        graft.operators.BloomDecontaminate
+          .verifiedFlags(
+            sh.filter(col("source") =!= EvalSrc).select("doc_id", "h"), "h",
+            sh.filter(col("source") === EvalSrc).select("h"), "h")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_eval_shingles"))
           .orderBy("doc_id")

@@ -28,21 +28,35 @@ object EventStream {
     * commit overhead does.
     */
   private val DefaultStateParts =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(4)
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS") match {
+      case None => 4
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+        // fail with a readable message, not an opaque
+        // ExceptionInInitializerError from object init
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$v'"))
+    }
 
   /** Footer-read schema per events file, cached: every stream
     * construction needs the batch schema (FileStreamSource takes it
-    * verbatim), and the file is immutable for a session's lifetime —
-    * the stream-stream joins build two streams per query and Bench
+    * verbatim), and the file is immutable between modifications — the
+    * stream-stream joins build two streams per query and Bench
     * constructs each query twice, so the same footer would otherwise
-    * be re-read up to four times per timed query.
+    * be re-read up to four times per timed query. Keyed by
+    * (path, mtime, length) so a test/generator regenerating the file
+    * with a different schema in the same JVM never sees a stale entry.
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
 
-  private[streaming] def eventsSchema(spark: SparkSession, dir: String) =
-    schemaCache.computeIfAbsent(s"$dir/events.parquet",
-      p => spark.read.parquet(p).schema)
+  private[streaming] def eventsSchema(spark: SparkSession, dir: String) = {
+    val p = s"$dir/events.parquet"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hp)
+    schemaCache.computeIfAbsent((p, st.getModificationTime, st.getLen),
+      _ => spark.read.parquet(p).schema)
+  }
 
   /** Start a streaming query with the stateful shuffle sized to the
     * state, not the core count: every stateful partition carries

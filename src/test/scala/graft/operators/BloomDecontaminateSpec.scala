@@ -33,6 +33,24 @@ class BloomDecontaminateSpec extends AnyFunSuite {
       s"false-positive rate out of contract: $fps of 20000 clean rows flagged")
   }
 
+  test("tier equivalence: bounded collect tier == distributed tier") {
+    // the same eval/corpus through both tiers (collectCap forces the
+    // distributed path when set below the eval size) must verify to
+    // the identical exact answer, and both must auto-size
+    val eval = (0L until 2000L).map(i => i * 104729L).toDF("h")
+    val corpus = (0L until 5000L)
+      .map(i => (i, if (i % 3 == 0) (i % 2000) * 104729L else -1L - i))
+      .toDF("doc_id", "h")
+    def run(cap: Int) = BloomDecontaminate
+      .verifiedFlags(corpus, "h", eval, "h", collectCap = cap)
+      .select("doc_id").as[Long].collect().toSet
+    val bounded = run(cap = BloomDecontaminate.EvalCollectCap)
+    val distributed = run(cap = 10)
+    assert(bounded === distributed)
+    val exact = (0L until 5000L).filter(_ % 3 == 0).toSet
+    assert(bounded === exact)
+  }
+
   test("per-doc gate flags exactly the docs holding flagged shingles") {
     val eval = Seq(42L).toDF("h")
     val corpus = Seq(

@@ -19,16 +19,22 @@ class Extended22Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("selected")).sum === 1L)
   }
 
-  test("q184: candidate load decreases monotonically with band width") {
-    // more sign bits per key split buckets, so Σ m(m-1)/2 can only
-    // shrink — the monotone trade the budget selection relies on
+  test("q184: candidate load decreases with band width (expected monotone)") {
+    // EXPECTED monotone, not structural: band b of config p covers
+    // planes p·b..p·b+p−1, so wider configs draw on hyperplanes the
+    // narrower config never sees (config 8's band 2 uses planes 16–23,
+    // outside config 2's 0–7) — a wider band is a refinement of the
+    // narrow one only for band 0. More sign bits per key still split
+    // buckets in expectation, which is what the budget selection
+    // relies on; allow a small tolerance for the non-nested planes.
     val byP = rows.sortBy(_.getAs[Long]("planes_per_band"))
       .map(_.getAs[Long]("cand_pairs"))
-    assert(byP.zip(byP.tail).forall { case (a, b) => a >= b }, byP.toSeq)
+    assert(byP.zip(byP.tail).forall { case (a, b) =>
+      b <= a + a / 20 + 10 }, byP.toSeq)
     val buckets = rows.sortBy(_.getAs[Long]("planes_per_band"))
       .map(_.getAs[Long]("n_buckets"))
-    assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b },
-      buckets.toSeq)
+    assert(buckets.zip(buckets.tail).forall { case (a, b) =>
+      b + b / 20 + 10 >= a }, buckets.toSeq)
   }
 
   test("q184: occupancy accounting is conserved per config") {
@@ -66,9 +72,13 @@ class Extended22Spec extends AnyFunSuite {
 
   test("q185: more bands -> more candidates, lower j50 (the recall trade)") {
     val byB = mrows.sortBy(_.getAs[Long]("bands"))
+    // cand_pairs ordering is structural only between divisible band
+    // counts (2→4, 2→6, 3→6 are refinements — every coarse band fully
+    // contains an aligned fine band — but 3→4 is not); expected
+    // monotone overall, asserted with a small tolerance
     val pairs = byB.map(_.getAs[Long]("cand_pairs"))
-    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b },
-      pairs.toSeq)
+    assert(pairs.zip(pairs.tail).forall { case (a, b) =>
+      b + b / 20 + 10 >= a }, pairs.toSeq)
     val j = byB.map(_.getAs[Double]("j50"))
     assert(j.zip(j.tail).forall { case (a, b) => a > b }, j.toSeq)
   }

@@ -9,7 +9,16 @@ med = {}
 for n in names:
     vals = [r["queries"][n] for r in runs
             if isinstance(r["queries"].get(n), (int, float))]
+    if not vals:
+        print("WARNING: no numeric sample for %s in any run; skipped" % n,
+              file=sys.stderr)
+        continue
     med[n] = statistics.median(vals)
+# union of source-run errors: a composed baseline must not launder a
+# failing run into a zero-error JSON
+errors = {}
+for r in runs:
+    errors.update(r.get("errors", {}))
 base = runs[-1]
 streaming = base.get("streaming", [])
 snames = set(x.strip('"') for x in streaming)
@@ -17,7 +26,7 @@ total = sum(med.values())
 tot_s = sum(v for k, v in med.items() if k in snames)
 out = {
     "metric": "total", "value": total, "unit": "sec",
-    "queries": med, "errors": {}, "n_err": 0, "retimed": {},
+    "queries": med, "errors": errors, "n_err": len(errors), "retimed": {},
     "streaming": streaming,
     "total_streaming": tot_s, "total_batch": total - tot_s,
     "sf": base["sf"],

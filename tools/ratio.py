@@ -85,7 +85,11 @@ for name in sorted(oracle):
         print(f"TIMEOUT {name}: exceeded {timeout:.0f}s wall clock", flush=True)
         continue
     try:
-        status, val = q.get_nowait()
+        # short timeout (not get_nowait): the multiprocessing Queue
+        # feeder thread may still be flushing the child's result right
+        # after join() returns — get_nowait can racily raise Empty and
+        # misclassify a completed oracle as DIED
+        status, val = q.get(timeout=5)
     except Exception:
         # child died without reporting (OOM-killed, disk full on spill)
         failed.append((name, f"child died (exit {proc.exitcode}) "
