@@ -64,6 +64,59 @@ object Curation {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Calibrate-then-execute near-dup removal — the operator that
+    * CONSUMES the q185 band-count calibration instead of running a
+    * fixed config. One zero-shuffle signature pass is shared by both
+    * phases: the sweep derives every grid config's banded-join cost
+    * (Σ m·(m−1)/2 candidate pairs per (band, key) bucket) from one
+    * groupBy over the persisted signatures, the highest-recall (most
+    * bands) config whose candidate load fits `pairsPerDocBudget` per
+    * signed document is selected (fewest bands as fallback — q185's
+    * exact rule), and the banded near-dup filter then executes with
+    * the selected config. The sweep's stats frame has |bandGrid| rows
+    * (a constant), so the driver-side selection collect is bounded by
+    * construction.
+    *
+    * At 100 TB this replaces "hope bands=4 fits" with one extra
+    * aggregation over the signature frame — the same shape as the
+    * candidate join it calibrates, minus the join.
+    *
+    * @return (selectedBands, corpus with the higher id of every
+    *         candidate pair at or above `threshold` removed)
+    */
+  def calibratedNearDup(pairsPerDocBudget: Long = 20L, threshold: Double = 0.5,
+      k: Int = 12, bandGrid: Seq[Int] = Seq(2, 3, 4, 6), shingleWidth: Int = 3,
+      idCol: String = "doc_id", tokensCol: String = "t")(
+      df: DataFrame): (Int, DataFrame) = {
+    require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
+      s"band grid $bandGrid must be non-empty divisors of k=$k")
+    val sigs = MinHashLsh
+      .signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
+      .persist()
+    val keyed = bandGrid.map { b =>
+      MinHashLsh.bandKeys(sigs, idCol, k, b)
+        .select(lit(b).as("bands"), col("band"), col("key"))
+    }.reduce(_ unionByName _)
+    val stats = keyed.groupBy("bands", "band", "key")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("bands")
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+        sum(col("m")).as("tot"))
+      .withColumn("n_docs", expr("tot div bands"))
+      .collect() // |bandGrid| rows — constant-size by construction
+    val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
+        r.getAs[Long]("n_docs") * pairsPerDocBudget)
+      .map(_.getAs[Int]("bands"))
+    val selected =
+      if (fitting.nonEmpty) fitting.max
+      else if (stats.nonEmpty) stats.map(_.getAs[Int]("bands")).min
+      else bandGrid.min // no signed docs — any config is a no-op
+    val drop = MinHashLsh.candidatePairs(sigs, idCol, k, selected)
+      .filter(col("est") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    (selected, df.join(drop, Seq(idCol), "left_anti"))
+  }
+
   /** Near-dup clustering variant: keep ONE canonical doc per
     * connected component of the candidate-pair graph (the q102
     * shape), choosing by `preferenceAsc` ascending (e.g.

@@ -121,6 +121,50 @@ object EmbedNearDup {
     (verify(cand, minCos), () => { banded.unpersist(blocking = false); () })
   }
 
+  /** Calibrate-then-execute banded pairs — the operator that CONSUMES
+    * the q184 planes-per-band calibration instead of running a fixed
+    * geometry. One projection over the quantized vectors computes the
+    * per-(config, band, key) occupancy for every config in
+    * `planeGrid` (no per-config corpus re-scan), the per-config
+    * banded-join cost Σ m·(m−1)/2 follows from the occupancies, and
+    * the NARROWEST config whose candidate load fits
+    * `pairsPerVecBudget` pairs per vector is selected (fewer planes →
+    * higher recall → more pairs; widest config as fallback — q184's
+    * exact rule). [[bandedPairs]] then executes with the selection.
+    * The stats frame has |planeGrid| rows, so the selection collect
+    * is constant-size by construction.
+    *
+    * @return (selectedPlanesPerBand, scored pairs as in bandedPairs)
+    */
+  def calibratedPairs(vecs: DataFrame, idCol: String, bands: Int,
+      planeGrid: Seq[Int], dim: Int, minCos: Double,
+      pairsPerVecBudget: Long = 20L,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame) = {
+    require(planeGrid.nonEmpty, "planeGrid must be non-empty")
+    val keyed = vecs.select(explode(array(
+        (for { p <- planeGrid; b <- 0 until bands } yield
+          struct(lit(p).as("p"), lit(b).as("band"),
+            VecFns.lshBandKey(col("vq"), b, p, dim).as("key"))): _*))
+        .as("bk"))
+      .select(col("bk.p"), col("bk.band"), col("bk.key"))
+    val stats = keyed.groupBy("p", "band", "key")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("p")
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+        sum(col("m")).as("tot"))
+      // every vector opens a key in every band, so tot = bands · N
+      .withColumn("n_vec", expr(s"tot div $bands"))
+      .collect() // |planeGrid| rows — constant-size by construction
+    val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
+        r.getAs[Long]("n_vec") * pairsPerVecBudget)
+      .map(_.getAs[Int]("p"))
+    val selected =
+      if (fitting.nonEmpty) fitting.min
+      else planeGrid.max
+    (selected,
+      bandedPairs(vecs, idCol, bands, selected, dim, minCos, maxBucket))
+  }
+
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.
     * Guarded: refuses inputs above `maxRows` (the scale path is
     * `bandedPairs`).

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.corpus.Curation
+import graft.functions.{MinHashLsh, VecFns}
+
+/** Round-14: closing the calibration loop — q184/q185 *report* the
+  * LSH config fitting a candidate-pair budget; these queries
+  * *consume* the selection and execute the dedup with it.
+  *
+  * q186 runs [[Curation.calibratedNearDup]]: one signature pass, the
+  * q185 band-count sweep, then the banded near-dup filter executed
+  * with the SELECTED config. The oracle replays the whole chain —
+  * sweep, selection rule, and the selected config's band join — as
+  * chained CTEs (the q182 trajectory-reproducibility pattern): every
+  * grid config's drop-set is a CTE, and the final union keeps only
+  * the config the selection rule picked, so a divergence in EITHER
+  * the sweep arithmetic OR the executed band join breaks the hash.
+  *
+  * GUARDED/UNGUARDED ASYMMETRY (same contract as q161/q162): the
+  * implementation routes pairs through `MinHashLsh.candidatePairs`
+  * whose LshGuard chain-links buckets beyond DefaultMaxBucket; the
+  * oracle's band join is unguarded. Parity rests on the harness
+  * corpus having no degenerate bucket, pinned by LshGuardSpec.
+  */
+object Extended23 {
+
+  private val MinhashK = Extended2.MinhashK
+
+  /** Candidate band-count grid (divisors of k), as in q185. */
+  private val BandGrid = Seq(2, 3, 4, 6)
+
+  /** Accepted candidate pairs per signed document (q185's budget). */
+  private val PairsPerDocBudget = 20L
+
+  /** Near-dup drop threshold on the signature-component estimate. */
+  private val Threshold = 0.5
+
+  /** q187 (embedding family): fixed band count, planes-per-band grid
+    * and per-vector budget — q184's exact knobs.
+    */
+  private val EmbBands = 4
+  private val PlaneGrid = Seq(2, 4, 6, 8)
+  private val PairsPerVecBudget = 20L
+  private val EmbDim = 64
+  private val MinCos = 0.4
+
+  val queries: Map[String, Q] = Map(
+    "q186_calibrated_neardup" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .transform(Curation.withTokens())
+        val (bands, kept) = Curation.calibratedNearDup(
+          PairsPerDocBudget, Threshold, MinhashK, BandGrid)(docs)
+        kept.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"))
+          .withColumn("bands", lit(bands.toLong))
+          .select(col("source"), col("bands"), col("n_kept"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val sigSelect = (0 until MinhashK).map(i =>
+          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+        val m = (0 until MinhashK)
+          .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val perConfig = BandGrid.map { b =>
+          val r = MinhashK / b
+          val bandRows = (0 until b).map { bi =>
+            val key = (bi * r until (bi + 1) * r)
+              .map(i => s"s$i").mkString(" || '|' || ")
+            s"SELECT doc_id, $bi AS band, md5($key) AS key, " +
+              (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+          }.mkString("\n UNION ALL\n ")
+          s"""
+        band$b AS ($bandRows),
+        occ$b AS (
+          SELECT band, key, count(*) AS m FROM band$b GROUP BY 1, 2),
+        stat$b AS (
+          SELECT CAST($b AS BIGINT) AS bands,
+                 CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_pairs,
+                 CAST(sum(m) // $b AS BIGINT) AS n_docs
+          FROM occ$b),
+        drop$b AS (
+          SELECT DISTINCT r.doc_id
+          FROM band$b l JOIN band$b r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE round(($m) / ${MinhashK.toDouble}, 4) >= $Threshold)"""
+        }.mkString(",")
+        val unioned = BandGrid.map(b => s"SELECT * FROM stat$b")
+          .mkString(" UNION ALL ")
+        val droppedUnion = BandGrid.map(b =>
+          s"SELECT doc_id FROM drop$b WHERE (SELECT bs FROM bsel) = $b")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),$perConfig,
+        allstats AS ($unioned),
+        bsel AS (
+          SELECT coalesce(
+                   max(CASE WHEN cand_pairs <= $PairsPerDocBudget * n_docs
+                       THEN bands END),
+                   min(bands)) AS bs
+          FROM allstats),
+        dropped AS ($droppedUnion)
+        SELECT d.source, (SELECT bs FROM bsel) AS bands,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        WHERE dr.doc_id IS NULL
+        GROUP BY d.source ORDER BY d.source"""
+      },
+      bench = true),
+
+    // ---- q187: the embedding-family counterpart — one projection
+    // sweeps the q184 planes-per-band grid, the narrowest config
+    // fitting the per-vector pair budget is selected, and the banded
+    // hyperplane join + exact quantized-cosine verify executes with
+    // it. The oracle replays sweep, selection rule, and the SELECTED
+    // config's band join + verification as chained CTEs ---------------
+    "q187_calibrated_embed_neardup" -> Q(
+      impl = (s, d) => {
+        graft.functions.expressions.GraftFunctions.register(s)
+        val all = Tables.embeddingsParallel(s, d)
+          .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+          .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+        val (p, pairs) = graft.operators.EmbedNearDup.calibratedPairs(
+          all, "vec_id", EmbBands, PlaneGrid, EmbDim, MinCos,
+          PairsPerVecBudget)
+        pairs
+          .withColumn("planes", lit(p.toLong))
+          .select(col("a"), col("b"), col("cos_r"), col("planes"))
+          .orderBy("a", "b")
+      },
+      oracle = Some {
+        val maxPlanes = EmbBands * PlaneGrid.max
+        val weightRows = (for {
+          j <- 0 until maxPlanes
+          i <- 1 to EmbDim
+        } yield s"($j,$i,${VecFns.hyperplaneWeight(j, i - 1)})")
+          .mkString(",")
+        val perConfig = PlaneGrid.map { p =>
+          val pw = (0 until p).map(m => s"($m,${1L << m})").mkString(",")
+          s"""
+        bk$p AS (
+          SELECT vec_id, j // $p AS band,
+                 CAST(sum(CASE WHEN pr >= 0 THEN pv ELSE 0 END) AS BIGINT) AS key
+          FROM proj JOIN (VALUES $pw) pw$p(m, pv) ON pw$p.m = j % $p
+          WHERE j < ${EmbBands * p}
+          GROUP BY 1, 2),
+        occ$p AS (
+          SELECT band, key, count(*) AS m FROM bk$p GROUP BY 1, 2),
+        stat$p AS (
+          SELECT CAST($p AS BIGINT) AS planes,
+                 CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_pairs,
+                 CAST(sum(m) // $EmbBands AS BIGINT) AS n_vec
+          FROM occ$p),
+        pairs$p AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM bk$p x JOIN bk$p y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)"""
+        }.mkString(",")
+        val unioned = PlaneGrid.map(p => s"SELECT * FROM stat$p")
+          .mkString(" UNION ALL ")
+        val selUnion = PlaneGrid.map(p =>
+          s"SELECT a, b FROM pairs$p WHERE (SELECT ps FROM psel) = $p")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH f AS (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+        qv AS (SELECT vec_id, i,
+                      CAST(round(CAST(x AS DOUBLE) * ${VecFns.Scale}) AS BIGINT) AS e
+               FROM f),
+        norms AS (SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS nsq
+                  FROM qv GROUP BY vec_id),
+        w(j, i, wt) AS (VALUES $weightRows),
+        proj AS (
+          SELECT qv.vec_id, w.j, CAST(sum(qv.e * w.wt) AS BIGINT) AS pr
+          FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),$perConfig,
+        allstats AS ($unioned),
+        psel AS (
+          SELECT coalesce(
+                   min(CASE WHEN cand_pairs <= $PairsPerVecBudget * n_vec
+                       THEN planes END),
+                   max(planes)) AS ps
+          FROM allstats),
+        selpairs AS ($selUnion),
+        dots AS (
+          SELECT p.a, p.b, CAST(sum(xa.e * xb.e) AS BIGINT) AS dot
+          FROM selpairs p
+            JOIN qv xa ON xa.vec_id = p.a
+            JOIN qv xb ON xb.vec_id = p.b AND xb.i = xa.i
+          GROUP BY 1, 2),
+        cosv AS (
+          SELECT a, b, round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+              AS cos_r
+          FROM dots
+            JOIN norms na ON na.vec_id = a
+            JOIN norms nb ON nb.vec_id = b)
+        SELECT a, b, cos_r, (SELECT ps FROM psel) AS planes
+        FROM cosv WHERE cos_r >= $MinCos ORDER BY a, b"""
+      },
+      bench = true))
+}

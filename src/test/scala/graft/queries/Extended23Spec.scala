@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.corpus.Curation
+
+/** Pins the calibration→execution loop: the config q186 executes is
+  * the one the q185 calibration selects, and the executed dedup is
+  * the fixed-config dedup at that selection.
+  */
+class Extended23Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q186 executes exactly the band config q185 selects") {
+    val sel185 = Registry.all("q185_minhash_calibration").impl(spark, dir)
+      .filter(col("selected") === 1L)
+      .select("bands").as[Long].collect()
+    assert(sel185.length === 1)
+    val bands186 = Registry.all("q186_calibrated_neardup").impl(spark, dir)
+      .select("bands").distinct().as[Long].collect()
+    assert(bands186.toSeq === Seq(sel185.head))
+  }
+
+  test("q187 executes exactly the plane config q184 selects") {
+    val sel184 = Registry.all("q184_band_calibration").impl(spark, dir)
+      .filter(col("selected") === 1L)
+      .select("planes_per_band").as[Long].collect()
+    assert(sel184.length === 1)
+    val planes187 = Registry.all("q187_calibrated_embed_neardup")
+      .impl(spark, dir)
+      .select("planes").distinct().as[Long].collect()
+    assert(planes187.toSeq === Seq(sel184.head))
+    spark.catalog.clearCache()
+  }
+
+  test("calibratedNearDup == nearDupFilter at the selected config") {
+    val docs = Tables.docsParallel(spark, dir).transform(Curation.withTokens())
+    val (b, kept) = Curation.calibratedNearDup()(docs)
+    val fixed = Curation.nearDupFilter(bands = b)(docs)
+    assert(kept.select("doc_id").as[Long].collect().toSet ===
+      fixed.select("doc_id").as[Long].collect().toSet)
+    spark.catalog.clearCache()
+  }
+}
