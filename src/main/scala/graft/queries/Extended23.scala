@@ -215,5 +215,78 @@ object Extended23 {
         SELECT a, b, cos_r, (SELECT ps FROM psel) AS planes
         FROM cosv WHERE cos_r >= $MinCos ORDER BY a, b"""
       },
+      bench = true),
+
+    // ---- q188: streaming near-dup ingestion against a standing LSH
+    // index — the production LLM-ingest composition of q161 (delta
+    // probes a banded index) and the CorpusIngest exactly-once landing.
+    // Delta docs (doc_id % 10 = 0) arrive as 3 mtime-ordered parquet
+    // files → 3 micro-batches (maxFilesPerTrigger = 1); each batch
+    // probes the index AS IT STOOD before the batch (capBuckets-guarded
+    // side), survivors land idempotently and their band keys append, so
+    // batch 2 dedups against batch 0/1's landed docs, not just the
+    // original corpus. Output: every delta doc with its landed bit.
+    // The oracle replays the 3 sequential batches as chained CTEs —
+    // dup_b joins batch b against index ∪ landed_{<b} — so the
+    // incremental index-growth semantics are hash-pinned, not just the
+    // final probe ----------------------------------------------------
+    "q188_stream_neardup_ingest" -> Q(
+      impl = (s, d) => graft.streaming.NearDupIngest.demoRun(s, d),
+      oracle = Some {
+        val sigSelect = (0 until MinhashK).map(i =>
+          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+        val r = MinhashK / 4
+        val bandRows = (0 until 4).map { b =>
+          val key = (b * r until (b + 1) * r)
+            .map(i => s"s$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+            (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+        }.mkString("\n UNION ALL\n ")
+        val m = (0 until MinhashK)
+          .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        def batchPred(side: String, b: Int) =
+          s"$side.doc_id % 10 = 0 AND ($side.doc_id // 10) % 3 = $b"
+        val batchCtes = (0 until 3).map { b =>
+          val indexMembers = "r.doc_id % 10 <> 0" +
+            (0 until b).map(pb =>
+              s" OR r.doc_id IN (SELECT doc_id FROM land$pb)").mkString
+          s"""
+        dup$b AS (
+          SELECT DISTINCT l.doc_id
+          FROM band l JOIN band r
+            ON l.band = r.band AND l.key = r.key
+          WHERE ${batchPred("l", b)} AND ($indexMembers)
+            AND round(($m) / ${MinhashK.toDouble}, 4) >= $Threshold),
+        land$b AS (
+          SELECT doc_id FROM documents d
+          WHERE ${batchPred("d", b)}
+            AND doc_id NOT IN (SELECT doc_id FROM dup$b))"""
+        }.mkString(",")
+        s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),
+        band AS ($bandRows),$batchCtes,
+        landed AS (SELECT doc_id FROM land0 UNION ALL
+                   SELECT doc_id FROM land1 UNION ALL
+                   SELECT doc_id FROM land2)
+        SELECT d.doc_id AS delta_doc,
+               CAST(l.doc_id IS NOT NULL AS BIGINT) AS landed
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN landed l ON l.doc_id = d.doc_id
+        ORDER BY delta_doc"""
+      },
       bench = true))
 }

@@ -39,7 +39,8 @@ object Registry {
     "q20_stream_tumbling", "q39_stream_sessionize", "q63_stream_stream_join",
     "q71_stream_dedup", "q74_stream_sliding", "q82_stream_watermark",
     "q100_stream_static_enrich", "q108_stream_outer_join",
-    "q111_stream_dedup_watermark", "q142_stream_spend_monitor")
+    "q111_stream_dedup_watermark", "q142_stream_spend_monitor",
+    "q188_stream_neardup_ingest")
 
   lazy val all: Map[String, Q] = {
     val base =
