@@ -115,8 +115,17 @@ object NearDupIngest {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
-    val q = start(stream, idxDir, storeDir)
-    q.awaitTermination()
+    // batch-sized joins/aggregations inside foreachBatch: a 32-wide
+    // shuffle is per-task overhead, not parallelism, on a micro-batch
+    // (the EventStream.startSized policy — on a cluster this is the
+    // same per-query shuffle.partitions knob sized to batch volume)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val running = start(stream, idxDir, storeDir)
+      running.awaitTermination()
+      running
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val landed = spark.read.parquet(storeDir)
       .select(col("doc_id")).withColumn("__l", lit(1L))
     delta.select("doc_id")
