@@ -92,6 +92,12 @@ object Extended21 {
     var vocab = wordCounts(s, d).select(
         regexp_replace(col("w"), "(.)", "|$1|").as("repr"), col("freq"))
       .persist()
+    // predecessor kept cached until the NEXT round's argmax job has
+    // materialized the current vocab — that job scans the vocab
+    // anyway, so it doubles as the cache materialization (a dedicated
+    // count() per round paid 8 extra jobs for the same effect);
+    // lineage stays at most one uncached map deep throughout
+    var prev: org.apache.spark.sql.DataFrame = null
     val trajectory = (1 to Merges).map { it =>
       val (a, b, c) = vocab
         .select(col("freq"),
@@ -104,14 +110,17 @@ object Extended21 {
         .groupBy("a", "b").agg(sum("freq").as("c"))
         .orderBy(desc("c"), col("a"), col("b"))
         .limit(1).as[(String, String, Long)].head()
-      val prev = vocab
+      // the argmax above just materialized `vocab`'s cache — the
+      // previous round's cache has no remaining consumer
+      if (prev != null) prev.unpersist()
+      prev = vocab
       vocab = prev.withColumn("repr",
           expr(s"replace(repr, '|$a||$b|', '|$a$b|')"))
         .persist()
-      vocab.count() // materialize: lineage stays one map deep
-      prev.unpersist()
       (it.toLong, a, b, c)
     }
+    vocab.count() // materialize the final vocab, then free its parent
+    if (prev != null) prev.unpersist()
     trajCache.put(corpusKey(s, d), trajectory)
     (trajectory, vocab)
   }
