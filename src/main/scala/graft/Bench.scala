@@ -137,7 +137,18 @@ object Bench {
     // bench_latest.json must always reflect a full-registry run — so a
     // focused run persists only when an explicit output path is given.
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("bench/bench_latest.json") else None)
+      .orElse(if (only.isEmpty) Some {
+        // never let a single-run snapshot clobber a composed
+        // multi-run median baseline (tools/compose_medians.py tags
+        // its output): snapshots land beside it instead, and the
+        // median file moves only through an explicit
+        // SPARK_GRAFT_BENCH_OUT or a fresh compose
+        val p = java.nio.file.Paths.get("bench/bench_latest.json")
+        val isMedianBaseline = java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.readString(p).contains("per-query medians")
+        if (isMedianBaseline) "bench/bench_single_latest.json"
+        else "bench/bench_latest.json"
+      } else None)
     out.foreach { o =>
       try {
         val p = java.nio.file.Paths.get(o)

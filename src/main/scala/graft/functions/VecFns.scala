@@ -82,4 +82,31 @@ object VecFns {
       val w = typedlit((0 until dim).map(i => hyperplaneWeight(j, i)))
       when(dotQFast(vq, w) >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")
+
+  /** Sign (0/1 long) of hyperplane j's projection — the shared
+    * substrate for multi-config band-key sweeps. A grid sweep reuses
+    * plane j in every config whose plane range covers it (the default
+    * 2/4/6/8 grid touches each of planes 0–7 four times), so the
+    * sweep should materialize these once per vector in a dedicated
+    * projection and assemble per-config keys from the bits with
+    * [[lshBandKeyFromSigns]]; inlining `lshBandKey` per config
+    * recomputes the dot products 2.5× on the default grid (and
+    * CollapseProject will not merge a non-cheap alias consumed
+    * multiple times, so the two-step form keeps each dot computed
+    * exactly once).
+    */
+  def planeSign(vq: Column, j: Int, dim: Int): Column = {
+    val w = typedlit((0 until dim).map(i => hyperplaneWeight(j, i)))
+    (dotQFast(vq, w) >= 0).cast("long")
+  }
+
+  /** [[lshBandKey]] assembled from pre-materialized [[planeSign]]
+    * bits: `signs(j)` must be the 0/1 sign column of global plane j.
+    * Bit-identical to `lshBandKey(vq, band, planesPerBand, dim)`.
+    */
+  def lshBandKeyFromSigns(signs: Int => Column, band: Int,
+      planesPerBand: Int): Column =
+    (0 until planesPerBand).map { k =>
+      signs(band * planesPerBand + k) * (1L << k)
+    }.reduce(_ + _).cast("long")
 }

@@ -141,10 +141,16 @@ object EmbedNearDup {
       pairsPerVecBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame) = {
     require(planeGrid.nonEmpty, "planeGrid must be non-empty")
-    val keyed = vecs.select(explode(array(
+    // plane signs materialize once per vector (shared across configs
+    // — see VecFns.planeSign); keys are then pure bit assembly
+    val maxPlanes = bands * planeGrid.max
+    val signed = vecs.select((0 until maxPlanes).map(j =>
+      VecFns.planeSign(col("vq"), j, dim).as(s"__sg$j")): _*)
+    val keyed = signed.select(explode(array(
         (for { p <- planeGrid; b <- 0 until bands } yield
           struct(lit(p).as("p"), lit(b).as("band"),
-            VecFns.lshBandKey(col("vq"), b, p, dim).as("key"))): _*))
+            VecFns.lshBandKeyFromSigns(j => col(s"__sg$j"), b, p)
+              .as("key"))): _*))
         .as("bk"))
       .select(col("bk.p"), col("bk.band"), col("bk.key"))
     val stats = keyed.groupBy("p", "band", "key")

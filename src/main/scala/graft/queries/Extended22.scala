@@ -76,14 +76,21 @@ object Extended22 {
     "q184_band_calibration" -> Q(
       impl = (s, d) => {
         graft.functions.expressions.GraftFunctions.register(s)
-        val vq = Tables.embeddingsParallel(s, d)
+        val maxPlanes = Bands * PlaneGrid.max
+        // plane signs materialize ONCE per vector in a dedicated
+        // projection (plane j is shared by every config covering it —
+        // the grid reuses planes 0–7 four times), then every
+        // (config, band) key is pure bit assembly — no per-config
+        // corpus re-scan AND no per-config re-projection
+        val signed = Tables.embeddingsParallel(s, d)
           .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
-        // one row per (config, band) per vector, built in a single
-        // projection — no per-config corpus re-scan
-        val keyed = vq.select(explode(array(
+          .select((0 until maxPlanes).map(j =>
+            VecFns.planeSign(col("vq"), j, EmbDim).as(s"__sg$j")): _*)
+        val keyed = signed.select(explode(array(
           (for { p <- PlaneGrid; b <- 0 until Bands } yield
             struct(lit(p).as("p"), lit(b).as("band"),
-              VecFns.lshBandKey(col("vq"), b, p, EmbDim).as("key"))): _*))
+              VecFns.lshBandKeyFromSigns(j => col(s"__sg$j"), b, p)
+                .as("key"))): _*))
           .as("bk"))
           .select(col("bk.p"), col("bk.band"), col("bk.key"))
         val occ = keyed.groupBy("p", "band", "key")
