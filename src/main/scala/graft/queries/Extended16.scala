@@ -82,9 +82,10 @@ object Extended16 {
   }
 
   /** DuckDB expression reproducing [[SimHash.simhashAgg]] over a
-    * token column — same construction as the q29 oracle.
+    * token column — same construction as the q29 oracle. Shared with
+    * the q189 calibration oracle (Extended23).
     */
-  private def simhashSql(tok: String): String =
+  private[queries] def simhashSql(tok: String): String =
     (0 until SimHash.bits).map { b =>
       val hexPos = 4 - b / 4
       val pw = 1 << (b % 4)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.corpus.Curation
-import graft.functions.{MinHashLsh, VecFns}
+import graft.functions.{MinHashLsh, SimHash, TextFns, VecFns}
 
 /** Round-14: closing the calibration loop — q184/q185 *report* the
   * LSH config fitting a candidate-pair budget; these queries
@@ -46,6 +46,12 @@ object Extended23 {
   private val PairsPerVecBudget = 20L
   private val EmbDim = 64
   private val MinCos = 0.4
+
+  /** q189 (SimHash family): candidate bits-per-band grid (divisors of
+    * the 16-bit fingerprint), narrowest first — fewer bits per band →
+    * more bands and more collisions → higher recall, more pairs.
+    */
+  private val WidthGrid = Seq(2, 4, 8)
 
   val queries: Map[String, Q] = Map(
     "q186_calibrated_neardup" -> Q(
@@ -287,6 +293,113 @@ object Extended23 {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         LEFT JOIN landed l ON l.doc_id = d.doc_id
         ORDER BY delta_doc"""
+      },
+      bench = true),
+
+    // ---- q189: the SimHash-family calibration, completing the
+    // calibrate-then-execute loop across all three banded-LSH
+    // operators (q186 MinHash, q187 hyperplane, q189 SimHash). The
+    // 16-bit fingerprint computes once; the band-width sweep is pure
+    // bit arithmetic over it (key = (sh >> band·w) & (2^w − 1)), so
+    // every grid config's exact occupancy and candidate load come
+    // from one groupBy over the fingerprint frame. Selection picks
+    // the narrowest width whose candidate load fits the per-doc
+    // budget (the highest-recall fitting config; widest as fallback —
+    // this is what makes a 2-bit band, quadratic on any real corpus,
+    // safe to keep in the grid: the sweep prices it and never
+    // executes it), then the hamming-verified band join (q160's
+    // semantics) runs at the selected width only ----------------------
+    "q189_calibrated_simhash" -> Q(
+      impl = (s, d) => {
+        val sigs = Tables.docsParallel(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(SimHash.simhashAgg(col("tok")).as("sh"))
+          .persist() // sweep + selected-config join read it
+        val keyed = WidthGrid.map { w =>
+          sigs.select(lit(w).as("w"),
+              explode(array((0 until SimHash.bits / w).map(lit(_)): _*))
+                .as("band"), col("sh"))
+            .withColumn("key", expr(s"shiftright(sh, band * $w)")
+              .bitwiseAND(lit((1L << w) - 1)))
+            .select(col("w"), col("band"), col("key"))
+        }.reduce(_ unionByName _)
+        val stats = keyed.groupBy("w", "band", "key")
+          .agg(count(lit(1)).as("m"))
+          .groupBy("w")
+          .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+            sum(col("m")).as("tot"))
+          .withColumn("n_docs", expr(s"tot div (${SimHash.bits} div w)"))
+          .collect() // |WidthGrid| rows — constant-size by construction
+        val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
+            r.getAs[Long]("n_docs") * PairsPerDocBudget)
+          .map(_.getAs[Int]("w"))
+        val selected =
+          if (fitting.nonEmpty) fitting.min
+          else WidthGrid.max
+        val banded = sigs.select(col("doc_id"), col("sh"),
+            explode(array((0 until SimHash.bits / selected).map(lit(_)): _*))
+              .as("band"))
+          .withColumn("key", expr(s"shiftright(sh, band * $selected)")
+            .bitwiseAND(lit((1L << selected) - 1)))
+        banded.toDF("a", "sa", "band", "key")
+          .join(banded.toDF("b", "sb", "band", "key"), Seq("band", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b", "sa", "sb")
+          .distinct()
+          .withColumn("hamming", SimHash.hamming(col("sa"), col("sb")))
+          .filter(col("hamming") <= 1)
+          .select(col("a"), col("b"),
+            col("hamming").cast("long").as("hamming"),
+            lit(selected.toLong).as("width"))
+          .orderBy("a", "b")
+      },
+      oracle = Some {
+        val perConfig = WidthGrid.map { w =>
+          val bands = SimHash.bits / w
+          s"""
+        bw$w AS (SELECT doc_id, sh, unnest(range(0, $bands)) AS band
+                 FROM sig),
+        bk$w AS (SELECT doc_id, sh, band,
+                        (sh >> (band * $w)) & ${(1L << w) - 1} AS key
+                 FROM bw$w),
+        occ$w AS (
+          SELECT band, key, count(*) AS m FROM bk$w GROUP BY 1, 2),
+        stat$w AS (
+          SELECT CAST($w AS BIGINT) AS w,
+                 CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_pairs,
+                 CAST(sum(m) // $bands AS BIGINT) AS n_docs
+          FROM occ$w),
+        pairs$w AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                 x.sh AS sa, y.sh AS sb
+          FROM bk$w x JOIN bk$w y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+        }.mkString(",")
+        val unioned = WidthGrid.map(w => s"SELECT * FROM stat$w")
+          .mkString(" UNION ALL ")
+        val selUnion = WidthGrid.map(w =>
+          s"SELECT a, b, sa, sb FROM pairs$w WHERE (SELECT ws FROM wsel) = $w")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH tk AS (SELECT DISTINCT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        sig AS (SELECT doc_id, ${Extended16.simhashSql("tok")} AS sh
+                FROM tk GROUP BY doc_id),$perConfig,
+        allstats AS ($unioned),
+        wsel AS (
+          SELECT coalesce(
+                   min(CASE WHEN cand_pairs <= $PairsPerDocBudget * n_docs
+                       THEN w END),
+                   max(w)) AS ws
+          FROM allstats),
+        selpairs AS ($selUnion)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+               (SELECT ws FROM wsel) AS width
+        FROM selpairs WHERE bit_count(xor(sa, sb)) <= 1
+        ORDER BY a, b"""
       },
       bench = true))
 }
