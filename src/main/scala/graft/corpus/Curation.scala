@@ -88,6 +88,23 @@ object Curation {
       k: Int = 12, bandGrid: Seq[Int] = Seq(2, 3, 4, 6), shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): (Int, DataFrame) = {
+    val (sel, kept, _) = calibratedNearDupWithCleanup(pairsPerDocBudget,
+      threshold, k, bandGrid, shingleWidth, idCol, tokensCol)(df)
+    (sel, kept)
+  }
+
+  /** [[calibratedNearDup]] plus an unpersist handle for the cached
+    * signature frame — the returned corpus still reads it lazily, so
+    * call the handle only after the result has been consumed.
+    * Long-lived sessions running many corpora should use this form
+    * (the `EmbedNearDup.bandedPairsWithCleanup` policy); the plain
+    * form's cache is reclaimed by `spark.catalog.clearCache()`.
+    */
+  def calibratedNearDupWithCleanup(pairsPerDocBudget: Long = 20L,
+      threshold: Double = 0.5, k: Int = 12,
+      bandGrid: Seq[Int] = Seq(2, 3, 4, 6), shingleWidth: Int = 3,
+      idCol: String = "doc_id", tokensCol: String = "t")(
+      df: DataFrame): (Int, DataFrame, () => Unit) = {
     require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
       s"band grid $bandGrid must be non-empty divisors of k=$k")
     val sigs = MinHashLsh
@@ -114,7 +131,8 @@ object Curation {
     val drop = MinHashLsh.candidatePairs(sigs, idCol, k, selected)
       .filter(col("est") >= threshold)
       .select(col("b").as(idCol)).distinct()
-    (selected, df.join(drop, Seq(idCol), "left_anti"))
+    (selected, df.join(drop, Seq(idCol), "left_anti"),
+      () => { sigs.unpersist(blocking = false); () })
   }
 
   /** Near-dup clustering variant: keep ONE canonical doc per

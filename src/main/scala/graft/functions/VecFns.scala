@@ -97,7 +97,11 @@ object VecFns {
     */
   def planeSign(vq: Column, j: Int, dim: Int): Column = {
     val w = typedlit((0 until dim).map(i => hyperplaneWeight(j, i)))
-    (dotQFast(vq, w) >= 0).cast("long")
+    // when/otherwise, not a bare cast: a NULL vector must yield sign
+    // 0 (key 0) exactly as lshBandKey's otherwise-branch does — a
+    // NULL-propagating cast would give the sweep a NULL-key bucket
+    // while the executed join buckets the same rows under key 0
+    when(dotQFast(vq, w) >= 0, lit(1L)).otherwise(lit(0L))
   }
 
   /** [[lshBandKey]] assembled from pre-materialized [[planeSign]]

@@ -41,9 +41,12 @@ import org.apache.spark.sql.functions._
   *    semi-join verify. The filter bytes stay constant-size no matter
   *    the corpus.
   * Both tiers produce a [[org.apache.spark.util.sketch.BloomFilter]]
-  * in the identical serialized form, sized by the same
-  * m = −n·ln(p)/ln²2 formula, so the probe results are
-  * tier-independent (pinned by BloomDecontaminateSpec).
+  * in the identical serialized form: same distinct-count sizing, same
+  * m = −n·ln(p)/ln²2 bit formula, and bloom insertion is idempotent
+  * and order-free, so the two tiers build bit-identical filters for
+  * the same eval set and probe results are tier-independent (pinned
+  * by BloomDecontaminateSpec's tier-equivalence test). Null shingle
+  * values are skipped on both tiers.
   */
 object BloomDecontaminate {
 
@@ -84,7 +87,11 @@ object BloomDecontaminate {
     val bytes =
       buildBloom(evalShingles, evalCol, expectedItems, fpp, collectCap) match {
         case Left((b, _)) => b
-        case Right(b) => b
+        case Right((b, release)) =>
+          // the filter bytes are materialized — the cached eval frame
+          // has no remaining consumer in flag()
+          release()
+          b
       }
     probe(corpusShingles, shingleCol, bytes)
   }
@@ -103,38 +110,54 @@ object BloomDecontaminate {
   def verifiedFlags(corpusShingles: DataFrame, shingleCol: String,
       evalShingles: DataFrame, evalCol: String,
       expectedItems: Long = AutoSize, fpp: Double = 0.001,
-      collectCap: Int = EvalCollectCap): DataFrame = {
+      collectCap: Int = EvalCollectCap): DataFrame =
+    verifiedFlagsWithCleanup(corpusShingles, shingleCol, evalShingles,
+      evalCol, expectedItems, fpp, collectCap)._1
+
+  /** [[verifiedFlags]] plus an unpersist handle for the distributed
+    * tier's cached eval frame (a no-op in the bounded tier) — call it
+    * once the returned frame has been consumed. Long-lived sessions
+    * invoking the operator repeatedly outside a clear-cache loop
+    * should use this form (the `bandedPairsWithCleanup` policy).
+    */
+  def verifiedFlagsWithCleanup(corpusShingles: DataFrame, shingleCol: String,
+      evalShingles: DataFrame, evalCol: String,
+      expectedItems: Long = AutoSize, fpp: Double = 0.001,
+      collectCap: Int = EvalCollectCap): (DataFrame, () => Unit) = {
     val spark = corpusShingles.sparkSession
     import spark.implicits._
     buildBloom(evalShingles, evalCol, expectedItems, fpp, collectCap) match {
       case Left((bytes, local)) =>
         val evalLocal = local.toSeq.toDF(shingleCol)
-        probe(corpusShingles, shingleCol, bytes)
+        (probe(corpusShingles, shingleCol, bytes)
           .filter(col("maybe_contaminated"))
           .join(broadcast(evalLocal), Seq(shingleCol), "left_semi")
-          .drop("maybe_contaminated")
-      case Right(bytes) =>
-        // evalShingles was persisted by buildBloom; the semi-join is
-        // its third and final consumer
-        probe(corpusShingles, shingleCol, bytes)
+          .drop("maybe_contaminated"), () => ())
+      case Right((bytes, release)) =>
+        // the cached eval frame's third and final consumer is the
+        // lazy semi-join below — released via the returned handle
+        (probe(corpusShingles, shingleCol, bytes)
           .filter(col("maybe_contaminated"))
-          .join(evalShingles.toDF(shingleCol), Seq(shingleCol), "left_semi")
-          .drop("maybe_contaminated")
+          .join(evalShingles.select(col(evalCol).as(shingleCol)),
+            Seq(shingleCol), "left_semi")
+          .drop("maybe_contaminated"), release)
     }
   }
 
   /** Eval-side build. Left = bounded tier (serialized bloom + the
-    * deduped local hash set); Right = distributed tier (bloom bytes;
-    * `evalShingles` left persisted for the caller's verify join).
+    * deduped local hash set); Right = distributed tier (bloom bytes +
+    * an unpersist handle for the cached eval frame). Null shingle
+    * values are ignored on both tiers (the native bloom aggregate
+    * skips them; the bounded tier filters them out of the collect).
     */
   private def buildBloom(evalShingles: DataFrame, evalCol: String,
-      expectedItems: Long, fpp: Double,
-      collectCap: Int): Either[(Array[Byte], Array[Long]), Array[Byte]] = {
+      expectedItems: Long, fpp: Double, collectCap: Int)
+      : Either[(Array[Byte], Array[Long]), (Array[Byte], () => Unit)] = {
     val probeRows = evalShingles.select(col(evalCol).cast("long"))
       .limit(collectCap + 1).collect()
     if (probeRows.length <= collectCap) {
       val hs = new java.util.HashSet[java.lang.Long](probeRows.length * 2)
-      probeRows.foreach(r => hs.add(r.getLong(0)))
+      probeRows.foreach(r => if (!r.isNullAt(0)) hs.add(r.getLong(0)))
       val n = math.max(if (expectedItems > 0) expectedItems else hs.size.toLong,
         AutoSizeFloor)
       val bloom = org.apache.spark.util.sketch.BloomFilter
@@ -150,16 +173,23 @@ object BloomDecontaminate {
     } else {
       // eval set beyond the collect cap: distributed build. Persist —
       // the sizing count materializes the cache the aggregation (and
-      // verifiedFlags' semi-join) then reads.
+      // verifiedFlags' semi-join) then reads. Auto-sizing counts
+      // DISTINCT values (the bounded tier sizes from its deduped set;
+      // a raw row count would inflate the filter bytes by the eval
+      // frame's duplication factor — the bytes ship as a plan literal
+      // with every task, so oversizing is not free at this tier).
       evalShingles.persist()
       val n = math.max(
-        if (expectedItems > 0) expectedItems else evalShingles.count(),
+        if (expectedItems > 0) expectedItems
+        else evalShingles.agg(count_distinct(col(evalCol)))
+          .head().getLong(0),
         AutoSizeFloor)
       graft.functions.expressions.GraftFunctions.register(
         evalShingles.sparkSession)
-      Right(evalShingles
+      Right((evalShingles
         .agg(bloomFilterAgg(col(evalCol), n, fpp).as("__bloom"))
-        .head().getAs[Array[Byte]](0))
+        .head().getAs[Array[Byte]](0),
+        () => { evalShingles.unpersist(blocking = false); () }))
     }
   }
 

@@ -140,6 +140,18 @@ object EmbedNearDup {
       planeGrid: Seq[Int], dim: Int, minCos: Double,
       pairsPerVecBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame) = {
+    val (sel, pairs, _) = calibratedPairsWithCleanup(vecs, idCol, bands,
+      planeGrid, dim, minCos, pairsPerVecBudget, maxBucket)
+    (sel, pairs)
+  }
+
+  /** [[calibratedPairs]] plus the banded frame's unpersist handle
+    * (see [[bandedPairsWithCleanup]]).
+    */
+  def calibratedPairsWithCleanup(vecs: DataFrame, idCol: String, bands: Int,
+      planeGrid: Seq[Int], dim: Int, minCos: Double,
+      pairsPerVecBudget: Long = 20L,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame, () => Unit) = {
     require(planeGrid.nonEmpty, "planeGrid must be non-empty")
     // plane signs materialize once per vector (shared across configs
     // — see VecFns.planeSign); keys are then pure bit assembly
@@ -167,8 +179,9 @@ object EmbedNearDup {
     val selected =
       if (fitting.nonEmpty) fitting.min
       else planeGrid.max
-    (selected,
-      bandedPairs(vecs, idCol, bands, selected, dim, minCos, maxBucket))
+    val (pairs, release) = bandedPairsWithCleanup(
+      vecs, idCol, bands, selected, dim, minCos, maxBucket)
+    (selected, pairs, release)
   }
 
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.

@@ -27,12 +27,14 @@ object EventStream {
     * dataflow starts to dominate, above it the per-store per-batch
     * commit overhead does.
     */
-  private val DefaultStateParts =
+  // a def, not a val: throwing from object init would surface as an
+  // opaque ExceptionInInitializerError (and NoClassDefFoundError on
+  // every later touch of the object) — validated per call instead so
+  // a malformed value fails with the readable message below
+  private def DefaultStateParts: Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS") match {
       case None => 4
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
-        // fail with a readable message, not an opaque
-        // ExceptionInInitializerError from object init
         throw new IllegalArgumentException(
           s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$v'"))
     }

@@ -48,8 +48,15 @@ import graft.functions.{LshGuard, MinHashLsh, TextFns}
   */
 object NearDupIngest {
 
+  /** Batch id of the initial (pre-stream) corpus index partition. */
+  val InitialIndexBatch = -1L
+
   /** Build the standing index table from a corpus frame with
     * (`idCol`, `tokensCol`) columns: banded signatures, written once.
+    * Partitioned by `batch_id` (the initial corpus under
+    * [[InitialIndexBatch]]) so per-batch appends are independently
+    * idempotent and a replaying batch can exclude its own partial
+    * partition from the probe.
     */
   def writeIndex(corpus: DataFrame, indexDir: String, idCol: String = "doc_id",
       tokensCol: String = "t", shingleWidth: Int = 3, k: Int = 12,
@@ -57,7 +64,8 @@ object NearDupIngest {
     val sigs = MinHashLsh.signaturesFromTokens(
       corpus, idCol, tokensCol, shingleWidth, k)
     MinHashLsh.bandKeys(sigs, idCol, k, bands)
-      .write.mode("overwrite").parquet(indexDir)
+      .withColumn("batch_id", lit(InitialIndexBatch))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
   }
 
   /** Start the ingest stream: every micro-batch of `docs` (must carry
@@ -143,18 +151,29 @@ object NearDupIngest {
       storeDir: String, idCol: String, textCol: String, threshold: Double,
       shingleWidth: Int, k: Int, bands: Int, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
-    // partition-directory idempotence up front: a replayed batch must
-    // not re-append the index either
-    if (CorpusIngest.existingBatchIds(spark, storeDir).contains(batchId))
-      return
+    // per-destination idempotence: store landing and index append are
+    // two non-atomic writes, so each is guarded by its OWN batch_id
+    // partition — a crash between them leaves one destination behind,
+    // and the replay completes exactly the missing one (the
+    // store-without-index window would otherwise permanently break
+    // the index ⊇ landed-docs invariant)
+    val storeBatches = CorpusIngest.existingBatchIds(spark, storeDir)
+    val storeHas = storeBatches.contains(batchId)
+    val idxHas = CorpusIngest.existingBatchIds(spark, indexDir)
+      .contains(batchId)
+    if (storeHas && idxHas) return
     val toks = batch.withColumn("__t", TextFns.tokens(col(textCol)))
     // persisted: consumed by the probe join and (for survivors) the
     // index append; batch-sized, released at the end of the batch
     val sigs = MinHashLsh.signaturesFromTokens(
       toks, idCol, "__t", shingleWidth, k).persist()
     val probe = MinHashLsh.bandKeys(sigs, idCol, k, bands)
+    // probe the index as it stood BEFORE this batch: the batch's own
+    // partition exists only on replay after a partial failure and
+    // must not make the batch's docs self-match
     val index = LshGuard.capBuckets(
-      spark.read.parquet(indexDir), idCol, maxBucket)
+      spark.read.parquet(indexDir).filter(col("batch_id") =!= batchId),
+      idCol, maxBucket)
     val matches = (0 until k)
       .map(i => when(col(s"l.s$i") === col(s"r.s$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -163,14 +182,31 @@ object NearDupIngest {
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .filter(round(matches / lit(k.toDouble), 4) >= threshold)
       .select(col(s"l.$idCol")).distinct()
-    val landed = batch.join(dupIds, Seq(idCol), "left_anti")
-    CorpusIngest.ingestBatch(landed, batchId, storeDir, idCol)
-    // grow the index with what actually landed; dropDuplicates mirrors
-    // ingestBatch's in-batch id dedup so a duplicated id indexes once
-    MinHashLsh.bandKeys(
-        sigs.join(dupIds, Seq(idCol), "left_anti").dropDuplicates(idCol),
-        idCol, k, bands)
-      .write.mode("append").parquet(indexDir)
+    // mirror CorpusIngest's in-batch + cross-batch id dedup BEFORE
+    // the index append, so the index holds exactly what lands: a
+    // re-delivered id with changed text is dropped by the store's
+    // anti-join and must not index its phantom new content. Prior
+    // batches only — on replay the store may already hold THIS
+    // batch's rows, which still need indexing.
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+      .dropDuplicates(idCol)
+    val freshNew =
+      if (storeBatches.forall(_ == batchId)) fresh
+      else fresh.join(
+        spark.read.parquet(storeDir)
+          .filter(col("batch_id") =!= batchId).select(col(idCol)),
+        Seq(idCol), "left_anti")
+    if (!storeHas)
+      CorpusIngest.ingestBatch(freshNew, batchId, storeDir, idCol)
+    if (!idxHas)
+      // dropDuplicates mirrors the store's in-batch id collapse (same
+      // unordered-scan pick-one contract as D1/D3 upserts)
+      MinHashLsh.bandKeys(
+          sigs.dropDuplicates(idCol)
+            .join(freshNew.select(idCol), Seq(idCol), "left_semi"),
+          idCol, k, bands)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(indexDir)
     sigs.unpersist(blocking = false)
   }
 }

@@ -62,6 +62,46 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == idxRows)
   }
 
+  test("crash window store-landed-but-not-indexed: replay completes the index") {
+    val (idx, store) = ws("ndi_crashwin")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    // simulate a crash between the store landing and the index append:
+    // batch 0 exists in the store only
+    CorpusIngest.ingestBatch(Seq((1L, B)).toDF("doc_id", "text"), 0L,
+      store, "doc_id")
+    val idxBefore = spark.read.parquet(idx).count()
+    ingest(Seq((1L, B)), 0L, idx, store) // checkpoint replay
+    // the replay must append doc 1's band keys (4 bands) without
+    // re-landing it, restoring index ⊇ landed-docs
+    assert(landedIds(store) == Seq(1L))
+    assert(spark.read.parquet(idx).count() == idxBefore + 4)
+    // a later near-dup of doc 1 is now correctly rejected
+    ingest(Seq((2L, B)), 1L, idx, store)
+    assert(landedIds(store) == Seq(1L))
+  }
+
+  test("re-delivered id with changed text neither lands nor indexes") {
+    val (idx, store) = ws("ndi_phantom")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    ingest(Seq((1L, B)), 0L, idx, store)
+    val idxAfter0 = spark.read.parquet(idx).count()
+    // id 1 re-arrives with novel content: the store's exact-id dedup
+    // drops it, so its new signature must NOT enter the index
+    // (indexing content that never landed would reject future docs
+    // against phantom text)
+    val C = "zeta eta theta iota kappa lambda mu nu xi"
+    ingest(Seq((1L, C)), 1L, idx, store)
+    assert(landedIds(store) == Seq(1L))
+    assert(spark.read.parquet(idx).count() == idxAfter0)
+    // content C itself never indexed: a new doc with text C lands
+    ingest(Seq((2L, C)), 2L, idx, store)
+    assert(landedIds(store) == Seq(1L, 2L))
+  }
+
   test("duplicate-blind within one micro-batch: both near-dups land") {
     val (idx, store) = ws("ndi_inbatch")
     NearDupIngest.writeIndex(
