@@ -136,11 +136,23 @@ object NearDupIngest {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val landed = spark.read.parquet(storeDir)
       .select(col("doc_id")).withColumn("__l", lit(1L))
-    delta.select("doc_id")
+    val result = delta.select("doc_id")
       .join(landed, Seq("doc_id"), "left")
       .select(col("doc_id").as("delta_doc"),
         coalesce(col("__l"), lit(0L)).as("landed"))
       .orderBy("delta_doc")
+    // materialize before deleting the workspace: the result is
+    // delta-sized (one row per delta doc — an output, not a corpus),
+    // and a lazily-read frame would dangle on the removed store
+    import spark.implicits._
+    val rows = result.as[(Long, Long)].collect().toSeq
+    deleteRecursively(new java.io.File(base))
+    rows.toDF("delta_doc", "landed")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** One idempotent micro-batch: probe → drop dups → land → index.

@@ -62,6 +62,19 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == idxRows)
   }
 
+  test("degenerate index bucket: capped representatives still reject dups") {
+    val (idx, store) = ws("ndi_guard")
+    // three identical standing docs share every band key — with
+    // maxBucket = 1 the probe sees one representative per bucket,
+    // which is sufficient for the collides-with-corpus decision
+    NearDupIngest.writeIndex(
+      Seq((100L, A), (101L, A), (102L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    NearDupIngest.ingestBatch(Seq((1L, A), (2L, B)).toDF("doc_id", "text"),
+      0L, idx, store, "doc_id", "text", 0.5, 3, 12, 4, maxBucket = 1)
+    assert(landedIds(store) == Seq(2L))
+  }
+
   test("crash window store-landed-but-not-indexed: replay completes the index") {
     val (idx, store) = ws("ndi_crashwin")
     NearDupIngest.writeIndex(
