@@ -36,6 +36,24 @@ class Extended23Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("degenerate corpus: calibration fallback + hot-bucket guard compose") {
+    // 3000 identical docs: every (band, key) bucket of every config
+    // holds the whole corpus, so no config fits the budget → the
+    // calibration falls back to the fewest-bands config, and the
+    // executed join's LshGuard chain-links the degenerate bucket
+    // (est = 1.0 runs) instead of building O(m²) pairs — the dedup
+    // must still collapse the corpus to exactly one survivor
+    val docs = spark.range(3000)
+      .selectExpr("id AS doc_id",
+        "'alpha beta gamma delta epsilon zeta' AS text")
+      .transform(Curation.withTokens())
+    val (bands, kept) =
+      Curation.calibratedNearDup(pairsPerDocBudget = 5L)(docs)
+    assert(bands === 2, "no config fits — expected the fewest-bands fallback")
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(0L))
+    spark.catalog.clearCache()
+  }
+
   test("calibratedNearDup == nearDupFilter at the selected config") {
     val docs = Tables.docsParallel(spark, dir).transform(Curation.withTokens())
     val (b, kept) = Curation.calibratedNearDup()(docs)
