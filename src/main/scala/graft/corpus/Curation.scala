@@ -105,29 +105,11 @@ object Curation {
       bandGrid: Seq[Int] = Seq(2, 3, 4, 6), shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): (Int, DataFrame, () => Unit) = {
-    require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
-      s"band grid $bandGrid must be non-empty divisors of k=$k")
     val sigs = MinHashLsh
       .signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
       .persist()
-    val keyed = bandGrid.map { b =>
-      MinHashLsh.bandKeys(sigs, idCol, k, b)
-        .select(lit(b).as("bands"), col("band"), col("key"))
-    }.reduce(_ unionByName _)
-    val stats = keyed.groupBy("bands", "band", "key")
-      .agg(count(lit(1)).as("m"))
-      .groupBy("bands")
-      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
-        sum(col("m")).as("tot"))
-      .withColumn("n_docs", expr("tot div bands"))
-      .collect() // |bandGrid| rows — constant-size by construction
-    val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
-        r.getAs[Long]("n_docs") * pairsPerDocBudget)
-      .map(_.getAs[Int]("bands"))
     val selected =
-      if (fitting.nonEmpty) fitting.max
-      else if (stats.nonEmpty) stats.map(_.getAs[Int]("bands")).min
-      else bandGrid.min // no signed docs — any config is a no-op
+      MinHashLsh.calibrateBands(sigs, idCol, k, bandGrid, pairsPerDocBudget)
     val drop = MinHashLsh.candidatePairs(sigs, idCol, k, selected)
       .filter(col("est") >= threshold)
       .select(col("b").as(idCol)).distinct()

@@ -178,6 +178,40 @@ object MinHashLsh {
       .select(bandedCols: _*)
   }
 
+  /** One-pass band-count calibration over a signature frame (the
+    * q185 sweep as a reusable operator): for every candidate band
+    * count, the exact banded-join candidate load Σ m·(m−1)/2 comes
+    * from one groupBy over the signatures, and the highest-recall
+    * (most bands) config whose load fits `pairsPerDocBudget` per
+    * signed document is selected — fewest bands as fallback when none
+    * fits, `bandGrid.min` on an empty frame. The stats frame has
+    * |bandGrid| rows, so the selection collect is bounded by
+    * construction. Callers should pass a persisted `sigs` (the sweep
+    * and whatever executes the selection share the scan).
+    */
+  def calibrateBands(sigs: DataFrame, idCol: String, k: Int,
+      bandGrid: Seq[Int], pairsPerDocBudget: Long): Int = {
+    require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
+      s"band grid $bandGrid must be non-empty divisors of k=$k")
+    val keyed = bandGrid.map { b =>
+      bandKeys(sigs, idCol, k, b)
+        .select(lit(b).as("bands"), col("band"), col("key"))
+    }.reduce(_ unionByName _)
+    val stats = keyed.groupBy("bands", "band", "key")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("bands")
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+        sum(col("m")).as("tot"))
+      .withColumn("n_docs", expr("tot div bands"))
+      .collect()
+    val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
+        r.getAs[Long]("n_docs") * pairsPerDocBudget)
+      .map(_.getAs[Int]("bands"))
+    if (fitting.nonEmpty) fitting.max
+    else if (stats.nonEmpty) stats.map(_.getAs[Int]("bands")).min
+    else bandGrid.min // no signed docs — any config is a no-op
+  }
+
   /** Candidate pairs with the [[LshGuard]] hot-bucket cap: buckets
     * holding at most `maxBucket` rows take the exact all-pairs band
     * self-join; degenerate buckets above it are chain-linked — each

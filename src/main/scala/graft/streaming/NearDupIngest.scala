@@ -68,6 +68,84 @@ object NearDupIngest {
       .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
   }
 
+  /** Sidecar recording the geometry an index was built with, so every
+    * future probe uses the same (k, bands, shingleWidth) — a probe at
+    * a different geometry than the index silently matches nothing.
+    */
+  val ConfigFile = "_graft_lsh_config.json"
+
+  /** [[writeIndex]] with the band count CALIBRATED from the corpus
+    * itself ([[MinHashLsh.calibrateBands]] — most bands within
+    * `pairsPerDocBudget`, the q185/q186 rule) instead of assumed, and
+    * the selected geometry persisted in the [[ConfigFile]] sidecar
+    * for [[startCalibrated]] to probe with. One signature pass feeds
+    * both the sweep and the index write.
+    *
+    * @return the selected band count
+    */
+  def writeIndexCalibrated(corpus: DataFrame, indexDir: String,
+      idCol: String = "doc_id", tokensCol: String = "t",
+      shingleWidth: Int = 3, k: Int = 12,
+      bandGrid: Seq[Int] = Seq(2, 3, 4, 6),
+      pairsPerDocBudget: Long = 20L): Int = {
+    val sigs = MinHashLsh.signaturesFromTokens(
+      corpus, idCol, tokensCol, shingleWidth, k).persist()
+    val bands =
+      MinHashLsh.calibrateBands(sigs, idCol, k, bandGrid, pairsPerDocBudget)
+    MinHashLsh.bandKeys(sigs, idCol, k, bands)
+      .withColumn("batch_id", lit(InitialIndexBatch))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
+    sigs.unpersist(blocking = false)
+    writeConfig(corpus.sparkSession, indexDir, k, bands, shingleWidth)
+    bands
+  }
+
+  /** The geometry an index was built with, from its sidecar. */
+  def indexConfig(spark: SparkSession, indexDir: String)
+      : Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(name: String): Int =
+        s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"$ConfigFile missing field '$name': $s"))
+      Some((field("k"), field("bands"), field("shingleWidth")))
+    }
+  }
+
+  private def writeConfig(spark: SparkSession, indexDir: String,
+      k: Int, bands: Int, shingleWidth: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** [[start]] probing with the geometry recorded in the index's
+    * [[ConfigFile]] sidecar (written by [[writeIndexCalibrated]]) —
+    * the full calibrate-at-build, probe-consistently-forever loop.
+    */
+  def startCalibrated(docs: DataFrame, indexDir: String, storeDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5,
+      maxBucket: Int = LshGuard.DefaultMaxBucket,
+      checkpointDir: Option[String] = None) = {
+    val (k, bands, shingleWidth) = indexConfig(docs.sparkSession, indexDir)
+      .getOrElse(sys.error(
+        s"no $ConfigFile under $indexDir — build with writeIndexCalibrated," +
+          " or call start() with explicit geometry"))
+    start(docs, indexDir, storeDir, idCol, textCol, threshold,
+      shingleWidth, k, bands, maxBucket, checkpointDir)
+  }
+
   /** Start the ingest stream: every micro-batch of `docs` (must carry
     * `idCol` and `textCol`) is near-dup-probed against the standing
     * index at `indexDir`, survivors land under `storeDir` and their

@@ -62,6 +62,40 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == idxRows)
   }
 
+  test("calibrated index build: sidecar geometry drives consistent probes") {
+    val (idx, store) = ws("ndi_calib")
+    val corpus = (0L until 40L)
+      .map(i => (100L + i, if (i % 2 == 0) A else B))
+      .toDF("doc_id", "text")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val bands = NearDupIngest.writeIndexCalibrated(corpus, idx)
+    // the sidecar must round-trip the geometry the index was built at
+    assert(NearDupIngest.indexConfig(spark, idx).contains((12, bands, 3)))
+    // the selection must equal the shared calibration operator's on
+    // the identical signatures (one rule, two entry points)
+    val sigs = graft.functions.MinHashLsh.signaturesFromTokens(
+      corpus, "doc_id", "t", 3, 12)
+    assert(bands === graft.functions.MinHashLsh.calibrateBands(
+      sigs, "doc_id", 12, Seq(2, 3, 4, 6), 20L))
+    // probing at the sidecar geometry rejects a dup of the corpus
+    NearDupIngest.ingestBatch(Seq((1L, A), (2L,
+        "unrelated words entirely fresh content nothing shared here"))
+        .toDF("doc_id", "text"),
+      0L, idx, store, "doc_id", "text", 0.5, 3, 12, bands, 1000)
+    assert(landedIds(store) == Seq(2L))
+    // startCalibrated refuses an index without a sidecar
+    val bare = graft.TestSpark.scratchPath("ndi_nocfg").resolve("idx").toString
+    NearDupIngest.writeIndex(corpus, bare)
+    val e = intercept[RuntimeException] {
+      // the sidecar check runs before the stream starts, so the
+      // source (any constructible one) is never consumed
+      NearDupIngest.startCalibrated(
+        spark.readStream.schema(corpus.drop("t").schema).parquet(bare),
+        bare, store)
+    }
+    assert(e.getMessage.contains(NearDupIngest.ConfigFile))
+  }
+
   test("degenerate index bucket: capped representatives still reject dups") {
     val (idx, store) = ws("ndi_guard")
     // three identical standing docs share every band key — with
