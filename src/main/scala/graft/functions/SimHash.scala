@@ -39,4 +39,66 @@ object SimHash {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Default bits-per-band grid for [[calibrateWidth]] (divisors of
+    * [[bits]], narrowest first — fewer bits per band → more bands and
+    * more collisions → higher recall, more candidate pairs).
+    */
+  val DefaultWidthGrid: Seq[Int] = Seq(2, 4, 8)
+
+  /** Banded keys of a fingerprint frame at `w` bits per band: one row
+    * per (input row, band) with `band` and `key` columns appended —
+    * key = (sh >> band·w) & (2^w − 1), pure bit arithmetic.
+    */
+  def bandKeys(sigs: org.apache.spark.sql.DataFrame, shCol: String,
+      w: Int): org.apache.spark.sql.DataFrame = {
+    require(bits % w == 0, s"width $w must divide $bits")
+    sigs
+      .withColumn("band",
+        explode(array((0 until bits / w).map(lit(_)): _*)))
+      .withColumn("key", expr(s"shiftright($shCol, band * $w)")
+        .bitwiseAND(lit((1L << w) - 1)))
+  }
+
+  /** One-pass bits-per-band calibration sweep (the q189 shape): for
+    * every width in `widthGrid`, the exact banded-join candidate load
+    * Σ m·(m−1)/2 and the signed-doc count, from one groupBy over the
+    * fingerprint frame — the 16-bit keyspace has at most 2^w buckets
+    * per band, so this is also how the family PRICES itself out of a
+    * budget on large corpora (the sweep reports the quadratic load
+    * without ever running the join).
+    *
+    * @return one row per width: (w, cand_pairs, n_docs)
+    */
+  def widthSweep(sigs: org.apache.spark.sql.DataFrame, shCol: String,
+      widthGrid: Seq[Int] = DefaultWidthGrid): org.apache.spark.sql.DataFrame = {
+    require(widthGrid.nonEmpty && widthGrid.forall(w => bits % w == 0),
+      s"width grid $widthGrid must be non-empty divisors of $bits")
+    val keyed = widthGrid.map { w =>
+      bandKeys(sigs.select(col(shCol)), shCol, w)
+        .select(lit(w).as("w"), col("band"), col("key"))
+    }.reduce(_ unionByName _)
+    keyed.groupBy("w", "band", "key")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("w")
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+        sum(col("m")).as("tot"))
+      .withColumn("n_docs", expr(s"tot div ($bits div w)"))
+      .select("w", "cand_pairs", "n_docs")
+  }
+
+  /** Selection over [[widthSweep]]: the narrowest (highest-recall)
+    * width whose candidate load fits `pairsPerDocBudget` per signed
+    * document; widest as fallback when none fits (or the frame is
+    * empty).
+    */
+  def calibrateWidth(sigs: org.apache.spark.sql.DataFrame, shCol: String,
+      widthGrid: Seq[Int] = DefaultWidthGrid,
+      pairsPerDocBudget: Long = 20L): Int = {
+    val stats = widthSweep(sigs, shCol, widthGrid).collect()
+    val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
+        r.getAs[Long]("n_docs") * pairsPerDocBudget)
+      .map(_.getAs[Int]("w"))
+    if (fitting.nonEmpty) fitting.min else widthGrid.max
+  }
 }

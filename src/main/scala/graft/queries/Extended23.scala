@@ -47,11 +47,11 @@ object Extended23 {
   private val EmbDim = 64
   private val MinCos = 0.4
 
-  /** q189 (SimHash family): candidate bits-per-band grid (divisors of
-    * the 16-bit fingerprint), narrowest first — fewer bits per band →
-    * more bands and more collisions → higher recall, more pairs.
+  /** q189 (SimHash family): candidate bits-per-band grid — the shared
+    * operator's default, so the oracle replays exactly the grid
+    * `SimHash.calibrateWidth` sweeps.
     */
-  private val WidthGrid = Seq(2, 4, 8)
+  private val WidthGrid = SimHash.DefaultWidthGrid
 
   val queries: Map[String, Q] = Map(
     "q186_calibrated_neardup" -> Q(
@@ -317,32 +317,10 @@ object Extended23 {
           .groupBy("doc_id")
           .agg(SimHash.simhashAgg(col("tok")).as("sh"))
           .persist() // sweep + selected-config join read it
-        val keyed = WidthGrid.map { w =>
-          sigs.select(lit(w).as("w"),
-              explode(array((0 until SimHash.bits / w).map(lit(_)): _*))
-                .as("band"), col("sh"))
-            .withColumn("key", expr(s"shiftright(sh, band * $w)")
-              .bitwiseAND(lit((1L << w) - 1)))
-            .select(col("w"), col("band"), col("key"))
-        }.reduce(_ unionByName _)
-        val stats = keyed.groupBy("w", "band", "key")
-          .agg(count(lit(1)).as("m"))
-          .groupBy("w")
-          .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
-            sum(col("m")).as("tot"))
-          .withColumn("n_docs", expr(s"tot div (${SimHash.bits} div w)"))
-          .collect() // |WidthGrid| rows — constant-size by construction
-        val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
-            r.getAs[Long]("n_docs") * PairsPerDocBudget)
-          .map(_.getAs[Int]("w"))
-        val selected =
-          if (fitting.nonEmpty) fitting.min
-          else WidthGrid.max
-        val banded = sigs.select(col("doc_id"), col("sh"),
-            explode(array((0 until SimHash.bits / selected).map(lit(_)): _*))
-              .as("band"))
-          .withColumn("key", expr(s"shiftright(sh, band * $selected)")
-            .bitwiseAND(lit((1L << selected) - 1)))
+        val selected = SimHash.calibrateWidth(sigs, "sh", WidthGrid,
+          PairsPerDocBudget)
+        val banded = SimHash.bandKeys(sigs, "sh", selected)
+          .select(col("doc_id"), col("sh"), col("band"), col("key"))
         banded.toDF("a", "sa", "band", "key")
           .join(banded.toDF("b", "sb", "band", "key"), Seq("band", "key"))
           .filter(col("a") < col("b"))

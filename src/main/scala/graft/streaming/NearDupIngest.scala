@@ -60,13 +60,18 @@ object NearDupIngest {
     */
   def writeIndex(corpus: DataFrame, indexDir: String, idCol: String = "doc_id",
       tokensCol: String = "t", shingleWidth: Int = 3, k: Int = 12,
-      bands: Int = 4): Unit = {
-    val sigs = MinHashLsh.signaturesFromTokens(
-      corpus, idCol, tokensCol, shingleWidth, k)
+      bands: Int = 4): Unit =
+    writeIndexFrom(MinHashLsh.signaturesFromTokens(
+      corpus, idCol, tokensCol, shingleWidth, k), indexDir, idCol, k, bands)
+
+  /** The one on-disk index layout, shared by the fixed-geometry and
+    * calibrated builds so they can never diverge in shape.
+    */
+  private def writeIndexFrom(sigs: DataFrame, indexDir: String,
+      idCol: String, k: Int, bands: Int): Unit =
     MinHashLsh.bandKeys(sigs, idCol, k, bands)
       .withColumn("batch_id", lit(InitialIndexBatch))
       .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
-  }
 
   /** Sidecar recording the geometry an index was built with, so every
     * future probe uses the same (k, bands, shingleWidth) — a probe at
@@ -90,14 +95,13 @@ object NearDupIngest {
       pairsPerDocBudget: Long = 20L): Int = {
     val sigs = MinHashLsh.signaturesFromTokens(
       corpus, idCol, tokensCol, shingleWidth, k).persist()
-    val bands =
-      MinHashLsh.calibrateBands(sigs, idCol, k, bandGrid, pairsPerDocBudget)
-    MinHashLsh.bandKeys(sigs, idCol, k, bands)
-      .withColumn("batch_id", lit(InitialIndexBatch))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
-    sigs.unpersist(blocking = false)
-    writeConfig(corpus.sparkSession, indexDir, k, bands, shingleWidth)
-    bands
+    try {
+      val bands =
+        MinHashLsh.calibrateBands(sigs, idCol, k, bandGrid, pairsPerDocBudget)
+      writeIndexFrom(sigs, indexDir, idCol, k, bands)
+      writeConfig(corpus.sparkSession, indexDir, k, bands, shingleWidth)
+      bands
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** The geometry an index was built with, from its sidecar. */
@@ -198,34 +202,36 @@ object NearDupIngest {
       // the file stream orders same-listing files by mtime — pin it
       dst.toFile.setLastModified(t0 + b * 10000L)
     }
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
-    // batch-sized joins/aggregations inside foreachBatch: a 32-wide
-    // shuffle is per-task overhead, not parallelism, on a micro-batch
-    // (the EventStream.startSized policy — on a cluster this is the
-    // same per-query shuffle.partitions knob sized to batch volume)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val running = start(stream, idxDir, storeDir)
-      running.awaitTermination()
-      running
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val landed = spark.read.parquet(storeDir)
-      .select(col("doc_id")).withColumn("__l", lit(1L))
-    val result = delta.select("doc_id")
-      .join(landed, Seq("doc_id"), "left")
-      .select(col("doc_id").as("delta_doc"),
-        coalesce(col("__l"), lit(0L)).as("landed"))
-      .orderBy("delta_doc")
-    // materialize before deleting the workspace: the result is
-    // delta-sized (one row per delta doc — an output, not a corpus),
-    // and a lazily-read frame would dangle on the removed store
-    import spark.implicits._
-    val rows = result.as[(Long, Long)].collect().toSeq
-    deleteRecursively(new java.io.File(base))
-    rows.toDF("delta_doc", "landed")
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+      // batch-sized joins/aggregations inside foreachBatch: a 32-wide
+      // shuffle is per-task overhead, not parallelism, on a micro-batch
+      // (the EventStream.startSized policy — on a cluster this is the
+      // same per-query shuffle.partitions knob sized to batch volume)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        start(stream, idxDir, storeDir).awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val landed = spark.read.parquet(storeDir)
+        .select(col("doc_id")).withColumn("__l", lit(1L))
+      val result = delta.select("doc_id")
+        .join(landed, Seq("doc_id"), "left")
+        .select(col("doc_id").as("delta_doc"),
+          coalesce(col("__l"), lit(0L)).as("landed"))
+        .orderBy("delta_doc")
+      // materialize before deleting the workspace: the result is
+      // delta-sized (one row per delta doc — an output, not a corpus),
+      // and a lazily-read frame would dangle on the removed store
+      import spark.implicits._
+      val rows = result.as[(Long, Long)].collect().toSeq
+      rows.toDF("delta_doc", "landed")
+    } finally
+      // failure or success, the per-invocation workspace never outlives
+      // the run — the leak this cleanup exists to prevent
+      deleteRecursively(new java.io.File(base))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -84,30 +84,16 @@ class ScaleCalibrationSpec extends AnyFunSuite {
     // ~10k docs every width's candidate load exceeds a 20-pairs/doc
     // budget — the sweep must PRICE that (so the caller can route the
     // corpus to the MinHash family, whose 28-bit-per-component keyspace
-    // keeps fitting) rather than execute a quadratic join. This is the
-    // q189 grid, sweep-only: no config is executed here.
+    // keeps fitting) rather than execute a quadratic join. Sweep-only,
+    // through the SHARED operator q189 executes (one rule, one code
+    // path): no config is executed here.
     import graft.functions.SimHash
     val sigs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         explode(TextFns.tokens(col("text"))).as("tok"))
       .distinct()
       .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
-    val widthGrid = Seq(2, 4, 8)
-    val keyed = widthGrid.map { w =>
-      sigs.select(lit(w).as("w"),
-          explode(array((0 until SimHash.bits / w).map(lit(_)): _*))
-            .as("band"), col("sh"))
-        .withColumn("key", expr(s"shiftright(sh, band * $w)")
-          .bitwiseAND(lit((1L << w) - 1)))
-        .select(col("w"), col("band"), col("key"))
-    }.reduce(_ unionByName _)
-    val stats = keyed.groupBy("w", "band", "key")
-      .agg(count(lit(1)).as("m"))
-      .groupBy("w")
-      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
-        sum(col("m")).as("tot"))
-      .withColumn("n_docs", expr(s"tot div (${SimHash.bits} div w)"))
-      .collect()
+    val stats = SimHash.widthSweep(sigs, "sh").collect()
     for (r <- stats)
       info(s"w=${r.getAs[Int]("w")}: cand_pairs=${r.getAs[Long]("cand_pairs")}" +
         s" budget=${Budget * r.getAs[Long]("n_docs")}")
@@ -115,6 +101,9 @@ class ScaleCalibrationSpec extends AnyFunSuite {
       r.getAs[Long]("n_docs") * Budget)
     assert(fitting.isEmpty,
       "expected every 16-bit SimHash config to exceed the budget at 50k docs")
+    assert(SimHash.calibrateWidth(sigs, "sh",
+      pairsPerDocBudget = Budget) === SimHash.DefaultWidthGrid.max,
+      "no fitting config must select the widest fallback")
     spark.catalog.clearCache()
   }
 

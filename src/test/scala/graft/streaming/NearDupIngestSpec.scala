@@ -96,6 +96,28 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains(NearDupIngest.ConfigFile))
   }
 
+  test("startCalibrated end-to-end: sidecar geometry drives a real stream") {
+    val basePath = graft.TestSpark.scratchPath("ndi_calib_stream")
+    val (idx, store, in) = (basePath.resolve("idx").toString,
+      basePath.resolve("store").toString, basePath.resolve("in").toString)
+    val corpus = (0L until 40L)
+      .map(i => (100L + i, if (i % 2 == 0) A else B))
+      .toDF("doc_id", "text")
+      .withColumn("t", TextFns.tokens(col("text")))
+    NearDupIngest.writeIndexCalibrated(corpus, idx)
+    // delta: one near-dup of the standing corpus, one novel doc —
+    // delivered through an actual file stream so the whole positional
+    // geometry hand-off (sidecar -> start -> ingestBatch) is exercised
+    Seq((1L, A), (2L,
+        "unrelated words entirely fresh content nothing shared here"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val docsSchema = corpus.drop("t").schema
+    NearDupIngest.startCalibrated(
+      spark.readStream.schema(docsSchema).parquet(in), idx, store)
+      .awaitTermination()
+    assert(landedIds(store) == Seq(2L))
+  }
+
   test("degenerate index bucket: capped representatives still reject dups") {
     val (idx, store) = ws("ndi_guard")
     // three identical standing docs share every band key — with
