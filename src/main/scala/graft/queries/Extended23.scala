@@ -379,5 +379,110 @@ object Extended23 {
         FROM selpairs WHERE bit_count(xor(sa, sb)) <= 1
         ORDER BY a, b"""
       },
+      bench = true),
+
+    // ---- q190: the SELF-TUNING corpus pipeline — q58's end-to-end
+    // cleaning chain with the near-dup stage calibrated instead of
+    // fixed, composed entirely from the public Curation stages
+    // (withTokens → qualityFilter → exactDedup → calibratedNearDup).
+    // The calibration sweeps the POST-filter, POST-exact-dedup corpus
+    // (the set the band join will actually run on — sweeping the raw
+    // corpus would price a different join), and the oracle replays the
+    // whole chain: quality predicate, exact-dedup keep-set, grid
+    // sweep, selection rule, and the selected config's band join ------
+    "q190_selftuning_pipeline" -> Q(
+      impl = (s, d) => {
+        val docs = Tables.docsParallel(s, d)
+          .transform(Curation.withTokens())
+          .transform(Curation.qualityFilter())
+          .transform(Curation.exactDedup())
+        val (bands, kept) = Curation.calibratedNearDup(
+          PairsPerDocBudget, Threshold, MinhashK, BandGrid)(docs)
+        kept.select(col("doc_id"), lit(bands.toLong).as("bands"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val sigSelect = (0 until MinhashK).map(i =>
+          s"min((x * ${MinHashLsh.aConst(i)} + ${MinHashLsh.bConst(i)})" +
+            s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
+        val m = (0 until MinhashK)
+          .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val perConfig = BandGrid.map { b =>
+          val r = MinhashK / b
+          val bandRows = (0 until b).map { bi =>
+            val key = (bi * r until (bi + 1) * r)
+              .map(i => s"s$i").mkString(" || '|' || ")
+            s"SELECT doc_id, $bi AS band, md5($key) AS key, " +
+              (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
+          }.mkString("\n UNION ALL\n ")
+          s"""
+        band$b AS ($bandRows),
+        occ$b AS (
+          SELECT band, key, count(*) AS m FROM band$b GROUP BY 1, 2),
+        stat$b AS (
+          SELECT CAST($b AS BIGINT) AS bands,
+                 CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_pairs,
+                 CAST(sum(m) // $b AS BIGINT) AS n_docs
+          FROM occ$b),
+        drop$b AS (
+          SELECT DISTINCT r.doc_id
+          FROM band$b l JOIN band$b r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE round(($m) / ${MinhashK.toDouble}, 4) >= $Threshold)"""
+        }.mkString(",")
+        val unioned = BandGrid.map(b => s"SELECT * FROM stat$b")
+          .mkString(" UNION ALL ")
+        val droppedUnion = BandGrid.map(b =>
+          s"SELECT doc_id FROM drop$b WHERE (SELECT bs FROM bsel) = $b")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH filtered AS (
+          SELECT doc_id, text FROM documents
+          WHERE round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  / length(text), 4) < 0.1
+            AND len(string_split(text, ' ')) >= 10
+            AND (CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      >= len(list_filter(string_split(text, ' '),
+                        x -> x IN ('der', 'die', 'das', 'und', 'ist')))
+                   AND len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      >= len(list_filter(string_split(text, ' '),
+                        x -> x IN ('le', 'la', 'les', 'et', 'est')))
+                 THEN 'en'
+                 WHEN len(list_filter(string_split(text, ' '),
+                        x -> x IN ('der', 'die', 'das', 'und', 'ist')))
+                      >= len(list_filter(string_split(text, ' '),
+                        x -> x IN ('le', 'la', 'les', 'et', 'est')))
+                 THEN 'de' ELSE 'fr' END) = 'en'),
+        kept AS (
+          SELECT doc_id, text FROM filtered
+          WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY md5(text))),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx WHERE i + 2 <= len(t)),
+        hh AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT)
+                        % ${MinHashLsh.P} AS x
+               FROM sh),
+        sig AS (SELECT doc_id, $sigSelect FROM hh GROUP BY doc_id),$perConfig,
+        allstats AS ($unioned),
+        bsel AS (
+          SELECT coalesce(
+                   max(CASE WHEN cand_pairs <= $PairsPerDocBudget * n_docs
+                       THEN bands END),
+                   min(bands)) AS bs
+          FROM allstats),
+        dropped AS ($droppedUnion)
+        SELECT k.doc_id, (SELECT bs FROM bsel) AS bands
+        FROM kept k LEFT JOIN dropped dr ON dr.doc_id = k.doc_id
+        WHERE dr.doc_id IS NULL
+        ORDER BY k.doc_id"""
+      },
       bench = true))
 }
