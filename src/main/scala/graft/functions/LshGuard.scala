@@ -109,15 +109,18 @@ object LshGuard {
     */
   def splitHot(banded: DataFrame, maxBucket: Int): (DataFrame, Option[DataFrame]) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val spark = banded.sparkSession
     val hotKeys = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxBucket)
+    val spark = banded.sparkSession
     val probe = hotKeys.limit(HotKeyCollectCap + 1).collect()
     if (probe.isEmpty) (banded, None)
     else if (probe.length <= HotKeyCollectCap) {
       // hot keys known exactly: broadcast the local set, split with
       // hash anti/semi lookups — no exchange added to either side
+      // (key type is caller-defined — md5 string for MinHash, packed
+      // long for the hyperplane path — so the local frame keeps the
+      // probe's own Row schema)
       val local = spark.createDataFrame(
         java.util.Arrays.asList(probe: _*), hotKeys.schema)
       val cold = banded.join(broadcast(local.select("band", "key")),
@@ -132,6 +135,50 @@ object LshGuard {
     }
   }
 
+  /** [[capBuckets]] for a COLLISION-BOUNDED slice — the streaming
+    * standing-index probe's semi-joined index slice, whose size is
+    * bounded by the batch's collisions, not the index. There the
+    * cost calculus inverts: an occupancy probe would be a whole extra
+    * job per micro-batch, while an UNCONDITIONAL window cap over the
+    * slice is one tiny shuffle inside the probe query itself (the
+    * round-12 "window ahead of the join" concern was about
+    * corpus-sized banded frames, and does not apply to a slice that
+    * is already batch-footprint-sized). Semantics are identical to
+    * [[capBuckets]]: rows beyond `maxBucket` per (band, key) drop in
+    * ascending-`idCol` order, overflow metered on
+    * `graft.lsh.indexRowsCapped` with an executor-side warning per
+    * capped bucket. The metering pass is non-codegen but runs over
+    * the slice only.
+    */
+  def capBucketsSlice(slice: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("band"), col("key"))
+    val capped = slice
+      .withColumn("__cnt", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(part.orderBy(col(idCol))))
+      .filter(col("__rn") <= maxBucket)
+    val sc = slice.sparkSession.sparkContext
+    val cappedAcc = sc.longAccumulator("graft.lsh.indexRowsCapped")
+    val schema = capped.schema
+    val cntIdx = schema.fieldIndex("__cnt")
+    val rnIdx = schema.fieldIndex("__rn")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val mb = maxBucket.toLong
+    capped.mapPartitions { it =>
+      lazy val log = org.slf4j.LoggerFactory.getLogger("graft.lsh.guard")
+      it.map { r =>
+        if (r.getInt(rnIdx) == 1 && r.getLong(cntIdx) > mb) {
+          val m = r.getLong(cntIdx)
+          cappedAcc.add(m - mb)
+          log.warn(s"hot LSH index bucket: $m rows behind one band key; " +
+            s"capped to $mb representatives (dropped ${m - mb})")
+        }
+        r
+      }
+    }(enc).drop("__cnt", "__rn")
+  }
+
   /** Index-side guard for probe joins (delta-vs-index LSH lookup): a
     * degenerate index bucket of m rows multiplies EVERY colliding
     * probe row by m. Buckets over `maxBucket` keep only their first
@@ -144,7 +191,11 @@ object LshGuard {
     * executor-side warning (on each capped bucket's first row).
     */
   def capBuckets(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame =
-    splitHot(banded, maxBucket) match {
+    capSplit(banded, idCol, maxBucket, splitHot(banded, maxBucket))
+
+  private def capSplit(banded: DataFrame, idCol: String, maxBucket: Int,
+      split: (DataFrame, Option[DataFrame])): DataFrame =
+    split match {
       case (cold, None) => cold
       case (cold, Some(hot)) =>
         val w = org.apache.spark.sql.expressions.Window

@@ -49,6 +49,14 @@ object CorpusIngest {
 
   /** One idempotent micro-batch land; also the unit the spec drives
     * directly (batch semantics are testable without a stream).
+    *
+    * The write targets the batch's OWN partition directory, not the
+    * table root: a root-level `mode("append").partitionBy(...)` makes
+    * Spark resolve the existing relation first — a full file listing
+    * of the whole store per trigger, a per-batch cost that grows with
+    * the corpus. Writing the leaf directly touches nothing else; the
+    * partition value is directory-encoded exactly as `partitionBy`
+    * would lay it out, so readers see an identical table.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
       idCol: String): Unit = {
@@ -61,20 +69,68 @@ object CorpusIngest {
       else fresh.join(
         spark.read.parquet(storeDir).select(col(idCol)),
         Seq(idCol), "left_anti")
-    deduped
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").partitionBy("batch_id").parquet(storeDir)
+    deduped.write.parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  /** Batch ids already present in the store (from the partition
-    * layout — a directory listing, not a data scan).
+  /** Batch ids already present in the store: the partition layout (a
+    * directory listing, not a data scan) plus any batches a compaction
+    * folded into the base partition ([[mergedBatchIds]]) — so replay
+    * idempotence survives compaction.
     */
-  def existingBatchIds(spark: SparkSession, storeDir: String): Set[Long] = {
+  def existingBatchIds(spark: SparkSession, storeDir: String): Set[Long] =
+    listedBatchIds(spark, storeDir) ++ mergedBatchIds(spark, storeDir)
+
+  /** Batch ids with a live, COMMITTED `batch_id=` partition directory
+    * (compacted batches excluded — their rows moved to the base
+    * partition). Committed = the directory holds at least one
+    * non-hidden entry: a direct-to-leaf write that crashed mid-job
+    * leaves only its hidden `_temporary` staging dir behind, and such
+    * an orphan must read as "not landed" so the replay lands it.
+    */
+  def listedBatchIds(spark: SparkSession, storeDir: String): Set[Long] = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { c =>
+        val n = c.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (c.isFile || hasDataFile(c.getPath))
+      }
     if (!fs.exists(path)) Set.empty
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(s => hasDataFile(s.getPath))
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+  }
+
+  /** Sidecar recording batch ids whose partitions were compacted into
+    * the base partition — underscore-prefixed, so table scans skip it.
+    */
+  val MergedBatchesFile = "_graft_merged_batches.json"
+
+  /** Batch ids recorded as compacted-away in the table's sidecar. */
+  def mergedBatchIds(spark: SparkSession, dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, MergedBatchesFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "-?\\d+".r.findAllIn(s).map(_.toLong).toSet
+    }
+  }
+
+  /** Record `ids` as compacted into the base partition (unioned with
+    * any previously recorded set).
+    */
+  def recordMergedBatchIds(spark: SparkSession, dir: String,
+      ids: Set[Long]): Unit = {
+    val all = (mergedBatchIds(spark, dir) ++ ids).toSeq.sorted
+    val p = new org.apache.hadoop.fs.Path(dir, MergedBatchesFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"merged": [${all.mkString(", ")}]}""".getBytes("UTF-8"))
+    finally out.close()
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -21,61 +21,198 @@ import graft.functions.{LshGuard, MinHashLsh, TextFns}
   * (Spark's per-key state stores cannot hold a corpus-wide signature
   * index, and a band probe is an equi-join, not a keyed lookup).
   *
+  * SUBLINEAR PROBES (round 15 — the scale contract): a per-batch cost
+  * proportional to the standing index would make every trigger pay a
+  * cluster-wide linear scan at a 100 TB corpus. Two structures bound
+  * the probe to the batch's own footprint instead:
+  *
+  *  - the index is a two-level, LSM-shaped layout under
+  *    `(batch_id, bkt)` partitioning: the BASE partition is bucketed
+  *    by a band-key hash ([[bucketOf]], bucket count scaled to the
+  *    corpus by [[bucketCountFor]] and recorded in the config
+  *    sidecar), while per-batch appends land as single-directory
+  *    UNBUCKETED L0 runs ([[UnbucketedRun]]). A micro-batch collects
+  *    its touched bucket set (≤ the bucket count — bounded by
+  *    construction, not by batch size) and the probe reads ONLY those
+  *    base leaf dirs plus the L0 runs — enumerated from the layout
+  *    before any file listing ([[readTouchedBuckets]]), so neither
+  *    listing nor scan grows with the index. L0 bytes are bounded by
+  *    the [[compactIndex]] cadence, exactly an LSM's L0 contract.
+  *  - the probe's ONE scan of that pruned slice is immediately
+  *    semi-joined to the batch's keys: only COLLIDING rows survive,
+  *    and a colliding bucket's occupancy is exact on the slice
+  *    (bucket membership is key equality, which is the collision
+  *    predicate), so the hot-bucket cap is
+  *    [[LshGuard.capBucketsSlice]]'s unconditional window over the
+  *    slice — replacing the full-index `groupBy(band, key)` the
+  *    round-14 guard recomputed every trigger, with no per-trigger
+  *    occupancy job at all. The per-(band, key) occupancy sidecar
+  *    ([[occDir]], maintained at build and compaction) is the
+  *    MAINTENANCE artifact: it gives [[indexedDocCount]] and the
+  *    [[maybeRecalibrate]] drift trigger their O(keys) answer without
+  *    touching the index.
+  *
   * Per micro-batch ([[ingestBatch]]):
-  *  1. one zero-shuffle signature pass over the batch
+  *  1. in-batch id collapse (`dropDuplicates` — the D1/D3 pick-one
+  *     contract) FIRST, so the probe, the landed rows, and the
+  *     indexed signatures all derive from one frame (a re-delivered
+  *     id can never index content a different copy landed);
+  *  2. one zero-shuffle signature pass over the batch
   *     (`signaturesFromTokens` — the batch is the small side);
-  *  2. band-key equi-join against the index, with the index side
-  *     routed through [[LshGuard.capBuckets]]: a degenerate index
-  *     bucket multiplies EVERY colliding probe row by its occupancy,
-  *     so buckets beyond `maxBucket` keep bounded representatives
-  *     (overflow metered on the `graft.lsh.indexRowsCapped`
-  *     accumulator — the guard's cost visibility contract);
-  *  3. docs whose best match reaches `threshold` are dropped; the
+  *  3. band-key equi-join against the PRUNED index, hot buckets
+  *     capped to `maxBucket` representatives (overflow metered on
+  *     `graft.lsh.indexRowsCapped`);
+  *  4. docs whose best match reaches `threshold` are dropped; the
   *     rest land exactly-once via [[CorpusIngest.ingestBatch]]
   *     (partition-directory idempotence, so a checkpoint-replayed
   *     batch neither double-lands docs nor double-appends the index);
-  *  4. landed docs' band keys append to the index table.
+  *  5. landed docs' band keys append to the index as the batch's L0
+  *     run — store and index each guarded by their own `batch_id`
+  *     partition, so a crash between the two writes is completed
+  *     (only the missing one) by the replay.
   *
   * SEMANTICS (duplicate-blind within one micro-batch): a batch's
   * documents probe the index as it stood BEFORE the batch; two
   * near-duplicate documents arriving in the same micro-batch both
   * land (and index), exactly as two docs racing into any
   * last-writer-wins store. Identical *ids* within a batch are still
-  * collapsed by CorpusIngest's in-batch id dedup. This makes the
-  * stream's result a pure function of (index₀, batch partition,
-  * batch order) — the batch-replay parity the q188 oracle replays as
-  * chained CTEs.
+  * collapsed by the up-front id dedup. This makes the stream's result
+  * a pure function of (index₀, batch partition, batch order) — the
+  * batch-replay parity the q188 oracle replays as chained CTEs.
+  *
+  * LIFECYCLE: per-batch appends accrete one partition per batch;
+  * [[compactIndex]] folds old batch partitions into the base
+  * partition (recording the folded ids so replay idempotence
+  * survives) and bin-packs files via `operators.Compact`.
+  * [[maybeRecalibrate]] is the drift policy: when the standing corpus
+  * has outgrown the geometry's calibration baseline, the band-count
+  * sweep re-runs over the index's own signatures and the index is
+  * rebuilt only if the selection changed. Both are maintenance
+  * operations for a quiesced stream (the same contract as any
+  * non-transactional table rewrite).
   */
 object NearDupIngest {
 
   /** Batch id of the initial (pre-stream) corpus index partition. */
   val InitialIndexBatch = -1L
 
+  /** Sentinel `bkt` value of an UNBUCKETED per-batch append run. The
+    * index is a two-level (LSM-shaped) layout: the BASE partition
+    * (`batch_id=-1`) is bucketed by band-key hash and carries the
+    * occupancy sidecar; per-batch appends land as single-directory L0
+    * runs under this sentinel — a micro-batch append must not pay one
+    * tiny file per touched bucket (measured at ~2.5 s/batch of pure
+    * file-commit overhead), and the probe reads L0 runs in full
+    * anyway (they are bounded by the compaction cadence, not the
+    * corpus), counting their occupancy on the fly. [[compactIndex]]
+    * folds L0 runs into the bucketed base and rebuilds the sidecar.
+    */
+  val UnbucketedRun = -1
+
+  /** Minimum band-key hash buckets the index (and its occupancy
+    * sidecar) are partitioned into. A probe prunes to its batch's
+    * touched buckets, so the bucket count bounds the per-batch scan:
+    * a batch touching t buckets scans t buckets of ~
+    * [[DocsPerBucketTarget]]·bands rows each. The count is a LAYOUT
+    * property recorded in the [[ConfigFile]] (every probe and append
+    * must bucket with the index's own count — a mismatched bucketing
+    * would prune away true matches), scaled with corpus size by
+    * [[bucketCountFor]] at build and rebuild time so per-bucket size
+    * stays bounded as the index grows — that re-bucketing, not a
+    * fixed partition count, is what keeps the probe sublinear across
+    * decades.
+    */
+  val IndexBuckets = 64
+
+  /** Docs each band-key bucket targets — the probe's per-touched-
+    * bucket scan cost stays near this × bands rows as the index
+    * grows, because [[bucketCountFor]] raises the bucket count
+    * instead.
+    */
+  val DocsPerBucketTarget = 1000L
+
+  /** Bucket count for a corpus of `nDocs` signed documents: the next
+    * power of two holding [[DocsPerBucketTarget]] docs per bucket, at
+    * least [[IndexBuckets]], capped at 2^20 partitions.
+    */
+  def bucketCountFor(nDocs: Long): Int = {
+    val want = math.max(IndexBuckets.toLong,
+      (nDocs + DocsPerBucketTarget - 1) / DocsPerBucketTarget)
+    var b = IndexBuckets
+    while (b < want && b < (1 << 20)) b <<= 1
+    b
+  }
+
+  /** Hash bucket of a band key (md5 hex): first 24 bits (so the cap
+    * of 2^20 buckets stays uniform) mod the index's bucket count —
+    * computable on both the write and probe side from the key alone.
+    */
+  def bucketOf(key: Column, buckets: Int): Column =
+    pmod(conv(substring(key, 1, 6), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  /** Occupancy sidecar location: per-(band, key) counts for the BASE
+    * partition, under the index dir (underscore-prefixed, so index
+    * scans skip it). A flat table — the probe never reads it (it
+    * counts its own collision slice exactly); it serves
+    * [[indexedDocCount]] and the [[maybeRecalibrate]] drift trigger,
+    * whose whole-table aggregation is the intended access pattern.
+    */
+  def occDir(indexDir: String): String = s"$indexDir/_graft_occupancy"
+
   /** Build the standing index table from a corpus frame with
     * (`idCol`, `tokensCol`) columns: banded signatures, written once.
-    * Partitioned by `batch_id` (the initial corpus under
+    * Partitioned by `(batch_id, bkt)` (the initial corpus under
     * [[InitialIndexBatch]]) so per-batch appends are independently
-    * idempotent and a replaying batch can exclude its own partial
-    * partition from the probe.
+    * idempotent, a replaying batch can exclude its own partial
+    * partition from the probe, and probes prune on the band-key
+    * bucket.
     */
   def writeIndex(corpus: DataFrame, indexDir: String, idCol: String = "doc_id",
       tokensCol: String = "t", shingleWidth: Int = 3, k: Int = 12,
-      bands: Int = 4): Unit =
+      bands: Int = 4, buckets: Int = IndexBuckets): Unit = {
     writeIndexFrom(MinHashLsh.signaturesFromTokens(
-      corpus, idCol, tokensCol, shingleWidth, k), indexDir, idCol, k, bands)
+      corpus, idCol, tokensCol, shingleWidth, k), indexDir, idCol, k, bands,
+      buckets)
+    writeConfig(corpus.sparkSession, indexDir, k, bands, shingleWidth,
+      buckets, nDocs = None)
+  }
 
   /** The one on-disk index layout, shared by the fixed-geometry and
-    * calibrated builds so they can never diverge in shape.
+    * calibrated builds so they can never diverge in shape. The
+    * occupancy sidecar's initial partial is derived by reading the
+    * written index back (column-pruned to the keys), so sidecar and
+    * index can never disagree about what is on disk.
     */
   private def writeIndexFrom(sigs: DataFrame, indexDir: String,
-      idCol: String, k: Int, bands: Int): Unit =
-    MinHashLsh.bandKeys(sigs, idCol, k, bands)
-      .withColumn("batch_id", lit(InitialIndexBatch))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
+      idCol: String, k: Int, bands: Int, buckets: Int): Unit = {
+    // cluster by bucket before the write: without it every task
+    // writes a sliver into every touched bucket dir, and the file
+    // count (what every later probe's LISTING pays, before pruning
+    // saves a single byte) multiplies as tasks × buckets instead of
+    // one-per-bucket. Persisted so the occupancy partial is computed
+    // from the same frame without re-running the signature scan.
+    val banded = MinHashLsh.bandKeys(sigs, idCol, k, bands)
+      .withColumn("bkt", bucketOf(col("key"), buckets))
+      .persist()
+    try {
+      banded.withColumn("batch_id", lit(InitialIndexBatch))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("batch_id", "bkt")
+        .parquet(indexDir)
+      banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(occDir(indexDir))
+    } finally banded.unpersist(blocking = false)
+  }
 
   /** Sidecar recording the geometry an index was built with, so every
     * future probe uses the same (k, bands, shingleWidth) — a probe at
-    * a different geometry than the index silently matches nothing.
+    * a different geometry than the index silently matches nothing —
+    * and the layout's band-key bucket count (a probe or append
+    * bucketing with a different count would prune away true matches).
+    * Calibrated builds also record `nDocs`, the signed-document count
+    * at calibration time — [[maybeRecalibrate]]'s drift baseline.
     */
   val ConfigFile = "_graft_lsh_config.json"
 
@@ -98,37 +235,67 @@ object NearDupIngest {
     try {
       val bands =
         MinHashLsh.calibrateBands(sigs, idCol, k, bandGrid, pairsPerDocBudget)
-      writeIndexFrom(sigs, indexDir, idCol, k, bands)
-      writeConfig(corpus.sparkSession, indexDir, k, bands, shingleWidth)
+      val n = sigs.count()
+      val buckets = bucketCountFor(n)
+      writeIndexFrom(sigs, indexDir, idCol, k, bands, buckets)
+      writeConfig(corpus.sparkSession, indexDir, k, bands, shingleWidth,
+        buckets, nDocs = Some(n))
       bands
     } finally sigs.unpersist(blocking = false)
   }
 
   /** The geometry an index was built with, from its sidecar. */
   def indexConfig(spark: SparkSession, indexDir: String)
-      : Option[(Int, Int, Int)] = {
+      : Option[(Int, Int, Int)] =
+    readConfig(spark, indexDir).map { s =>
+      (field(s, "k"), field(s, "bands"), field(s, "shingleWidth"))
+    }
+
+  /** The signed-document count recorded at calibration time (absent
+    * for fixed-geometry or pre-round-15 indexes).
+    */
+  def calibrationDocCount(spark: SparkSession, indexDir: String)
+      : Option[Long] =
+    readConfig(spark, indexDir).flatMap(fieldOpt(_, "nDocs"))
+
+  /** The band-key bucket count the index was laid out with. Defaults
+    * to [[IndexBuckets]] when the sidecar predates the field — the
+    * constant every pre-field index was written with.
+    */
+  def indexBucketCount(spark: SparkSession, indexDir: String): Int =
+    readConfig(spark, indexDir).flatMap(fieldOpt(_, "buckets"))
+      .map(_.toInt).getOrElse(IndexBuckets)
+
+  private def readConfig(spark: SparkSession, indexDir: String)
+      : Option[String] = {
     val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      def field(name: String): Int =
-        s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt)
-          .getOrElse(sys.error(s"$ConfigFile missing field '$name': $s"))
-      Some((field("k"), field("bands"), field("shingleWidth")))
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
     }
   }
 
+  private def fieldOpt(s: String, name: String): Option[Long] =
+    s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+
+  private def field(s: String, name: String): Int =
+    fieldOpt(s, name)
+      .getOrElse(sys.error(s"$ConfigFile missing field '$name': $s")).toInt
+
   private def writeConfig(spark: SparkSession, indexDir: String,
-      k: Int, bands: Int, shingleWidth: Int): Unit = {
+      k: Int, bands: Int, shingleWidth: Int, buckets: Int,
+      nDocs: Option[Long]): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(
-      s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth}"""
+      (s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth,""" +
+        s""" "buckets": $buckets""" +
+        nDocs.map(n => s""", "nDocs": $n""").getOrElse("") + "}")
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -183,8 +350,13 @@ object NearDupIngest {
     val base = java.nio.file.Files
       .createTempDirectory("graft_ndi").toString
     val (inDir, idxDir, storeDir) = (s"$base/in", s"$base/idx", s"$base/store")
+    // repartition before the CPU-heavy signature pass: the harness
+    // table is one parquet file -> one input split, which would put
+    // the whole shingle/md5 build on a single core (the
+    // Tables.docsParallel rationale)
     writeIndex(
       docs.filter(col("doc_id") % 10 =!= 0)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("__t", TextFns.tokens(col("text"))),
       idxDir, tokensCol = "__t")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
@@ -193,14 +365,23 @@ object NearDupIngest {
       val stage = s"$base/stage$b"
       delta.filter(expr(s"(doc_id div 10) % 3 = $b"))
         .coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
+      // an EMPTY batch partition may stage no part file at all — skip
+      // it (an absent trigger dedups nothing, so later batches keep
+      // the oracle's chained semantics under renumbering)
+      new java.io.File(stage).listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file staged under $stage"))
-      val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      // the file stream orders same-listing files by mtime — pin it
-      dst.toFile.setLastModified(t0 + b * 10000L)
+        .foreach { part =>
+          val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          // the file stream orders same-listing files by mtime — pin
+          // it, and refuse to run with an unpinnable order (a silent
+          // setLastModified failure could ingest batches out of the
+          // oracle's order)
+          if (!dst.toFile.setLastModified(t0 + b * 10000L))
+            sys.error(s"setLastModified failed for $dst — batch order" +
+              " cannot be pinned on this filesystem")
+        }
     }
     try {
       val stream = spark.readStream.schema(docs.schema)
@@ -215,8 +396,15 @@ object NearDupIngest {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         start(stream, idxDir, storeDir).awaitTermination()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      val landed = spark.read.parquet(storeDir)
-        .select(col("doc_id")).withColumn("__l", lit(1L))
+      // if every delta doc was a near-dup, nothing landed and the
+      // store directory never materialized — an empty landed frame is
+      // the correct degenerate reading
+      val landed =
+        if (new java.io.File(storeDir).exists())
+          spark.read.parquet(storeDir)
+            .select(col("doc_id")).withColumn("__l", lit(1L))
+        else delta.select(col("doc_id")).limit(0)
+          .withColumn("__l", lit(1L))
       val result = delta.select("doc_id")
         .join(landed, Seq("doc_id"), "left")
         .select(col("doc_id").as("delta_doc"),
@@ -252,57 +440,341 @@ object NearDupIngest {
     // partition — a crash between them leaves one destination behind,
     // and the replay completes exactly the missing one (the
     // store-without-index window would otherwise permanently break
-    // the index ⊇ landed-docs invariant)
+    // the index ⊇ landed-docs invariant). The occupancy sidecar needs
+    // no per-batch write: it covers only the bucketed BASE partition,
+    // and L0 runs are occupancy-counted live by the probe.
     val storeBatches = CorpusIngest.existingBatchIds(spark, storeDir)
     val storeHas = storeBatches.contains(batchId)
     val idxHas = CorpusIngest.existingBatchIds(spark, indexDir)
       .contains(batchId)
     if (storeHas && idxHas) return
-    val toks = batch.withColumn("__t", TextFns.tokens(col(textCol)))
+    // in-batch id collapse FIRST (pick-one, the unordered-scan D1/D3
+    // contract): probe, landing, and index all derive from this one
+    // frame, so a duplicate id with differing text can never index
+    // content a different copy landed
+    val deduped = batch.dropDuplicates(idCol)
+    val toks = deduped.withColumn("__t", TextFns.tokens(col(textCol)))
     // persisted: consumed by the probe join and (for survivors) the
     // index append; batch-sized, released at the end of the batch
     val sigs = MinHashLsh.signaturesFromTokens(
       toks, idCol, "__t", shingleWidth, k).persist()
-    val probe = MinHashLsh.bandKeys(sigs, idCol, k, bands)
-    // probe the index as it stood BEFORE this batch: the batch's own
-    // partition exists only on replay after a partial failure and
-    // must not make the batch's docs self-match
-    val index = LshGuard.capBuckets(
-      spark.read.parquet(indexDir).filter(col("batch_id") =!= batchId),
-      idCol, maxBucket)
-    val matches = (0 until k)
-      .map(i => when(col(s"l.s$i") === col(s"r.s$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val dupIds = probe.as("l")
-      .join(index.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
-      .filter(round(matches / lit(k.toDouble), 4) >= threshold)
-      .select(col(s"l.$idCol")).distinct()
-    // mirror CorpusIngest's in-batch + cross-batch id dedup BEFORE
-    // the index append, so the index holds exactly what lands: a
-    // re-delivered id with changed text is dropped by the store's
-    // anti-join and must not index its phantom new content. Prior
-    // batches only — on replay the store may already hold THIS
-    // batch's rows, which still need indexing.
-    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
-      .dropDuplicates(idCol)
-    val freshNew =
+    val dupIds = probeDupIds(sigs, batchId, indexDir, idCol,
+      k, bands, threshold, maxBucket)
+    // cross-batch id dedup BEFORE the index append, so the index holds
+    // exactly what lands: a re-delivered id is dropped by the store's
+    // anti-join and must not index its (possibly changed) content.
+    // Prior batches only — on replay the store may already hold THIS
+    // batch's rows, which still need indexing. Persisted: the store
+    // landing and the index append both consume it, and without the
+    // cache the second write would re-execute the whole probe join.
+    val fresh = deduped.join(dupIds, Seq(idCol), "left_anti")
+    val freshNew = (
       if (storeBatches.forall(_ == batchId)) fresh
       else fresh.join(
         spark.read.parquet(storeDir)
           .filter(col("batch_id") =!= batchId).select(col(idCol)),
-        Seq(idCol), "left_anti")
+        Seq(idCol), "left_anti")).persist()
     if (!storeHas)
       CorpusIngest.ingestBatch(freshNew, batchId, storeDir, idCol)
     if (!idxHas)
-      // dropDuplicates mirrors the store's in-batch id collapse (same
-      // unordered-scan pick-one contract as D1/D3 upserts)
+      // landed band keys append as one UNBUCKETED L0 run — a single
+      // partition directory, no per-bucket file fan-out (see
+      // [[UnbucketedRun]]), written DIRECTLY to its leaf path: a
+      // root-level append would first resolve the existing relation,
+      // i.e. list the whole index per trigger (the CorpusIngest
+      // direct-leaf rationale)
       MinHashLsh.bandKeys(
-          sigs.dropDuplicates(idCol)
-            .join(freshNew.select(idCol), Seq(idCol), "left_semi"),
+          sigs.join(freshNew.select(idCol), Seq(idCol), "left_semi"),
           idCol, k, bands)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(indexDir)
+        .write.parquet(
+          s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
+    freshNew.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
+  }
+
+  /** Most distinct (band, key) probe keys collected to the driver per
+    * batch (~5 MB at the cap). A batch beyond it — tens of thousands
+    * of documents in one trigger — keeps the key set distributed and
+    * pays one extra aggregation job for its touched-bucket set.
+    */
+  val ProbeKeyCollectCap = 100000
+
+  /** The pruned standing-index probe: batch ids whose best index match
+    * reaches `threshold`. Cost is bounded by the BATCH's footprint
+    * plus the compaction cadence, not the index: the touched-bucket
+    * set (≤ the index's bucket count — bounded by construction, not
+    * by batch size) prunes the BASE partition down to the touched
+    * buckets' leaf dirs before any listing ([[readTouchedBuckets]]);
+    * unbucketed L0 runs (bounded by how recently [[compactIndex]]
+    * ran) are read in full. The scan is semi-joined to the batch's
+    * keys — a broadcast of a driver-local relation in the common
+    * small-batch case — and the resulting collision-bounded slice is
+    * hot-capped by [[LshGuard.capBucketsSlice]]'s unconditional
+    * window, so the whole probe is ONE lazy query: one eager
+    * key-collect job (which doubles as the signature cache
+    * materialization), no occupancy aggregation over the index, no
+    * plan-shape collects.
+    *
+    * The batch's own partition (present only on replay after a
+    * partial failure) is excluded so a batch's docs never self-match.
+    */
+  private[streaming] def probeDupIds(sigs: DataFrame, batchId: Long,
+      indexDir: String, idCol: String, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    val probe = MinHashLsh.bandKeys(sigs, idCol, k, bands)
+    // bucket with the INDEX's recorded count: the leaf-path pruning
+    // below is only correct against the layout the index was written
+    // with
+    val probeKeys = probe.select(col("band"), col("key")).distinct()
+      .withColumn("bkt",
+        bucketOf(col("key"), indexBucketCount(spark, indexDir)))
+    val keyRows = probeKeys.limit(ProbeKeyCollectCap + 1).collect()
+    def empty = sigs.select(col(idCol)).limit(0)
+    if (keyRows.isEmpty) return empty // no signed docs in the batch
+    // touched buckets (exact) + the semi-join's small side: from the
+    // collected keys when they fit, else re-derived distributed
+    val (touched, keySide) =
+      if (keyRows.length <= ProbeKeyCollectCap)
+        (keyRows.map(_.getInt(2)).distinct.toSeq,
+          spark.createDataFrame(
+            java.util.Arrays.asList(keyRows: _*), probeKeys.schema)
+            .select("band", "key"))
+      else
+        (probeKeys.select("bkt").distinct().collect()
+          .map(_.getInt(0)).toSeq,
+          probeKeys.select("band", "key"))
+    val idxSrc = readTouchedBuckets(spark, indexDir,
+      touched :+ UnbucketedRun, batchId)
+    if (idxSrc.isEmpty) return empty // no standing rows in any bucket
+    // one scan: only rows COLLIDING with the batch's keys survive the
+    // broadcast semi-join, so everything downstream (the hot cap, the
+    // match join) works a collision-bounded slice
+    val collide = idxSrc.get
+      .join(broadcast(keySide), Seq("band", "key"), "left_semi")
+    val index = LshGuard.capBucketsSlice(collide, idCol, maxBucket)
+    val matches = (0 until k)
+      .map(i => when(col(s"l.s$i") === col(s"r.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    probe.as("l")
+      .join(index.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(round(matches / lit(k.toDouble), 4) >= threshold)
+      .select(col(s"l.$idCol")).distinct()
+  }
+
+  /** Read ONLY the touched (batch, bucket) leaf directories of a
+    * bucketed table, `excludeBatch`'s partitions skipped — metadata
+    * pruning BEFORE any file listing. Partition-filter pruning alone
+    * is not enough at scale: resolving `spark.read.parquet(dir)` lists
+    * every leaf first (a distributed listing job once the path count
+    * passes the parallel-discovery threshold — measured at ~1.4 s per
+    * probe against a 512-bucket index), and only then does the filter
+    * skip files. Enumerating the wanted leaves from the layout keeps
+    * planning cost O(batches × touched buckets), independent of the
+    * table's total bucket count — the role a catalog manifest plays
+    * on a real deployment. `None` when no wanted leaf exists.
+    */
+  private[streaming] def readTouchedBuckets(spark: SparkSession, dir: String,
+      touched: Seq[Int], excludeBatch: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val want = touched.map(t => s"bkt=$t").toSet
+    val paths = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != s"batch_id=$excludeBatch")
+      .flatMap(b => fs.listStatus(b.getPath).toSeq
+        .filter(c => c.isDirectory && want.contains(c.getPath.getName))
+        .map(_.getPath.toString))
+    if (paths.isEmpty) None
+    else {
+      // the path set is already pruned and small — list it on the
+      // driver instead of paying a distributed listing job
+      val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val prev = spark.conf.get(thresholdKey)
+      spark.conf.set(thresholdKey, "100000")
+      try Some(spark.read.option("basePath", dir).parquet(paths: _*))
+      finally spark.conf.set(thresholdKey, prev)
+    }
+  }
+
+  /** Fold all but the newest `keepRecentBatches` L0 run partitions
+    * into the bucketed base partition (their rows re-bucket from the
+    * [[UnbucketedRun]] sentinel to real band-key buckets), rebuild
+    * the occupancy sidecar from the new base, record the folded batch
+    * ids so replayed batches stay no-ops, then bin-pack files with
+    * [[graft.operators.Compact]]. Probe results are unchanged — only
+    * the layout moves (and the probe's L0 full-scan share shrinks
+    * back to zero). Maintenance operation: run with the stream
+    * quiesced (same contract as any non-transactional table rewrite).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      keepRecentBatches: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : Seq[graft.operators.Compact.LeafStats] = {
+    require(keepRecentBatches >= 0, "keepRecentBatches must be >= 0")
+    val listed = CorpusIngest.listedBatchIds(spark, indexDir) -
+      InitialIndexBatch
+    val toMerge = listed.toSeq.sorted.dropRight(keepRecentBatches)
+    if (toMerge.nonEmpty) {
+      val buckets = indexBucketCount(spark, indexDir)
+      foldBatches(spark, indexDir, toMerge,
+        _.withColumn("bkt", bucketOf(col("key"), buckets)))
+      // sidecar rebuild from the folded base: base partials must now
+      // cover the rows that were L0 (and so live-counted) before
+      rebuildOccupancy(spark, indexDir)
+      CorpusIngest.recordMergedBatchIds(spark, indexDir, toMerge.toSet)
+    }
+    graft.operators.Compact.compact(spark, indexDir, targetBytes)
+  }
+
+  /** Recompute the occupancy sidecar from the index's base partition
+    * (the only partition it covers — L0 runs are counted live by
+    * consumers). Written to a sibling then swapped, so a reader never
+    * sees a half-written table.
+    */
+  private def rebuildOccupancy(spark: SparkSession, indexDir: String): Unit = {
+    val tmp = occDir(indexDir) + ".rebuild-tmp"
+    deleteRecursively(new java.io.File(tmp))
+    spark.read.option("basePath", indexDir)
+      .parquet(s"$indexDir/batch_id=$InitialIndexBatch")
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(tmp)
+    deleteRecursively(new java.io.File(occDir(indexDir)))
+    require(new java.io.File(tmp)
+        .renameTo(new java.io.File(occDir(indexDir))),
+      s"rename failed: $tmp -> ${occDir(indexDir)}")
+  }
+
+  /** Rewrite `dir`'s base partition as base ∪ `toMerge` (through
+    * `reAgg` — identity for the index, partial-count re-aggregation
+    * for the sidecar), then drop the merged partitions. The combined
+    * frame is fully written to a sibling before any source partition
+    * is removed; the swap is same-filesystem renames (the
+    * `operators.Compact` contract — on an object store this step
+    * rides the catalog's atomic snapshot swap).
+    */
+  private def foldBatches(spark: SparkSession, dir: String,
+      toMerge: Seq[Long], reAgg: DataFrame => DataFrame): Unit = {
+    val ids = toMerge :+ InitialIndexBatch
+    val merged = reAgg(spark.read.parquet(dir)
+      .filter(col("batch_id").isin(ids: _*))
+      .drop("batch_id"))
+    val tmp = new java.io.File(dir + ".merge-tmp")
+    deleteRecursively(tmp)
+    merged.withColumn("batch_id", lit(InitialIndexBatch))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("batch_id", "bkt")
+      .parquet(tmp.getAbsolutePath)
+    ids.foreach(b => deleteRecursively(new java.io.File(s"$dir/batch_id=$b")))
+    val src = new java.io.File(tmp, s"batch_id=$InitialIndexBatch")
+    if (src.exists()) {
+      val dst = new java.io.File(dir, s"batch_id=$InitialIndexBatch")
+      require(src.renameTo(dst), s"rename failed: $src -> $dst")
+    }
+    deleteRecursively(tmp)
+  }
+
+  /** Documents currently indexed: the occupancy sidecar's Σ n covers
+    * the base partition (one row per doc per band); L0 runs — absent
+    * from the sidecar by design — are counted from their own (small,
+    * compaction-bounded) partitions.
+    */
+  def indexedDocCount(spark: SparkSession, indexDir: String,
+      bands: Int): Long = {
+    val base = spark.read.parquet(occDir(indexDir))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val l0Dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != s"batch_id=$InitialIndexBatch")
+      .map(_.getPath.toString)
+    val l0 =
+      if (l0Dirs.isEmpty) 0L
+      else spark.read.option("basePath", indexDir).parquet(l0Dirs: _*).count()
+    (base + l0) / bands
+  }
+
+  /** Recalibration drift policy for a CALIBRATED index: when the
+    * standing corpus has grown past `growthFactor` × the calibration
+    * baseline (`nDocs` in the [[ConfigFile]]), re-run the band-count
+    * sweep over the index's OWN signatures (band-0 rows carry the
+    * full signature — no corpus re-read, no re-shingling):
+    *
+    *  - selection unchanged → the geometry still fits at the new
+    *    scale; the baseline resets to the current count (so the sweep
+    *    re-arms at the next decade) and nothing rewrites. Returns
+    *    `None`.
+    *  - selection changed → the index is REBUILT at the new geometry
+    *    (written to a sibling, then swapped — batch lineage collapses
+    *    into the base partition, so run only with the stream
+    *    quiesced and its checkpoint at a batch boundary). Returns
+    *    `Some(newBands)`.
+    *
+    * Below the growth threshold this is two metadata reads and one
+    * sidecar aggregation — cheap enough for a metered per-N-batches
+    * trigger.
+    */
+  def maybeRecalibrate(spark: SparkSession, indexDir: String,
+      growthFactor: Double = 2.0, bandGrid: Seq[Int] = Seq(2, 3, 4, 6),
+      pairsPerDocBudget: Long = 20L): Option[Int] = {
+    require(growthFactor > 1.0, "growthFactor must exceed 1")
+    val (k, bands, shingleWidth) = indexConfig(spark, indexDir).getOrElse(
+      sys.error(s"no $ConfigFile under $indexDir — the drift policy" +
+        " needs a calibrated index (writeIndexCalibrated)"))
+    val n0 = calibrationDocCount(spark, indexDir).getOrElse(
+      sys.error(s"$ConfigFile has no nDocs baseline — rebuild with" +
+        " writeIndexCalibrated"))
+    val nNow = indexedDocCount(spark, indexDir, bands)
+    if (n0 > 0 && nNow.toDouble / n0 < growthFactor) return None
+    val idCol = indexIdCol(spark, indexDir, k)
+    val sigs = spark.read.parquet(indexDir)
+      .filter(col("band") === 0)
+      .select(col(idCol) +: (0 until k).map(i => col(s"s$i")): _*)
+      .persist()
+    try {
+      val newBands = MinHashLsh.calibrateBands(
+        sigs, idCol, k, bandGrid, pairsPerDocBudget)
+      if (newBands == bands) {
+        writeConfig(spark, indexDir, k, bands, shingleWidth,
+          indexBucketCount(spark, indexDir), Some(nNow))
+        None
+      } else {
+        val tmp = indexDir + ".recal-tmp"
+        deleteRecursively(new java.io.File(tmp))
+        // the rebuild also RE-BUCKETS for the grown corpus — this is
+        // what keeps per-bucket size (and so per-touched-bucket probe
+        // cost) bounded across decades of growth
+        val newBuckets = bucketCountFor(nNow)
+        // the tmp build scans the OLD index (sigs reads it lazily);
+        // only after it fully materializes does the swap retire it
+        writeIndexFrom(sigs, tmp, idCol, k, newBands, newBuckets)
+        writeConfig(spark, tmp, k, newBands, shingleWidth, newBuckets,
+          Some(nNow))
+        deleteRecursively(new java.io.File(indexDir))
+        require(new java.io.File(tmp).renameTo(new java.io.File(indexDir)),
+          s"rename failed: $tmp -> $indexDir")
+        Some(newBands)
+      }
+    } finally sigs.unpersist(blocking = false)
+  }
+
+  /** The index's id column: the one field that is not a band key,
+    * signature component, or partition column.
+    */
+  private def indexIdCol(spark: SparkSession, indexDir: String,
+      k: Int): String = {
+    val reserved = Set("band", "key", "bkt", "batch_id") ++
+      (0 until k).map(i => s"s$i")
+    val rest = spark.read.parquet(indexDir).schema.fieldNames
+      .filterNot(reserved)
+    require(rest.length == 1,
+      s"cannot identify the index id column among ${rest.mkString(",")}")
+    rest.head
   }
 }

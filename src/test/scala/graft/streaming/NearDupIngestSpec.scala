@@ -83,9 +83,11 @@ class NearDupIngestSpec extends AnyFunSuite {
         .toDF("doc_id", "text"),
       0L, idx, store, "doc_id", "text", 0.5, 3, 12, bands, 1000)
     assert(landedIds(store) == Seq(2L))
-    // startCalibrated refuses an index without a sidecar
+    // startCalibrated refuses an index without a sidecar (a foreign
+    // index dir — every in-repo build records its geometry now)
     val bare = graft.TestSpark.scratchPath("ndi_nocfg").resolve("idx").toString
     NearDupIngest.writeIndex(corpus, bare)
+    assert(new java.io.File(bare, NearDupIngest.ConfigFile).delete())
     val e = intercept[RuntimeException] {
       // the sidecar check runs before the stream starts, so the
       // source (any constructible one) is never consumed
@@ -169,6 +171,143 @@ class NearDupIngestSpec extends AnyFunSuite {
     // content C itself never indexed: a new doc with text C lands
     ingest(Seq((2L, C)), 2L, idx, store)
     assert(landedIds(store) == Seq(1L, 2L))
+  }
+
+  test("probe reads only the batch's touched buckets of the index") {
+    val (idx, _) = ws("ndi_prune")
+    NearDupIngest.writeIndex(
+      Seq((100L, A), (101L, B)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    val sigs = graft.functions.MinHashLsh.signaturesFromTokens(
+      Seq((1L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))),
+      "doc_id", "t", 3, 12)
+    // the batch's own touched-bucket set, recomputed independently
+    val expected = graft.functions.MinHashLsh.bandKeys(sigs, "doc_id", 12, 4)
+      .select(NearDupIngest.bucketOf(col("key"), 64).as("bkt"))
+      .distinct().as[Int].collect().toSet
+    def bktsOf(files: Seq[String]): Set[Int] =
+      files.flatMap("bkt=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+        .toSet
+    // the pruning unit reads exactly the touched leaf dirs
+    val pruned = NearDupIngest.readTouchedBuckets(spark, idx,
+      expected.toSeq :+ NearDupIngest.UnbucketedRun, 0L)
+    assert(pruned.nonEmpty)
+    val scanned = bktsOf(pruned.get.inputFiles.toSeq)
+    val onDisk = bktsOf(new java.io.File(s"$idx/batch_id=-1").listFiles()
+      .map(_.getName).toSeq)
+    assert(scanned.nonEmpty && scanned.subsetOf(expected),
+      s"pruned read scanned buckets $scanned beyond the touched set $expected")
+    // doc B's buckets exist on disk but are not read (pruning is real)
+    assert((onDisk -- expected).nonEmpty,
+      "fixture degenerate: every on-disk bucket was touched")
+    // and the probe built on it still finds the dup
+    val dup = NearDupIngest.probeDupIds(sigs, 0L, idx,
+      "doc_id", 12, 4, 0.5, 1000)
+    assert(dup.as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("non-default bucket count: config round-trips and probes stay correct") {
+    val (idx, store) = ws("ndi_buckets")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx, buckets = 256)
+    assert(NearDupIngest.indexBucketCount(spark, idx) === 256)
+    ingest(Seq((1L, A), (2L, B)), 0L, idx, store)
+    assert(landedIds(store) == Seq(2L))
+    // appended partitions bucket with the index's recorded count too:
+    // a later dup of the landed doc is still rejected
+    ingest(Seq((3L, B)), 1L, idx, store)
+    assert(landedIds(store) == Seq(2L))
+    // the layout scaling rule: ~1000 docs per bucket, power-of-two
+    assert(NearDupIngest.bucketCountFor(4999) === 64)
+    assert(NearDupIngest.bucketCountFor(70000) === 128)
+    assert(NearDupIngest.bucketCountFor(500000) === 512)
+  }
+
+  test("compaction folds batch partitions: probe identical, replay still no-op") {
+    val (idx, store) = ws("ndi_compact")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    val C = "red orange yellow green blue indigo violet ultraviolet infra"
+    ingest(Seq((1L, B)), 0L, idx, store)
+    ingest(Seq((2L, C)), 1L, idx, store)
+    ingest(Seq((3L, "completely different novel words appear here again ok")),
+      2L, idx, store)
+    def probeSet(): Seq[Long] = {
+      // dups of corpus doc, batch-0's doc, batch-1's doc + one novel
+      val sigs = graft.functions.MinHashLsh.signaturesFromTokens(
+        Seq((11L, A), (12L, B), (13L, C),
+          (14L, "nothing here matches anything at all truly fresh text"))
+          .toDF("doc_id", "text")
+          .withColumn("t", TextFns.tokens(col("text"))),
+        "doc_id", "t", 3, 12)
+      NearDupIngest.probeDupIds(sigs, 99L, idx, "doc_id", 12, 4, 0.5, 1000)
+        .as[Long].collect().sorted.toSeq
+    }
+    val before = probeSet()
+    assert(before == Seq(11L, 12L, 13L))
+    val storeRows = landedIds(store)
+    NearDupIngest.compactIndex(spark, idx, keepRecentBatches = 1)
+    // layout moved: only the base partition and the newest batch remain
+    // live, the folded ids answer through the merged sidecar
+    assert(CorpusIngest.listedBatchIds(spark, idx) == Set(-1L, 2L))
+    assert(CorpusIngest.mergedBatchIds(spark, idx) == Set(0L, 1L))
+    assert(CorpusIngest.existingBatchIds(spark, idx)
+      .intersect(Set(0L, 1L, 2L)) == Set(0L, 1L, 2L))
+    // probe results are a pure function of index content — unchanged
+    assert(probeSet() == before)
+    // a checkpoint replay of a folded batch is still a no-op
+    val idxRows = spark.read.parquet(idx).count()
+    ingest(Seq((1L, B)), 0L, idx, store)
+    assert(landedIds(store) == storeRows)
+    assert(spark.read.parquet(idx).count() == idxRows)
+    // idempotent: a second compaction changes nothing
+    assert(NearDupIngest.compactIndex(spark, idx, keepRecentBatches = 1)
+      .isEmpty)
+    assert(probeSet() == before)
+  }
+
+  test("recalibration policy: no-op below growth, baseline reset, rebuild on drift") {
+    val (idx, store) = ws("ndi_recal")
+    val texts = Seq(A, B,
+      "red orange yellow green blue indigo violet ultraviolet infra",
+      "north south east west up down left right center")
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val bands0 = NearDupIngest.writeIndexCalibrated(corpus, idx)
+    assert(bands0 === 6) // 4 unique docs: zero candidate pairs, max bands fits
+    assert(NearDupIngest.calibrationDocCount(spark, idx).contains(4L))
+    // below the growth threshold: nothing happens
+    assert(NearDupIngest.maybeRecalibrate(spark, idx).isEmpty)
+    assert(NearDupIngest.calibrationDocCount(spark, idx).contains(4L))
+    // grow past 2x with one batch of 30 SAME-TEXT docs (duplicate-blind
+    // within a batch: all land, all index) — a degenerate cluster that
+    // prices every grid config over the 20-pairs/doc budget
+    val boiler = "boilerplate footer text repeated verbatim on every single page"
+    NearDupIngest.ingestBatch(
+      (0L until 30L).map(i => (i, boiler)).toDF("doc_id", "text"),
+      0L, idx, store, "doc_id", "text", 0.5, 3, 12, bands0, 1000)
+    assert(NearDupIngest.indexedDocCount(spark, idx, bands0) === 34L)
+    // drifted: the sweep over the index's own signatures selects the
+    // fewest-bands fallback (2) and the index rebuilds at it
+    assert(NearDupIngest.maybeRecalibrate(spark, idx).contains(2))
+    assert(NearDupIngest.indexConfig(spark, idx).contains((12, 2, 3)))
+    assert(NearDupIngest.calibrationDocCount(spark, idx).contains(34L))
+    assert(NearDupIngest.indexedDocCount(spark, idx, 2) === 34L)
+    // probes at the new sidecar geometry still reject dups of BOTH the
+    // original corpus and the appended batch
+    NearDupIngest.ingestBatch(
+      Seq((200L, A), (201L, boiler), (202L,
+        "entirely new sentence with nothing shared anywhere else today"))
+        .toDF("doc_id", "text"),
+      1L, idx, store, "doc_id", "text", 0.5, 3, 12, 2, 1000)
+    assert(landedIds(store).contains(202L))
+    assert(!landedIds(store).contains(200L) && !landedIds(store).contains(201L))
+    // a second check right after: baseline was reset to 34, no drift
+    assert(NearDupIngest.maybeRecalibrate(spark, idx).isEmpty)
   }
 
   test("duplicate-blind within one micro-batch: both near-dups land") {
