@@ -111,4 +111,35 @@ object Tables {
     val df = load(spark, dir, "events")
     df.withColumn("us", usFromTs(df.schema("ts").dataType))
   }
+
+  /** Content-identity fingerprint of a parquet path for JVM-local
+    * cache keys: (path, Σ data-file lengths + file count, max
+    * data-file mtime). A DIRECTORY-backed table (Spark-written
+    * `documents.parquet/`) reports length 0 and a coarse, listing-
+    * insensitive mtime on its own status, so a (path, mtime, length)
+    * key could serve a stale cache entry for a quickly regenerated
+    * same-size table — folding the per-part statuses catches any
+    * part-file change. Hidden entries (`_SUCCESS`, `.crc`) are
+    * skipped: rewriting only them never changes table content.
+    */
+  def pathFingerprint(spark: SparkSession, path: String): (String, Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    var bytes = 0L
+    var files = 0L
+    var maxM = 0L
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
+        else {
+          bytes += st.getLen
+          files += 1
+          if (st.getModificationTime > maxM) maxM = st.getModificationTime
+        }
+      }
+    }
+    walk(fs.getFileStatus(hp))
+    (path, bytes + files, maxM)
+  }
 }

@@ -152,6 +152,24 @@ object EmbedNearDup {
       planeGrid: Seq[Int], dim: Int, minCos: Double,
       pairsPerVecBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame, () => Unit) = {
+    val selected = calibratePlanes(vecs, bands, planeGrid, dim,
+      pairsPerVecBudget)
+    val (pairs, release) = bandedPairsWithCleanup(
+      vecs, idCol, bands, selected, dim, minCos, maxBucket)
+    (selected, pairs, release)
+  }
+
+  /** The planes-per-band sweep and selection alone (the q184 rule as
+    * a standalone selector, symmetric with
+    * `MinHashLsh.calibrateBands` / `SimHash.calibrateWidth`): fewest
+    * planes — the highest-recall config — whose exact banded
+    * candidate load fits `pairsPerVecBudget` per vector; most planes
+    * as the lowest-load fallback when none fits. One projection pass
+    * prices the whole grid (plane signs are shared across configs —
+    * see `VecFns.planeSign`).
+    */
+  def calibratePlanes(vecs: DataFrame, bands: Int, planeGrid: Seq[Int],
+      dim: Int, pairsPerVecBudget: Long = 20L): Int = {
     require(planeGrid.nonEmpty, "planeGrid must be non-empty")
     // plane signs materialize once per vector (shared across configs
     // — see VecFns.planeSign); keys are then pure bit assembly
@@ -176,12 +194,8 @@ object EmbedNearDup {
     val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
         r.getAs[Long]("n_vec") * pairsPerVecBudget)
       .map(_.getAs[Int]("p"))
-    val selected =
-      if (fitting.nonEmpty) fitting.min
-      else planeGrid.max
-    val (pairs, release) = bandedPairsWithCleanup(
-      vecs, idCol, bands, selected, dim, minCos, maxBucket)
-    (selected, pairs, release)
+    if (fitting.nonEmpty) fitting.min
+    else planeGrid.max
   }
 
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.

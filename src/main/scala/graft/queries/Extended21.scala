@@ -62,12 +62,12 @@ object Extended21 {
   private val trajCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Seq[(Long, String, String, Long)]]()
 
-  private def corpusKey(s: SparkSession, d: String): (String, Long, Long) = {
-    val p = s"$d/documents.parquet"
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val st = hp.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(hp)
-    (p, st.getModificationTime, st.getLen)
-  }
+  private def corpusKey(s: SparkSession, d: String): (String, Long, Long) =
+    // per-part-file fingerprint, not the top-level status: a
+    // directory-backed corpus (Spark-written documents.parquet) has
+    // length 0 and coarse mtime on its own status, which could serve
+    // a stale trajectory for a quickly regenerated same-size corpus
+    Tables.pathFingerprint(s, s"$d/documents.parquet")
 
   /** Apply known merges to the char-split vocab in ONE projection —
     * per-row `replace` composition is exactly the sequential loop's

@@ -44,19 +44,21 @@ object EventStream {
     * verbatim), and the file is immutable between modifications — the
     * stream-stream joins build two streams per query and Bench
     * constructs each query twice, so the same footer would otherwise
-    * be re-read up to four times per timed query. Keyed by
-    * (path, mtime, length) so a test/generator regenerating the file
-    * with a different schema in the same JVM never sees a stale entry.
+    * be re-read up to four times per timed query. Keyed by the
+    * per-part-file content fingerprint ([[graft.Tables.pathFingerprint]])
+    * so a test/generator regenerating the table with a different
+    * schema in the same JVM never sees a stale entry.
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   private[streaming] def eventsSchema(spark: SparkSession, dir: String) = {
     val p = s"$dir/events.parquet"
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(hp)
-    schemaCache.computeIfAbsent((p, st.getModificationTime, st.getLen),
+    // per-part-file fingerprint (Tables.pathFingerprint): the
+    // top-level status of a directory-backed table has length 0 and
+    // coarse mtime, which could serve a stale schema for a quickly
+    // regenerated table
+    schemaCache.computeIfAbsent(graft.Tables.pathFingerprint(spark, p),
       _ => spark.read.parquet(p).schema)
   }
 

@@ -4,10 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
-/** Structural invariants at sf1 for the six queries whose exact-replay
-  * oracles DuckDB cannot execute at that scale (q53, q92, q117, q121,
-  * q169, q178 — hash-checked up to sf0.1; the sf1 CTE replays exceed
-  * DuckDB's 900 s / 32 GB / spill budget). GRAFT_PERF-gated:
+/** Structural invariants at sf1 for the eight queries whose
+  * exact-replay oracles DuckDB cannot execute at that scale (q53,
+  * q92, q117, q121, q169, q178 + since round 14 q186, q187 —
+  * hash-checked up to sf0.1; the sf1 CTE replays exceed DuckDB's
+  * 900 s / 32 GB / spill budget). GRAFT_PERF-gated:
   *
   *   GRAFT_PERF=1 sbt "testOnly graft.queries.Sf1InvariantSpec"
   *
@@ -113,6 +114,108 @@ class Sf1InvariantSpec extends AnyFunSuite {
       assert(p >= 1L)
       assert(d >= 2L && d <= 2L * p,
         s"class ${r.getAs[String]("class")}: $d docs from $p pairs")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q186 sf1: executed config == calibration row, budget respected, counts conserved") {
+    gated()
+    val rows = run("q186_calibrated_neardup").collect()
+    assert(rows.nonEmpty)
+    val bandsVals = rows.map(_.getAs[Long]("bands")).distinct
+    assert(bandsVals.length === 1, "one selected config across all rows")
+    val bands = bandsVals.head.toInt
+    val grid = Seq(2, 3, 4, 6)
+    assert(grid.contains(bands))
+    // executed config == the calibration operator's independent
+    // selection on the identical signatures (one rule, re-derived)
+    val docs = graft.Tables.docsParallel(spark, dir)
+      .transform(graft.corpus.Curation.withTokens())
+    val sigs = graft.functions.MinHashLsh.signaturesFromTokens(
+      docs, "doc_id", "t", 3, 12).persist()
+    assert(graft.functions.MinHashLsh.calibrateBands(
+      sigs, "doc_id", 12, grid, 20L) === bands)
+    // budget respected by the EXECUTED config: exact banded candidate
+    // load at the selected band count stays within 20 pairs/doc
+    val occ = graft.functions.MinHashLsh.bandKeys(sigs, "doc_id", 12, bands)
+      .groupBy("band", "key").agg(count(lit(1)).as("m"))
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand"),
+        sum(col("m")).as("tot")).head()
+    // the selection rule: the executed config fits the budget, or it
+    // is the documented lowest-load fallback (fewest bands)
+    val nDocs = occ.getAs[Long]("tot") / bands
+    assert(occ.getAs[Long]("cand") <= 20L * nDocs || bands == grid.min,
+      s"selected config's load ${occ.getAs[Long]("cand")} exceeds the" +
+        s" budget and is not the fewest-bands fallback")
+    // count conservation: kept docs never exceed the per-source total
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n"))
+      .toMap
+    for (r <- rows) {
+      val (src, kept) = (r.getAs[String]("source"), r.getAs[Long]("n_kept"))
+      assert(kept >= 1L && kept <= perSource(src),
+        s"source $src: kept $kept of ${perSource(src)}")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q187 sf1: executed config == calibration row, budget, pair bounds, exact recheck") {
+    gated()
+    val rows = run("q187_calibrated_embed_neardup").collect()
+    assert(rows.nonEmpty)
+    val planesVals = rows.map(_.getAs[Long]("planes")).distinct
+    assert(planesVals.length === 1, "one selected config across all rows")
+    val planes = planesVals.head.toInt
+    val grid = Seq(2, 4, 6, 8)
+    assert(grid.contains(planes))
+    for (r <- rows) {
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      val c = r.getAs[Double]("cos_r")
+      assert(c >= 0.4 && c <= 1.0)
+    }
+    // executed config == the standalone selector's choice on the
+    // identical quantized vectors
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val all = graft.Tables.embeddingsParallel(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VecFns.quantize(col("embedding")).as("vq"))
+      .persist()
+    assert(graft.operators.EmbedNearDup.calibratePlanes(
+      all, 4, grid, 64, 20L) === planes)
+    // budget respected by the executed config
+    val keyed = (0 until 4).map(b => all.select(lit(b).as("band"),
+      graft.functions.VecFns.lshBandKey(col("vq"), b, planes, 64).as("key")))
+      .reduce(_ unionByName _)
+    val occ = keyed.groupBy("band", "key").agg(count(lit(1)).as("m"))
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand"),
+        sum(col("m")).as("tot")).head()
+    // the selection rule: the executed config fits the budget, or it
+    // is the documented lowest-load fallback (most planes)
+    val nVec = occ.getAs[Long]("tot") / 4
+    assert(occ.getAs[Long]("cand") <= 20L * nVec || planes == grid.max,
+      s"selected config's load ${occ.getAs[Long]("cand")} exceeds the" +
+        s" budget and is not the most-planes fallback")
+    // sampled exact recheck (the q53 pattern): recompute the quantized
+    // cosine driver-side from the raw embeddings for 50 pairs
+    val sample = rows.take(50).map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("cos_r")))
+    val ids = sample.flatMap(p => Seq(p._1, p._2)).distinct
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val scale = graft.functions.VecFns.Scale
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * scale))
+    for ((a, b, cosR) <- sample) {
+      val (va, vb) = (q(vecs(a)), q(vecs(b)))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val exact = dot.toDouble /
+        (math.sqrt(va.map(x => x * x).sum.toDouble) *
+          math.sqrt(vb.map(x => x * x).sum.toDouble))
+      assert(math.abs(BigDecimal(exact).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - cosR) < 1e-9,
+        s"pair ($a,$b): reported $cosR, exact $exact")
     }
     spark.catalog.clearCache()
   }
