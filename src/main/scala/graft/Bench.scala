@@ -18,8 +18,15 @@ object Bench {
     // land them on tmpfs when present so timings measure the engine,
     // not /tmp's disk fsync latency. (On a real cluster this is the
     // standard fast-local-disk spark.local.dir provisioning.)
-    val scratch = Seq("/dev/shm", sys.props("java.io.tmpdir"))
-      .find(p => new java.io.File(p).canWrite)
+    // SPARK_GRAFT_SCRATCH overrides the choice: at decade scales
+    // (sf10-docs) spill-heavy queries can write more scratch than the
+    // box has RAM — tmpfs pages count against physical memory, and a
+    // full /dev/shm gets the JVM OOM-killed mid-run (observed: 96 GB
+    // of shuffle spill on a 128 GB box). Point it at a disk path for
+    // those runs; timings there measure spill I/O honestly anyway.
+    val scratch = (sys.env.get("SPARK_GRAFT_SCRATCH").toSeq ++
+        Seq("/dev/shm", sys.props("java.io.tmpdir")))
+      .find(p => { val f = new java.io.File(p); f.mkdirs(); f.canWrite })
       .map(_ + "/graft-bench-scratch")
     scratch.foreach { s =>
       new java.io.File(s).mkdirs()
@@ -51,8 +58,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
+    // SPARK_GRAFT_SKIP: exclude filter (comma-separated name
+    // fragments) for decade runs where a query's DOCUMENTED contract
+    // makes it out of scope — e.g. the exact ground-truth audits
+    // (q28/q162) are declared super-linear oracle baselines whose
+    // banded/sampled variants are the at-scale path; running them at
+    // sf10 measures the contract violation, not the engine. A skip
+    // never touches the default full-registry run.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.contains)) }
+      only.forall(_.exists(n.contains)) &&
+        !skip.exists(_.exists(n.contains)) }
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       // untimed declared-contract preparation (e.g. q183 is an
@@ -89,7 +107,14 @@ object Bench {
         if (java.nio.file.Files.exists(p)) {
           val json = org.json4s.jackson.JsonMethods.parse(
             java.nio.file.Files.readString(p))
-          (json \ "queries") match {
+          // the 3x-contention heuristic only means anything when the
+          // baseline was measured at THIS scale — against an sf0.1
+          // baseline, a legitimate sf10 run reads as 190 "suspects"
+          // and the guard re-times every query (a wasted third run
+          // each, observed at 53 min before the OOM ended it)
+          (if ((json \ "sf") != org.json4s.JString(sfDir))
+            org.json4s.JNothing: org.json4s.JValue
+          else json \ "queries") match {
             case org.json4s.JObject(fields) => fields.collect {
               case (k, org.json4s.JDouble(v)) => k -> v
               case (k, org.json4s.JInt(v)) => k -> v.toDouble
