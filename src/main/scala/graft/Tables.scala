@@ -49,7 +49,7 @@ object Tables {
   def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
     parallelized(spark, load(spark, dir, "embeddings"))
 
-  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
     else df.repartition(target)

@@ -231,7 +231,7 @@ object Extended2 {
         // (referee-measured ~2.4x on the query at sf0.1). Persisted
         // because both the scoring join and the df aggregation
         // consume it.
-        val tf = docs.select(col("doc_id"), col("text"))
+        val tf = Tables.parallelized(s, docs.select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .mapPartitions { it =>
             it.flatMap { case (id, text) =>
@@ -245,17 +245,66 @@ object Extended2 {
               }
             }
           }.toDF("doc_id", "tok", "tf").persist()
-        val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val n = Tables.load(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-        // vocab- and scalar-sized sides broadcast: the scoring join
-        // adds no shuffle beyond the tf aggregation's.
-        val scored = tf.join(broadcast(df_), "tok").crossJoin(broadcast(n))
-          .withColumn("score",
-            round(col("tf") * log(col("n_docs") / col("df")), 4))
-        TopK.perGroup(scored, Seq("doc_id"),
-            Seq(col("score").desc, col("tok").asc), 3)
-          .select(col("doc_id"), col("rk"), col("tok"), col("score"))
-          .orderBy("doc_id", "rk")
+        val nDocs = docs.count()
+        // df collected to the driver and broadcast as a lookup map:
+        // the identical vocab-sized payload the previous shape shipped
+        // to every executor as broadcast(df_) for a scoring join
+        // (Heaps'-law bounded at any corpus size), now keyed so
+        // scoring AND per-doc top-3 run inside the tf partitions. A
+        // document's tf rows live in exactly one partition (built
+        // there by the TF pass), so partition-local top-3 is globally
+        // correct — this removes the corpus-sized (doc, tok, score)
+        // shuffle + sort the rank window paid; the only shuffles left
+        // are the vocab-sized df aggregation and the 3-rows-per-doc
+        // output ORDER BY (referee: 1.35 s -> measured below at sf1).
+        val dfMap = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .as[(String, Long)].collect().toMap
+        val dfBc = s.sparkContext.broadcast(dfMap)
+        val topk = tf.as[(Long, String, Long)].mapPartitions { it =>
+          val dfB = dfBc.value
+          val u8 = java.nio.charset.StandardCharsets.UTF_8
+          // Spark-identical semantics, partition-local: score =
+          // round(tf * ln(n_docs / df), 4) with Round's HALF_UP on
+          // the double's decimal repr; ties on score break by tok in
+          // BINARY (UTF8String byte-wise) order, matching the window
+          // shape's `col("tok").asc`
+          def beats(s1: Double, t1: String, s2: Double, t2: String): Boolean =
+            s1 > s2 || (s1 == s2 && java.util.Arrays.compareUnsigned(
+              t1.getBytes(u8), t2.getBytes(u8)) < 0)
+          final class Top3 {
+            val sc = new Array[Double](3)
+            val tk = new Array[String](3)
+            var n = 0
+            def offer(sv: Double, t: String): Unit = {
+              var pos = n
+              while (pos > 0 && beats(sv, t, sc(pos - 1), tk(pos - 1)))
+                pos -= 1
+              if (pos < 3) {
+                var j = math.min(n, 2)
+                while (j > pos) { sc(j) = sc(j - 1); tk(j) = tk(j - 1); j -= 1 }
+                sc(pos) = sv; tk(pos) = t
+                if (n < 3) n += 1
+              }
+            }
+          }
+          val best = new java.util.HashMap[Long, Top3]()
+          it.foreach { case (id, tok, c) =>
+            val sv = java.math.BigDecimal
+              .valueOf(c.toDouble * math.log(nDocs.toDouble / dfB(tok).toDouble))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            best.computeIfAbsent(id, _ => new Top3).offer(sv, tok)
+          }
+          val out = Seq.newBuilder[(Long, Long, String, Double)]
+          best.forEach { (id, t3) =>
+            var i = 0
+            while (i < t3.n) {
+              out += ((id, (i + 1).toLong, t3.tk(i), t3.sc(i)))
+              i += 1
+            }
+          }
+          out.result().iterator
+        }.toDF("doc_id", "rk", "tok", "score")
+        topk.orderBy("doc_id", "rk")
       },
       oracle = Some("""
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
