@@ -451,8 +451,12 @@ object NearDupIngest {
     // in-batch id collapse FIRST (pick-one, the unordered-scan D1/D3
     // contract): probe, landing, and index all derive from this one
     // frame, so a duplicate id with differing text can never index
-    // content a different copy landed
-    val deduped = batch.dropDuplicates(idCol)
+    // content a different copy landed. Persisted: both the signature
+    // pass and the freshNew anti-join chain consume it — uncached,
+    // each consumer re-scanned the batch source and re-paid the
+    // dropDuplicates shuffle (attributed at ~0.5 s/trigger of the
+    // freshNew materialization in NearDupIngestCostSpec)
+    val deduped = batch.dropDuplicates(idCol).persist()
     val toks = deduped.withColumn("__t", TextFns.tokens(col(textCol)))
     // persisted: consumed by the probe join and (for survivors) the
     // index append; batch-sized, released at the end of the batch
@@ -490,6 +494,7 @@ object NearDupIngest {
           s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
     freshNew.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
   }
 
   /** Most distinct (band, key) probe keys collected to the driver per

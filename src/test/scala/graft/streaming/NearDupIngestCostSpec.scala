@@ -52,4 +52,73 @@ class NearDupIngestCostSpec extends AnyFunSuite {
     }
     spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("attribute one ingestBatch's phases at sf0.1") {
+    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+    val dir = "/root/testdata/sf0.1"
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_dbg2").toString
+    val (idxDir, storeDir) = (s"$base/idx", s"$base/store")
+    NearDupIngest.writeIndex(
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("__t", TextFns.tokens(col("text"))),
+      idxDir, tokensCol = "__t")
+    // warm one full batch so the attribution below measures steady
+    // state, then replay ingestBatch's exact body for batch 1
+    NearDupIngest.ingestBatch(
+      docs.filter(col("doc_id") % 10 === 0).filter(expr("(doc_id div 10) % 3 = 0")),
+      0L, idxDir, storeDir, "doc_id", "text", 0.5, 3, 12, 4, 1000)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .filter(expr("(doc_id div 10) % 3 = 1"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val storeBatches = t("existingBatchIds x2 (listings)") {
+        val sb = CorpusIngest.existingBatchIds(spark, storeDir)
+        CorpusIngest.existingBatchIds(spark, idxDir)
+        sb
+      }
+      val deduped = batch.dropDuplicates("doc_id")
+      val sigs = t("signatures build+persist (materialize)") {
+        val f = graft.functions.MinHashLsh.signaturesFromTokens(
+          deduped.withColumn("__t", TextFns.tokens(col("text"))),
+          "doc_id", "__t", 3, 12).persist()
+        f.count(); f
+      }
+      val dupIds = t("probeDupIds (pruned read + semi-join, eager key job)") {
+        NearDupIngest.probeDupIds(sigs, 1L, idxDir, "doc_id", 12, 4, 0.5, 1000)
+      }
+      val freshNew = t("freshNew anti-joins (materialize)") {
+        val f = deduped.join(dupIds, Seq("doc_id"), "left_anti")
+          .join(spark.read.parquet(storeDir)
+            .filter(col("batch_id") =!= 1L).select("doc_id"),
+            Seq("doc_id"), "left_anti").persist()
+        f.count(); f
+      }
+      t("store landing write") {
+        CorpusIngest.ingestBatch(freshNew, 1L, storeDir, "doc_id")
+      }
+      t("index L0 append write") {
+        graft.functions.MinHashLsh.bandKeys(
+            sigs.join(freshNew.select("doc_id"), Seq("doc_id"), "left_semi"),
+            "doc_id", 12, 4)
+          .write.parquet(s"$idxDir/batch_id=1/bkt=${NearDupIngest.UnbucketedRun}")
+      }
+      freshNew.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
