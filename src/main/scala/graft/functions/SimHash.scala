@@ -101,4 +101,59 @@ object SimHash {
       .map(_.getAs[Int]("w"))
     if (fitting.nonEmpty) fitting.min else widthGrid.max
   }
+
+  /** Banded candidate pairs at `w` bits per band with the
+    * [[LshGuard]] hot-bucket cap — the SimHash counterpart of
+    * `MinHashLsh.candidatePairs`, and the reason the fallback width is
+    * safe to EXECUTE (not just price): a 16-bit fingerprint has at most
+    * 2^w keys per band, so fingerprint-concentrated corpora put
+    * hundreds of thousands of rows behind one key, and the raw band
+    * self-join is O(m²) per bucket regardless of which width the sweep
+    * selected. Buckets over `maxBucket` are chain-linked in
+    * (fingerprint, id) order — identical fingerprints form contiguous
+    * hamming-0 runs, so a degenerate cluster still connects (and still
+    * passes a hamming threshold) while emitting m−1 pairs instead of
+    * m(m−1)/2. Buckets at or under the cap take the exact all-pairs
+    * join; with no hot bucket the plan IS the unguarded self-join.
+    *
+    * @return (a, b, sa, sb) with a < b; sa/sb are a's/b's fingerprints
+    */
+  def candidatePairs(sigs: org.apache.spark.sql.DataFrame, idCol: String,
+      shCol: String, w: Int,
+      maxBucket: Int = LshGuard.DefaultMaxBucket)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // persist before the self-join: the occupancy probe materializes
+    // the cache, the two join sides then read cached blocks
+    val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, w)
+      .persist()
+    val (cold, hotOpt) = LshGuard.splitHot(banded, maxBucket)
+    val l = cold.select(col(idCol).as("a"), col(shCol).as("sa"),
+      col("band"), col("key"))
+    val rj = cold.select(col(idCol).as("b"), col(shCol).as("sb"),
+      col("band"), col("key"))
+    val coldPairs = l.join(rj, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sa", "sb")
+    val hotPairs = hotOpt.map { hot =>
+      val ordered = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))
+        .orderBy(col(shCol).asc, col(idCol).asc)
+      LshGuard.instrument(hot
+        .withColumn("__pid", lag(col(idCol), 1).over(ordered))
+        .withColumn("__psh", lag(col(shCol), 1).over(ordered))
+        .withColumn("__rn", row_number().over(ordered))
+        .filter(col("__pid").isNotNull)
+        .select(least(col("__pid"), col(idCol)).as("a"),
+          greatest(col("__pid"), col(idCol)).as("b"),
+          // fingerprints follow the id orientation (hamming is
+          // symmetric, but distinct() needs a canonical row)
+          when(col("__pid") < col(idCol), col("__psh"))
+            .otherwise(col(shCol)).as("sa"),
+          when(col("__pid") < col(idCol), col(shCol))
+            .otherwise(col("__psh")).as("sb"),
+          col("__cnt"), col("__rn")))
+    }
+    hotPairs.fold(coldPairs)(coldPairs.unionByName).distinct()
+  }
 }

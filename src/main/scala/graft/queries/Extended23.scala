@@ -304,11 +304,19 @@ object Extended23 {
     // every grid config's exact occupancy and candidate load come
     // from one groupBy over the fingerprint frame. Selection picks
     // the narrowest width whose candidate load fits the per-doc
-    // budget (the highest-recall fitting config; widest as fallback —
-    // this is what makes a 2-bit band, quadratic on any real corpus,
-    // safe to keep in the grid: the sweep prices it and never
-    // executes it), then the hamming-verified band join (q160's
-    // semantics) runs at the selected width only ----------------------
+    // budget (the highest-recall fitting config; widest as fallback),
+    // then the hamming-verified band join (q160's semantics) runs at
+    // the selected width only — through the LshGuard-capped
+    // `SimHash.candidatePairs`, the same execution bound the MinHash
+    // and hyperplane families carry. The guard is what makes the
+    // fallback safe to EXECUTE on a fingerprint-concentrated corpus:
+    // the sweep prices a quadratic config out of selection, and the
+    // chain-link cap bounds whatever config does run to O(m) per
+    // bucket (the unguarded fallback join filled 80 GB of shuffle
+    // scratch at 500 k docs before this). As everywhere the guard is
+    // used, the oracle replays the exact sub-cap join — gate-scale
+    // buckets stay under DefaultMaxBucket (LshGuardSpec pins the
+    // guard's own semantics) ------------------------------------------
     "q189_calibrated_simhash" -> Q(
       impl = (s, d) => {
         val sigs = Tables.docsParallel(s, d)
@@ -319,13 +327,7 @@ object Extended23 {
           .persist() // sweep + selected-config join read it
         val selected = SimHash.calibrateWidth(sigs, "sh", WidthGrid,
           PairsPerDocBudget)
-        val banded = SimHash.bandKeys(sigs, "sh", selected)
-          .select(col("doc_id"), col("sh"), col("band"), col("key"))
-        banded.toDF("a", "sa", "band", "key")
-          .join(banded.toDF("b", "sb", "band", "key"), Seq("band", "key"))
-          .filter(col("a") < col("b"))
-          .select("a", "b", "sa", "sb")
-          .distinct()
+        SimHash.candidatePairs(sigs, "doc_id", "sh", selected)
           .withColumn("hamming", SimHash.hamming(col("sa"), col("sb")))
           .filter(col("hamming") <= 1)
           .select(col("a"), col("b"),

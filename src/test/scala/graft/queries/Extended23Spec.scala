@@ -54,6 +54,54 @@ class Extended23Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("degenerate corpus: SimHash fallback executes guard-bounded") {
+    // 3000 identical docs: one fingerprint, so EVERY band key of every
+    // width holds the whole corpus — no width fits, the fallback
+    // (widest) is selected, and the executed join must chain-link the
+    // degenerate buckets (m−1 pairs per band, deduped across bands)
+    // instead of building m(m−1)/2 — the unguarded q189 join filled
+    // 80 GB of shuffle scratch on a fingerprint-concentrated 500 k-doc
+    // corpus before SimHash.candidatePairs carried the LshGuard cap
+    import graft.functions.{SimHash, TextFns}
+    val sigs = spark.range(3000)
+      .selectExpr("id AS doc_id",
+        "'alpha beta gamma delta epsilon zeta' AS text")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+    val w = SimHash.calibrateWidth(sigs, "sh", pairsPerDocBudget = 5L)
+    assert(w === SimHash.DefaultWidthGrid.max,
+      "no config fits — expected the widest fallback")
+    val pairs = SimHash.candidatePairs(sigs, "doc_id", "sh", w).collect()
+    // chain pairs: every band links (i, i+1) in id order, so the
+    // distinct union across bands is exactly the 2999 adjacent pairs
+    assert(pairs.length === 2999)
+    assert(pairs.forall(r => r.getAs[Long]("sa") === r.getAs[Long]("sb")),
+      "identical-fingerprint chain links must be hamming-0")
+    spark.catalog.clearCache()
+  }
+
+  test("SimHash candidatePairs below the cap == the raw band join") {
+    import graft.functions.{SimHash, TextFns}
+    val sigs = Tables.docsParallel(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+      .persist()
+    val w = SimHash.calibrateWidth(sigs, "sh")
+    val guarded = SimHash.candidatePairs(sigs, "doc_id", "sh", w)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val banded = SimHash.bandKeys(sigs, "sh", w)
+      .select(col("doc_id"), col("sh"), col("band"), col("key"))
+    val raw = banded.toDF("a", "sa", "band", "key")
+      .join(banded.toDF("b", "sb", "band", "key"), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(guarded === raw,
+      "with no bucket over the cap the guarded plan must equal the raw join")
+    spark.catalog.clearCache()
+  }
+
   test("calibratedNearDup == nearDupFilter at the selected config") {
     val docs = Tables.docsParallel(spark, dir).transform(Curation.withTokens())
     val (b, kept) = Curation.calibratedNearDup()(docs)
