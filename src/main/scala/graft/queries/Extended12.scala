@@ -179,13 +179,17 @@ object Extended12 {
     // (c, la, rb, N) tuple — integer inputs, identical doubles ------
     "q137_pmi_collocations" -> Q(
       impl = (s, d) => {
+        // bigrams via the zipped-slice construction (q130's rationale:
+        // higher-order lambda bodies are interpreted; the zip refereed
+        // 2.3× faster on the sf10 corpus — graft.tools.Profile)
         val pairs = Tables.docsParallel(s, d)
           .withColumn("t", TextFns.tokens(col("text")))
           .filter(size(col("t")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS a, t[i] AS b))"))
-            .as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .withColumn("x", col("t"))
+          .withColumn("y", slice(col("t"), lit(2), size(col("t"))))
+          .select(explode(arrays_zip(col("x"), col("y"))).as("p"))
+          .filter(col("p.y").isNotNull)
+          .select(col("p.x").as("a"), col("p.y").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("c"))
           .persist()
         val la = pairs.groupBy("a").agg(sum("c").as("la"))

@@ -37,6 +37,12 @@ object Profile {
 
     val kernels: Seq[(String, () => Long)] = Seq(
       "scan_count" -> (() => docs.count()),
+      // the actual registry impls, inside THIS session — bisects
+      // "Bench session config" vs "registry impl differs from copy"
+      "registry_q128" -> (() => graft.queries.Registry
+        .all("q128_source_entropy").impl(spark, sfDir).count()),
+      "registry_q130" -> (() => graft.queries.Registry
+        .all("q130_pair_counts").impl(spark, sfDir).count()),
       "explode_tok_groupby" -> (() => docs
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").count().count()),
