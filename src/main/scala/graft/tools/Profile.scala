@@ -23,14 +23,32 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("bench/sfgen/sf10")
     val only = args.lift(1)
-    val spark = SparkSession.builder()
+    // PROFILE_BENCH_ENV=1 replicates graft.Bench's session setup
+    // exactly (scratch-redirected tmpdir, spark.local.dir, AQE config,
+    // warmup read) to bisect Bench-vs-Profile timing deltas.
+    val benchEnv = sys.env.get("PROFILE_BENCH_ENV").contains("1")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "96g")
-      .getOrCreate()
+    val spark = (if (benchEnv) {
+      val scratch = (sys.env.get("SPARK_GRAFT_SCRATCH").toSeq ++
+          Seq("/dev/shm", sys.props("java.io.tmpdir")))
+        .find(p => { val f = new java.io.File(p); f.mkdirs(); f.canWrite })
+        .map(_ + "/graft-bench-scratch")
+      scratch.foreach { s =>
+        new java.io.File(s).mkdirs()
+        sys.props("java.io.tmpdir") = s
+      }
+      builder
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", scratch.getOrElse(sys.props("java.io.tmpdir")))
+    } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (benchEnv)
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
 
     def docs = graft.Tables.docsParallel(spark, sfDir)
     def docsRaw = graft.Tables.load(spark, sfDir, "documents")
