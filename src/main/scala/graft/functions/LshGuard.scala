@@ -112,26 +112,39 @@ object LshGuard {
     val hotKeys = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxBucket)
-    val spark = banded.sparkSession
     val probe = hotKeys.limit(HotKeyCollectCap + 1).collect()
     if (probe.isEmpty) (banded, None)
-    else if (probe.length <= HotKeyCollectCap) {
-      // hot keys known exactly: broadcast the local set, split with
-      // hash anti/semi lookups — no exchange added to either side
-      // (key type is caller-defined — md5 string for MinHash, packed
-      // long for the hyperplane path — so the local frame keeps the
-      // probe's own Row schema)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(probe: _*), hotKeys.schema)
-      val cold = banded.join(broadcast(local.select("band", "key")),
-        Seq("band", "key"), "left_anti")
-      val hot = banded.join(broadcast(local), Seq("band", "key"))
-      (cold, Some(hot))
-    } else {
+    else if (probe.length <= HotKeyCollectCap)
+      splitHotKnown(banded, probe.toSeq, hotKeys.schema)
+    else {
       // pathological corpus (≥ cap hot keys): keep the split lazy and
       // distributed; AQE still broadcasts `hotKeys` when it fits
       (banded.join(hotKeys.select("band", "key"), Seq("band", "key"), "left_anti"),
         Some(banded.join(hotKeys, Seq("band", "key"))))
+    }
+  }
+
+  /** [[splitHot]] when the per-bucket occupancy is ALREADY KNOWN — a
+    * caller-side aggregation (e.g. a calibration sweep over a BOUNDED
+    * keyspace, `SimHash.calibratedPairs`) holds the exact
+    * `(band, key, __cnt)` rows over the cap, so the split costs zero
+    * probe jobs: the hot set broadcasts from the driver and the split
+    * is the same hash anti/semi lookup pair splitHot's probe builds.
+    * `hotRows` must be exactly the over-cap buckets in a schema whose
+    * band/key types match `banded`'s (key type is caller-defined) with
+    * the occupancy as a third `__cnt` column.
+    */
+  def splitHotKnown(banded: DataFrame, hotRows: Seq[org.apache.spark.sql.Row],
+      hotSchema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, Option[DataFrame]) = {
+    if (hotRows.isEmpty) (banded, None)
+    else {
+      val local = banded.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), hotSchema)
+      val cold = banded.join(broadcast(local.select("band", "key")),
+        Seq("band", "key"), "left_anti")
+      val hot = banded.join(broadcast(local), Seq("band", "key"))
+      (cold, Some(hot))
     }
   }
 

@@ -70,21 +70,46 @@ object SimHash {
     *
     * @return one row per width: (w, cand_pairs, n_docs)
     */
-  def widthSweep(sigs: org.apache.spark.sql.DataFrame, shCol: String,
+  /** Per-bucket occupancy of the WHOLE width grid in one aggregation:
+    * (w, band, key, m). The 16-bit fingerprint bounds the result at
+    * Σ_w (bits/w)·2^w rows — 608 for the default grid — AT ANY CORPUS
+    * SIZE, which is what makes the SimHash family's calibrate-then-
+    * execute loop a single corpus pass: the collected occupancy drives
+    * both the width selection and the hot-bucket split
+    * ([[calibratedPairs]]), where the unbounded-keyspace families
+    * (MinHash, hyperplane) must pay a separate guard probe.
+    */
+  def occupancy(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       widthGrid: Seq[Int] = DefaultWidthGrid): org.apache.spark.sql.DataFrame = {
     require(widthGrid.nonEmpty && widthGrid.forall(w => bits % w == 0),
       s"width grid $widthGrid must be non-empty divisors of $bits")
-    val keyed = widthGrid.map { w =>
+    widthGrid.map { w =>
       bandKeys(sigs.select(col(shCol)), shCol, w)
         .select(lit(w).as("w"), col("band"), col("key"))
     }.reduce(_ unionByName _)
-    keyed.groupBy("w", "band", "key")
+      .groupBy("w", "band", "key")
       .agg(count(lit(1)).as("m"))
+  }
+
+  def widthSweep(sigs: org.apache.spark.sql.DataFrame, shCol: String,
+      widthGrid: Seq[Int] = DefaultWidthGrid): org.apache.spark.sql.DataFrame =
+    occupancy(sigs, shCol, widthGrid)
       .groupBy("w")
       .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
         sum(col("m")).as("tot"))
       .withColumn("n_docs", expr(s"tot div ($bits div w)"))
       .select("w", "cand_pairs", "n_docs")
+
+  /** The one selection comparator (ARCHITECTURE calibration table):
+    * narrowest (highest-recall) width whose load fits the per-doc
+    * budget; widest as fallback. `stats` rows are (w, candPairs, nDocs).
+    */
+  private def selectWidth(stats: Seq[(Int, Long, Long)], widthGrid: Seq[Int],
+      pairsPerDocBudget: Long): Int = {
+    val fitting = stats.collect {
+      case (w, p, n) if p <= n * pairsPerDocBudget => w
+    }
+    if (fitting.nonEmpty) fitting.min else widthGrid.max
   }
 
   /** Selection over [[widthSweep]]: the narrowest (highest-recall)
@@ -95,11 +120,49 @@ object SimHash {
   def calibrateWidth(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       widthGrid: Seq[Int] = DefaultWidthGrid,
       pairsPerDocBudget: Long = 20L): Int = {
-    val stats = widthSweep(sigs, shCol, widthGrid).collect()
-    val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
-        r.getAs[Long]("n_docs") * pairsPerDocBudget)
-      .map(_.getAs[Int]("w"))
-    if (fitting.nonEmpty) fitting.min else widthGrid.max
+    val stats = widthSweep(sigs, shCol, widthGrid).collect().toSeq
+      .map(r => (r.getAs[Int]("w"), r.getAs[Long]("cand_pairs"),
+        r.getAs[Long]("n_docs")))
+    selectWidth(stats, widthGrid, pairsPerDocBudget)
+  }
+
+  /** Calibrate-then-execute in ONE pass over the corpus: collect the
+    * grid [[occupancy]] (keyspace-bounded — never corpus-sized),
+    * select the width driver-side with the same comparator as
+    * [[calibrateWidth]], derive the selected width's over-cap buckets
+    * from the SAME collected rows, and run the banded join with the
+    * hot split already known ([[LshGuard.splitHotKnown]]) — the
+    * separate guard probe job (and its pass over the banded frame)
+    * that [[candidatePairs]] pays never runs.
+    *
+    * @return (selected width, pairs frame — the [[candidatePairs]]
+    *         schema and semantics, bit-identical to the probe path)
+    */
+  def calibratedPairs(sigs: org.apache.spark.sql.DataFrame, idCol: String,
+      shCol: String, widthGrid: Seq[Int] = DefaultWidthGrid,
+      pairsPerDocBudget: Long = 20L,
+      maxBucket: Int = LshGuard.DefaultMaxBucket)
+      : (Int, org.apache.spark.sql.DataFrame) = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val occ = occupancy(sigs, shCol, widthGrid)
+    val rows = occ.collect()
+    val stats = rows.groupBy(_.getAs[Int]("w")).map { case (w, rs) =>
+      val load = rs.map(r => { val m = r.getAs[Long]("m"); m * (m - 1) / 2 }).sum
+      val docs = rs.map(_.getAs[Long]("m")).sum / (bits / w)
+      (w, load, docs)
+    }.toSeq
+    val selected = selectWidth(stats, widthGrid, pairsPerDocBudget)
+    val hotSchema = org.apache.spark.sql.types.StructType(
+      occ.schema.filter(_.name != "w")
+        .map(f => if (f.name == "m") f.copy(name = "__cnt") else f))
+    val hotRows = rows.toSeq
+      .filter(r => r.getAs[Int]("w") == selected && r.getAs[Long]("m") > maxBucket)
+      .map(r => org.apache.spark.sql.Row(
+        r.getAs[Int]("band"), r.getAs[Long]("key"), r.getAs[Long]("m")))
+    val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, selected)
+    (selected,
+      pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
+        idCol, shCol))
   }
 
   /** Banded candidate pairs at `w` bits per band with the
@@ -127,7 +190,18 @@ object SimHash {
     // the cache, the two join sides then read cached blocks
     val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, w)
       .persist()
-    val (cold, hotOpt) = LshGuard.splitHot(banded, maxBucket)
+    pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, shCol)
+  }
+
+  /** The banded-join body shared by the probe path ([[candidatePairs]])
+    * and the known-occupancy path ([[calibratedPairs]]): exact
+    * all-pairs on the cold side, chain-links in (fingerprint, id)
+    * order on the hot side.
+    */
+  private def pairsFromSplit(
+      split: (org.apache.spark.sql.DataFrame, Option[org.apache.spark.sql.DataFrame]),
+      idCol: String, shCol: String): org.apache.spark.sql.DataFrame = {
+    val (cold, hotOpt) = split
     val l = cold.select(col(idCol).as("a"), col(shCol).as("sa"),
       col("band"), col("key"))
     val rj = cold.select(col(idCol).as("b"), col(shCol).as("sb"),

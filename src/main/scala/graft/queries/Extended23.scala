@@ -325,9 +325,13 @@ object Extended23 {
           .groupBy("doc_id")
           .agg(SimHash.simhashAgg(col("tok")).as("sh"))
           .persist() // sweep + selected-config join read it
-        val selected = SimHash.calibrateWidth(sigs, "sh", WidthGrid,
-          PairsPerDocBudget)
-        SimHash.candidatePairs(sigs, "doc_id", "sh", selected)
+        // fused calibrate-then-execute: the 16-bit keyspace bounds the
+        // grid occupancy at 608 rows at any corpus size, so ONE
+        // collected aggregation drives the selection AND the hot-bucket
+        // split — no separate LshGuard probe job over the banded frame
+        val (selected, pairs) = SimHash.calibratedPairs(sigs, "doc_id",
+          "sh", WidthGrid, PairsPerDocBudget)
+        pairs
           .withColumn("hamming", SimHash.hamming(col("sa"), col("sb")))
           .filter(col("hamming") <= 1)
           .select(col("a"), col("b"),

@@ -102,6 +102,36 @@ class Extended23Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("SimHash calibratedPairs == calibrateWidth + candidatePairs, both regimes") {
+    import graft.functions.{SimHash, TextFns}
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+      .persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    // sub-cap regime (the oracle-equality regime the gate runs in)
+    val real = sigsOf(Tables.docsParallel(spark, dir))
+    val wProbe = SimHash.calibrateWidth(real, "sh")
+    val (wFused, fused) = SimHash.calibratedPairs(real, "doc_id", "sh")
+    assert(wFused === wProbe, "fused selection must equal calibrateWidth")
+    assert(pairSet(fused) ===
+      pairSet(SimHash.candidatePairs(real, "doc_id", "sh", wProbe)))
+    // hot regime: identical fingerprints, every bucket over the cap —
+    // the known-occupancy split must chain-link exactly like the probe
+    val degen = sigsOf(spark.range(3000).selectExpr("id AS doc_id",
+      "'alpha beta gamma delta epsilon zeta' AS text"))
+    val (wd, fusedHot) = SimHash.calibratedPairs(degen, "doc_id", "sh",
+      pairsPerDocBudget = 5L)
+    assert(wd === SimHash.DefaultWidthGrid.max)
+    val hotPairs = pairSet(fusedHot)
+    assert(hotPairs === pairSet(
+      SimHash.candidatePairs(degen, "doc_id", "sh", wd)))
+    assert(hotPairs.size === 2999)
+    spark.catalog.clearCache()
+  }
+
   test("calibratedNearDup == nearDupFilter at the selected config") {
     val docs = Tables.docsParallel(spark, dir).transform(Curation.withTokens())
     val (b, kept) = Curation.calibratedNearDup()(docs)
