@@ -132,6 +132,52 @@ class Extended23Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("SimHash fused calibration runs fewer jobs than sweep-then-probe") {
+    // the fusion's whole point: one collected occupancy replaces the
+    // sweep collect + the LshGuard probe collect. Count Spark jobs
+    // around each full path (selection + pairs materialization) —
+    // comparative, not absolute, so AQE job-splitting can't flake it
+    import graft.functions.{SimHash, TextFns}
+    val sigs = Tables.docsParallel(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+      .persist()
+    sigs.count() // materialize outside both timed regions
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // listener delivery is async: settle = poll until the counter is
+    // quiet for 300 ms (the public API has no bus-flush hook)
+    def settle(): Int = {
+      var last = -1; var cur = jobs.get()
+      while (cur != last) { last = cur; Thread.sleep(300); cur = jobs.get() }
+      cur
+    }
+    def countJobs(body: => Unit): Int = {
+      val before = settle(); body; settle() - before
+    }
+    try {
+      val probeJobs = countJobs {
+        val w = SimHash.calibrateWidth(sigs, "sh")
+        SimHash.candidatePairs(sigs, "doc_id", "sh", w).count(): Unit
+      }
+      val fusedJobs = countJobs {
+        SimHash.calibratedPairs(sigs, "doc_id", "sh")._2.count(): Unit
+      }
+      assert(fusedJobs < probeJobs,
+        s"fused path must run fewer jobs (fused=$fusedJobs, probe=$probeJobs)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("calibratedNearDup == nearDupFilter at the selected config") {
     val docs = Tables.docsParallel(spark, dir).transform(Curation.withTokens())
     val (b, kept) = Curation.calibratedNearDup()(docs)
