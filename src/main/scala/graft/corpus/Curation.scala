@@ -108,9 +108,18 @@ object Curation {
     val sigs = MinHashLsh
       .signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
       .persist()
-    val selected =
-      MinHashLsh.calibrateBands(sigs, idCol, k, bandGrid, pairsPerDocBudget)
-    val drop = MinHashLsh.candidatePairs(sigs, idCol, k, selected)
+    // fused calibrate-then-execute: the sweep's persisted occupancy
+    // yields the selected config's over-cap buckets, so the executing
+    // join skips LshGuard's separate probe pass (pathological hot sets
+    // past HotKeyCollectCap fall back to the probing path)
+    val (selected, hotOpt) = MinHashLsh.calibrateBandsFused(
+      sigs, idCol, k, bandGrid, pairsPerDocBudget)
+    val pairs = hotOpt match {
+      case Some((rows, schema)) =>
+        MinHashLsh.candidatePairsKnown(sigs, idCol, k, selected, rows, schema)
+      case None => MinHashLsh.candidatePairs(sigs, idCol, k, selected)
+    }
+    val drop = pairs
       .filter(col("est") >= threshold)
       .select(col("b").as(idCol)).distinct()
     (selected, df.join(drop, Seq(idCol), "left_anti"),

@@ -204,12 +204,70 @@ object MinHashLsh {
         sum(col("m")).as("tot"))
       .withColumn("n_docs", expr("tot div bands"))
       .collect()
+    selectBands(stats, bandGrid, pairsPerDocBudget)
+  }
+
+  /** The one selection comparator (ARCHITECTURE calibration table):
+    * most bands (highest recall) whose load fits the per-doc budget;
+    * fewest bands as fallback; `bandGrid.min` on an empty frame.
+    */
+  private def selectBands(stats: Array[org.apache.spark.sql.Row],
+      bandGrid: Seq[Int], pairsPerDocBudget: Long): Int = {
     val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
         r.getAs[Long]("n_docs") * pairsPerDocBudget)
       .map(_.getAs[Int]("bands"))
     if (fitting.nonEmpty) fitting.max
     else if (stats.nonEmpty) stats.map(_.getAs[Int]("bands")).min
     else bandGrid.min // no signed docs — any config is a no-op
+  }
+
+  /** [[calibrateBands]] fused with the hot-bucket discovery the
+    * executing join would otherwise probe for: the sweep's per-bucket
+    * occupancy intermediate (bands, band, key, m) is persisted for
+    * the duration of the call, so the selected config's over-cap
+    * buckets come from a cached-scan filter instead of a second
+    * corpus-wide aggregation ([[LshGuard.splitHot]]'s probe). Unlike
+    * the SimHash family, the md5 keyspace is corpus-sized — the
+    * occupancy cannot be collected wholesale — so the fusion persists
+    * the distributed frame and collects only the (bounded) hot
+    * subset.
+    *
+    * @return (selected bands, Some((hotRows, schema)) with exactly the
+    *         over-cap buckets for [[candidatePairsKnown]], or None
+    *         when the hot set exceeded [[LshGuard.HotKeyCollectCap]] —
+    *         the pathological regime where the caller must fall back
+    *         to the probing [[candidatePairs]] and its distributed
+    *         split)
+    */
+  def calibrateBandsFused(sigs: DataFrame, idCol: String, k: Int,
+      bandGrid: Seq[Int], pairsPerDocBudget: Long,
+      maxBucket: Int = LshGuard.DefaultMaxBucket)
+      : (Int, Option[(Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]) = {
+    require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
+      s"band grid $bandGrid must be non-empty divisors of k=$k")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val keyed = bandGrid.map { b =>
+      bandKeys(sigs, idCol, k, b)
+        .select(lit(b).as("bands"), col("band"), col("key"))
+    }.reduce(_ unionByName _)
+    val occ = keyed.groupBy("bands", "band", "key")
+      .agg(count(lit(1)).as("m")).persist()
+    try {
+      val stats = occ.groupBy("bands")
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+          sum(col("m")).as("tot"))
+        .withColumn("n_docs", expr("tot div bands"))
+        .collect()
+      val selected = selectBands(stats, bandGrid, pairsPerDocBudget)
+      val hotFrame = occ.filter(col("bands") === selected &&
+          col("m") > maxBucket)
+        .select(col("band"), col("key"), col("m").as("__cnt"))
+      val hot = hotFrame.limit(LshGuard.HotKeyCollectCap + 1).collect()
+      (selected,
+        if (hot.length > LshGuard.HotKeyCollectCap) None
+        else Some((hot.toSeq, hotFrame.schema)))
+    } finally { occ.unpersist(blocking = false); () }
   }
 
   /** Candidate pairs with the [[LshGuard]] hot-bucket cap: buckets
@@ -239,8 +297,33 @@ object MinHashLsh {
     // below materializes the cache as a side effect, so the self-join
     // reads only cached blocks.
     val banded = bandKeys(sigs, idCol, k, bands).persist()
-    val (cold, hotOpt) = LshGuard.splitHot(banded, maxBucket)
+    pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, k)
+  }
 
+  /** [[candidatePairs]] when the selected config's over-cap buckets
+    * are ALREADY KNOWN (a fused calibration sweep,
+    * [[calibrateBandsFused]]) — same pairs, same chain-link semantics,
+    * zero occupancy-probe jobs. `hotRows`/`hotSchema` follow the
+    * [[LshGuard.splitHotKnown]] contract.
+    */
+  def candidatePairsKnown(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+      hotRows: Seq[org.apache.spark.sql.Row],
+      hotSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // still persisted: the self-join references the banded subplan on
+    // both sides; the cache materializes during the join job itself
+    // (no probe runs ahead of it on this path)
+    val banded = bandKeys(sigs, idCol, k, bands).persist()
+    pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
+      idCol, k)
+  }
+
+  /** The banded-join body shared by the probe path and the
+    * known-occupancy path: exact all-pairs + est on the cold side,
+    * (signature, id)-ordered chain links on the hot side.
+    */
+  private def pairsFromSplit(split: (DataFrame, Option[DataFrame]),
+      idCol: String, k: Int): DataFrame = {
+    val (cold, hotOpt) = split
     val l = cold.as("l")
     val rj = cold.as("r")
     val matches = (0 until k)

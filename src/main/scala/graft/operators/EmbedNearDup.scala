@@ -70,16 +70,48 @@ object EmbedNearDup {
       planesPerBand: Int, dim: Int, minCos: Double,
       maxBucket: Int = LshGuard.DefaultMaxBucket): (DataFrame, () => Unit) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val banded = bandedFrame(vecs, idCol, bands, planesPerBand, dim).persist()
+    (pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, minCos),
+      () => { banded.unpersist(blocking = false); () })
+  }
+
+  /** [[bandedPairsWithCleanup]] when the selected config's over-cap
+    * cells are ALREADY KNOWN (the fused calibration,
+    * [[calibratePlanesFused]]) — same pairs, same chain semantics,
+    * zero occupancy-probe jobs. `hotRows`/`hotSchema` follow the
+    * [[LshGuard.splitHotKnown]] contract.
+    */
+  def bandedPairsKnown(vecs: DataFrame, idCol: String, bands: Int,
+      planesPerBand: Int, dim: Int, minCos: Double,
+      hotRows: Seq[org.apache.spark.sql.Row],
+      hotSchema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, () => Unit) = {
+    val banded = bandedFrame(vecs, idCol, bands, planesPerBand, dim).persist()
+    (pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
+        idCol, minCos),
+      () => { banded.unpersist(blocking = false); () })
+  }
+
+  /** One row per (vector, band) with the band's packed sign key. */
+  private def bandedFrame(vecs: DataFrame, idCol: String, bands: Int,
+      planesPerBand: Int, dim: Int): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         VecFns.lshBandKey(col("vq"), b, planesPerBand, dim).as("key"))
     }
-    val banded = vecs
+    vecs
       .withColumn("__bk", explode(array(bandKeys: _*)))
       .select(col(idCol), col("vq"), col("nsq"),
         col("__bk.band").as("band"), col("__bk.key").as("key"))
-      .persist()
-    val (cold, hotOpt) = LshGuard.splitHot(banded, maxBucket)
+  }
+
+  /** The banded-join body shared by the probe path and the
+    * known-occupancy path: all-pairs + exact cosine verify on the
+    * cold side, (vector, id)-ordered chain links on the hot side.
+    */
+  private def pairsFromSplit(split: (DataFrame, Option[DataFrame]),
+      idCol: String, minCos: Double): DataFrame = {
+    val (cold, hotOpt) = split
 
     val l = cold.select(col(idCol).as("a"), col("vq").as("a_vq"),
       col("nsq").as("a_nsq"), col("band"), col("key"))
@@ -118,7 +150,7 @@ object EmbedNearDup {
     // distinct before scoring: a pair sharing several bands (possibly
     // cold in one, chained in another) must be examined exactly once
     val cand = hotCand.fold(coldCand)(coldCand.unionByName).distinct()
-    (verify(cand, minCos), () => { banded.unpersist(blocking = false); () })
+    verify(cand, minCos)
   }
 
   /** Calibrate-then-execute banded pairs — the operator that CONSUMES
@@ -152,10 +184,18 @@ object EmbedNearDup {
       planeGrid: Seq[Int], dim: Int, minCos: Double,
       pairsPerVecBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame, () => Unit) = {
-    val selected = calibratePlanes(vecs, bands, planeGrid, dim,
-      pairsPerVecBudget)
-    val (pairs, release) = bandedPairsWithCleanup(
-      vecs, idCol, bands, selected, dim, minCos, maxBucket)
+    // fused calibrate-then-execute: the sweep's persisted occupancy
+    // yields the selected config's over-cap cells, so the executing
+    // join skips LshGuard's separate probe pass (pathological hot sets
+    // past HotKeyCollectCap fall back to the probing path)
+    val (selected, hotOpt) = calibratePlanesFused(vecs, bands, planeGrid,
+      dim, pairsPerVecBudget, maxBucket)
+    val (pairs, release) = hotOpt match {
+      case Some((rows, schema)) => bandedPairsKnown(
+        vecs, idCol, bands, selected, dim, minCos, rows, schema)
+      case None => bandedPairsWithCleanup(
+        vecs, idCol, bands, selected, dim, minCos, maxBucket)
+    }
     (selected, pairs, release)
   }
 
@@ -191,11 +231,72 @@ object EmbedNearDup {
       // every vector opens a key in every band, so tot = bands · N
       .withColumn("n_vec", expr(s"tot div $bands"))
       .collect() // |planeGrid| rows — constant-size by construction
+    selectPlanes(stats, planeGrid, pairsPerVecBudget)
+  }
+
+  /** The one selection comparator (ARCHITECTURE calibration table):
+    * fewest planes (highest recall) whose load fits the per-vector
+    * budget; most planes as fallback.
+    */
+  private def selectPlanes(stats: Array[org.apache.spark.sql.Row],
+      planeGrid: Seq[Int], pairsPerVecBudget: Long): Int = {
     val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
         r.getAs[Long]("n_vec") * pairsPerVecBudget)
       .map(_.getAs[Int]("p"))
     if (fitting.nonEmpty) fitting.min
     else planeGrid.max
+  }
+
+  /** [[calibratePlanes]] fused with the hot-cell discovery the
+    * executing join would otherwise probe for (the
+    * `MinHashLsh.calibrateBandsFused` shape): the sweep's per-cell
+    * occupancy intermediate persists for the duration of the call, so
+    * the selected config's over-cap cells come from a cached-scan
+    * filter instead of a second corpus-wide aggregation. The swept
+    * keys are built from the shared plane signs
+    * (`VecFns.lshBandKeyFromSigns`) and the executed join's from the
+    * vectors directly (`VecFns.lshBandKey`) — the same packed-sign
+    * values by construction, pinned by the fused-parity spec.
+    *
+    * @return (selected planes, Some((hotRows, schema)) for
+    *         [[bandedPairsKnown]], or None past
+    *         [[LshGuard.HotKeyCollectCap]] — fall back to the probing
+    *         [[bandedPairs]])
+    */
+  def calibratePlanesFused(vecs: DataFrame, bands: Int, planeGrid: Seq[Int],
+      dim: Int, pairsPerVecBudget: Long = 20L,
+      maxBucket: Int = LshGuard.DefaultMaxBucket)
+      : (Int, Option[(Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]) = {
+    require(planeGrid.nonEmpty, "planeGrid must be non-empty")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val maxPlanes = bands * planeGrid.max
+    val signed = vecs.select((0 until maxPlanes).map(j =>
+      VecFns.planeSign(col("vq"), j, dim).as(s"__sg$j")): _*)
+    val keyed = signed.select(explode(array(
+        (for { p <- planeGrid; b <- 0 until bands } yield
+          struct(lit(p).as("p"), lit(b).as("band"),
+            VecFns.lshBandKeyFromSigns(j => col(s"__sg$j"), b, p)
+              .as("key"))): _*))
+        .as("bk"))
+      .select(col("bk.p"), col("bk.band"), col("bk.key"))
+    val occ = keyed.groupBy("p", "band", "key")
+      .agg(count(lit(1)).as("m")).persist()
+    try {
+      val stats = occ.groupBy("p")
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+          sum(col("m")).as("tot"))
+        .withColumn("n_vec", expr(s"tot div $bands"))
+        .collect()
+      val selected = selectPlanes(stats, planeGrid, pairsPerVecBudget)
+      val hotFrame = occ.filter(col("p") === selected &&
+          col("m") > maxBucket)
+        .select(col("band"), col("key"), col("m").as("__cnt"))
+      val hot = hotFrame.limit(LshGuard.HotKeyCollectCap + 1).collect()
+      (selected,
+        if (hot.length > LshGuard.HotKeyCollectCap) None
+        else Some((hot.toSeq, hotFrame.schema)))
+    } finally { occ.unpersist(blocking = false); () }
   }
 
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.

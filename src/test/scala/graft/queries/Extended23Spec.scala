@@ -132,6 +132,91 @@ class Extended23Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("MinHash calibrateBandsFused == calibrateBands + probe, both regimes") {
+    import graft.functions.{MinHashLsh, TextFns}
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = MinHashLsh
+      .signaturesFromTokens(df.withColumn("__t", TextFns.tokens(col("text"))),
+        "doc_id", "__t", 3, 12)
+      .persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val grid = Seq(2, 3, 4, 6)
+    // sub-cap regime: fused selection == calibrateBands, no hot rows,
+    // and the executed pair set matches the probing path exactly
+    val real = sigsOf(Tables.docsParallel(spark, dir))
+    val sel = MinHashLsh.calibrateBands(real, "doc_id", 12, grid, 20L)
+    val (selF, hotOpt) = MinHashLsh.calibrateBandsFused(
+      real, "doc_id", 12, grid, 20L)
+    assert(selF === sel, "fused selection must equal calibrateBands")
+    val hot = hotOpt.getOrElse(fail("hot set should be exactly known"))
+    assert(hot._1.isEmpty, "gate-scale corpus has no over-cap bucket")
+    assert(pairSet(MinHashLsh.candidatePairsKnown(
+        real, "doc_id", 12, selF, hot._1, hot._2)) ===
+      pairSet(MinHashLsh.candidatePairs(real, "doc_id", 12, sel)))
+    // hot regime: identical docs put the whole corpus behind one key
+    // per band — the known-occupancy split must chain-link exactly
+    // like the probe path (m−1 pairs, deduped across bands)
+    val degen = sigsOf(spark.range(3000).selectExpr("id AS doc_id",
+      "'alpha beta gamma delta epsilon zeta' AS text"))
+    val (selD, hotD) = MinHashLsh.calibrateBandsFused(
+      degen, "doc_id", 12, grid, 5L)
+    val hd = hotD.getOrElse(fail("degenerate hot set is tiny and known"))
+    assert(hd._1.nonEmpty, "every bucket of the fallback config is hot")
+    val fusedPairs = pairSet(MinHashLsh.candidatePairsKnown(
+      degen, "doc_id", 12, selD, hd._1, hd._2))
+    assert(fusedPairs ===
+      pairSet(MinHashLsh.candidatePairs(degen, "doc_id", 12, selD)))
+    assert(fusedPairs.size === 2999)
+    spark.catalog.clearCache()
+  }
+
+  test("hyperplane calibratePlanesFused == calibratePlanes + probe, both regimes") {
+    import graft.functions.VecFns
+    import graft.operators.EmbedNearDup
+    graft.functions.expressions.GraftFunctions.register(spark)
+    def pairMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val grid = Seq(2, 4, 6, 8)
+    // sub-cap regime: real embeddings — fused selection equals the
+    // sweep's, hot set is exactly known and empty, pair sets identical
+    // (this also pins lshBandKeyFromSigns == lshBandKey key values:
+    // a mismatched key construction would desync hot-cell discovery)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+      .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+      .persist()
+    val sel = EmbedNearDup.calibratePlanes(vecs, 4, grid, 64)
+    val (selF, hotOpt) = EmbedNearDup.calibratePlanesFused(vecs, 4, grid, 64)
+    assert(selF === sel, "fused selection must equal calibratePlanes")
+    val hot = hotOpt.getOrElse(fail("hot set should be exactly known"))
+    assert(hot._1.isEmpty, "gate-scale embeddings have no over-cap cell")
+    val (known, rel1) = EmbedNearDup.bandedPairsKnown(
+      vecs, "vec_id", 4, selF, 64, 0.4, hot._1, hot._2)
+    val probed = EmbedNearDup.bandedPairs(vecs, "vec_id", 4, sel, 64, 0.4)
+    assert(pairMap(known) === pairMap(probed))
+    rel1()
+    // hot regime: 3000 identical vectors collapse every cell of every
+    // config — the known-occupancy split must chain-link like the probe
+    val degen = spark.range(3000).selectExpr("id AS vec_id",
+        s"transform(sequence(1, 64), x -> CAST(0.125 AS DOUBLE)) AS embedding")
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+      .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+      .persist()
+    val (selD, hotD) = EmbedNearDup.calibratePlanesFused(degen, 4, grid, 64,
+      pairsPerVecBudget = 5L)
+    val hd = hotD.getOrElse(fail("degenerate hot set is tiny and known"))
+    assert(hd._1.nonEmpty, "every cell of the fallback config is hot")
+    val (knownD, rel2) = EmbedNearDup.bandedPairsKnown(
+      degen, "vec_id", 4, selD, 64, 0.4, hd._1, hd._2)
+    val kd = pairMap(knownD)
+    assert(kd === pairMap(EmbedNearDup.bandedPairs(
+      degen, "vec_id", 4, selD, 64, 0.4)))
+    assert(kd.size === 2999, "identical-vector chain links, deduped")
+    assert(kd.values.forall(_ == 1.0), "chain links verify at cos = 1")
+    rel2()
+    spark.catalog.clearCache()
+  }
+
   test("SimHash fused calibration runs fewer jobs than sweep-then-probe") {
     // the fusion's whole point: one collected occupancy replaces the
     // sweep collect + the LshGuard probe collect. Count Spark jobs
