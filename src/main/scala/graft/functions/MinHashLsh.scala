@@ -309,10 +309,15 @@ object MinHashLsh {
   def candidatePairsKnown(sigs: DataFrame, idCol: String, k: Int, bands: Int,
       hotRows: Seq[org.apache.spark.sql.Row],
       hotSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    // still persisted: the self-join references the banded subplan on
-    // both sides; the cache materializes during the join job itself
-    // (no probe runs ahead of it on this path)
     val banded = bandKeys(sigs, idCol, k, bands).persist()
+    // materialize the cache with a SHUFFLE-FREE count before the
+    // self-join (the probe path got this as a side effect of its
+    // aggregation): against an unmaterialized cache the join's two
+    // map stages launch concurrently and each computes every banded
+    // partition — the per-band md5 work runs twice (same-JVM A/B at
+    // 500 k docs: +2 s on the join). The count scans once and writes
+    // the blocks; unlike the probe it shuffles nothing.
+    banded.count(): Unit
     pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
       idCol, k)
   }

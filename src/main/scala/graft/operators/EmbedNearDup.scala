@@ -87,6 +87,10 @@ object EmbedNearDup {
       hotSchema: org.apache.spark.sql.types.StructType)
       : (DataFrame, () => Unit) = {
     val banded = bandedFrame(vecs, idCol, bands, planesPerBand, dim).persist()
+    // shuffle-free cache materialization before the self-join — see
+    // MinHashLsh.candidatePairsKnown (without it the two join map
+    // stages each re-run the per-band sign dot products)
+    banded.count(): Unit
     (pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
         idCol, minCos),
       () => { banded.unpersist(blocking = false); () })
