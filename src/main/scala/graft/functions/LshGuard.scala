@@ -148,6 +148,27 @@ object LshGuard {
     }
   }
 
+  /** The hot-subset side of the [[splitHot]] probe policy for callers
+    * that already HOLD per-bucket occupancy (the fused calibration
+    * sweeps): given the selected config's (band, key, m) occupancy
+    * frame, collect the over-cap buckets in the [[splitHotKnown]]
+    * row/schema contract (`__cnt` third column). Returns None past
+    * [[HotKeyCollectCap]] — the pathological regime where the caller
+    * must fall back to the probing path and its distributed split.
+    * Keeping this here means the cap policy and the hot-row schema
+    * live in ONE place next to the splits that consume them.
+    */
+  def collectHotKnown(occ: DataFrame, maxBucket: Int)
+      : Option[(Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)] = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val hotFrame = occ.filter(col("m") > maxBucket)
+      .select(col("band"), col("key"), col("m").as("__cnt"))
+    val hot = hotFrame.limit(HotKeyCollectCap + 1).collect()
+    if (hot.length > HotKeyCollectCap) None
+    else Some((hot.toSeq, hotFrame.schema))
+  }
+
   /** [[capBuckets]] for a COLLISION-BOUNDED slice — the streaming
     * standing-index probe's semi-joined index slice, whose size is
     * bounded by the batch's collisions, not the index. There the

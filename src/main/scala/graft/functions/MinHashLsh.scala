@@ -191,21 +191,33 @@ object MinHashLsh {
     */
   def calibrateBands(sigs: DataFrame, idCol: String, k: Int,
       bandGrid: Seq[Int], pairsPerDocBudget: Long): Int = {
+    val stats = sweepStats(gridOccupancy(sigs, idCol, k, bandGrid)).collect()
+    selectBands(stats, bandGrid, pairsPerDocBudget)
+  }
+
+  /** Per-bucket occupancy of the WHOLE band grid in one aggregation:
+    * (bands, band, key, m) — the single sweep definition both
+    * [[calibrateBands]] and [[calibrateBandsFused]] consume, so the
+    * probe and fused selections can never desync.
+    */
+  private def gridOccupancy(sigs: DataFrame, idCol: String, k: Int,
+      bandGrid: Seq[Int]): DataFrame = {
     require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
       s"band grid $bandGrid must be non-empty divisors of k=$k")
-    val keyed = bandGrid.map { b =>
+    bandGrid.map { b =>
       bandKeys(sigs, idCol, k, b)
         .select(lit(b).as("bands"), col("band"), col("key"))
     }.reduce(_ unionByName _)
-    val stats = keyed.groupBy("bands", "band", "key")
+      .groupBy("bands", "band", "key")
       .agg(count(lit(1)).as("m"))
-      .groupBy("bands")
+  }
+
+  /** Per-config load/doc stats over a [[gridOccupancy]] frame. */
+  private def sweepStats(occ: DataFrame): DataFrame =
+    occ.groupBy("bands")
       .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
         sum(col("m")).as("tot"))
       .withColumn("n_docs", expr("tot div bands"))
-      .collect()
-    selectBands(stats, bandGrid, pairsPerDocBudget)
-  }
 
   /** The one selection comparator (ARCHITECTURE calibration table):
     * most bands (highest recall) whose load fits the per-doc budget;
@@ -244,29 +256,12 @@ object MinHashLsh {
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, Option[(Seq[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType)]) = {
-    require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
-      s"band grid $bandGrid must be non-empty divisors of k=$k")
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val keyed = bandGrid.map { b =>
-      bandKeys(sigs, idCol, k, b)
-        .select(lit(b).as("bands"), col("band"), col("key"))
-    }.reduce(_ unionByName _)
-    val occ = keyed.groupBy("bands", "band", "key")
-      .agg(count(lit(1)).as("m")).persist()
+    val occ = gridOccupancy(sigs, idCol, k, bandGrid).persist()
     try {
-      val stats = occ.groupBy("bands")
-        .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
-          sum(col("m")).as("tot"))
-        .withColumn("n_docs", expr("tot div bands"))
-        .collect()
+      val stats = sweepStats(occ).collect()
       val selected = selectBands(stats, bandGrid, pairsPerDocBudget)
-      val hotFrame = occ.filter(col("bands") === selected &&
-          col("m") > maxBucket)
-        .select(col("band"), col("key"), col("m").as("__cnt"))
-      val hot = hotFrame.limit(LshGuard.HotKeyCollectCap + 1).collect()
-      (selected,
-        if (hot.length > LshGuard.HotKeyCollectCap) None
-        else Some((hot.toSeq, hotFrame.schema)))
+      (selected, LshGuard.collectHotKnown(
+        occ.filter(col("bands") === selected), maxBucket))
     } finally { occ.unpersist(blocking = false); () }
   }
 

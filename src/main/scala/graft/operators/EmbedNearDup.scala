@@ -214,29 +214,44 @@ object EmbedNearDup {
     */
   def calibratePlanes(vecs: DataFrame, bands: Int, planeGrid: Seq[Int],
       dim: Int, pairsPerVecBudget: Long = 20L): Int = {
+    val stats =
+      sweepStats(gridOccupancy(vecs, bands, planeGrid, dim), bands).collect()
+    selectPlanes(stats, planeGrid, pairsPerVecBudget)
+  }
+
+  /** Per-cell occupancy of the WHOLE planes grid in one aggregation:
+    * (p, band, key, m) — the single sweep definition both
+    * [[calibratePlanes]] and [[calibratePlanesFused]] consume, so the
+    * probe and fused selections can never desync. Plane signs
+    * materialize once per vector (shared across configs — see
+    * `VecFns.planeSign`); keys are then pure bit assembly.
+    */
+  private def gridOccupancy(vecs: DataFrame, bands: Int,
+      planeGrid: Seq[Int], dim: Int): DataFrame = {
     require(planeGrid.nonEmpty, "planeGrid must be non-empty")
-    // plane signs materialize once per vector (shared across configs
-    // — see VecFns.planeSign); keys are then pure bit assembly
     val maxPlanes = bands * planeGrid.max
     val signed = vecs.select((0 until maxPlanes).map(j =>
       VecFns.planeSign(col("vq"), j, dim).as(s"__sg$j")): _*)
-    val keyed = signed.select(explode(array(
+    signed.select(explode(array(
         (for { p <- planeGrid; b <- 0 until bands } yield
           struct(lit(p).as("p"), lit(b).as("band"),
             VecFns.lshBandKeyFromSigns(j => col(s"__sg$j"), b, p)
               .as("key"))): _*))
         .as("bk"))
       .select(col("bk.p"), col("bk.band"), col("bk.key"))
-    val stats = keyed.groupBy("p", "band", "key")
+      .groupBy("p", "band", "key")
       .agg(count(lit(1)).as("m"))
-      .groupBy("p")
+  }
+
+  /** Per-config load/vector stats over a [[gridOccupancy]] frame
+    * (every vector opens a key in every band, so tot = bands · N);
+    * |planeGrid| rows — constant-size by construction.
+    */
+  private def sweepStats(occ: DataFrame, bands: Int): DataFrame =
+    occ.groupBy("p")
       .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
         sum(col("m")).as("tot"))
-      // every vector opens a key in every band, so tot = bands · N
       .withColumn("n_vec", expr(s"tot div $bands"))
-      .collect() // |planeGrid| rows — constant-size by construction
-    selectPlanes(stats, planeGrid, pairsPerVecBudget)
-  }
 
   /** The one selection comparator (ARCHITECTURE calibration table):
     * fewest planes (highest recall) whose load fits the per-vector
@@ -272,34 +287,12 @@ object EmbedNearDup {
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, Option[(Seq[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType)]) = {
-    require(planeGrid.nonEmpty, "planeGrid must be non-empty")
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val maxPlanes = bands * planeGrid.max
-    val signed = vecs.select((0 until maxPlanes).map(j =>
-      VecFns.planeSign(col("vq"), j, dim).as(s"__sg$j")): _*)
-    val keyed = signed.select(explode(array(
-        (for { p <- planeGrid; b <- 0 until bands } yield
-          struct(lit(p).as("p"), lit(b).as("band"),
-            VecFns.lshBandKeyFromSigns(j => col(s"__sg$j"), b, p)
-              .as("key"))): _*))
-        .as("bk"))
-      .select(col("bk.p"), col("bk.band"), col("bk.key"))
-    val occ = keyed.groupBy("p", "band", "key")
-      .agg(count(lit(1)).as("m")).persist()
+    val occ = gridOccupancy(vecs, bands, planeGrid, dim).persist()
     try {
-      val stats = occ.groupBy("p")
-        .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
-          sum(col("m")).as("tot"))
-        .withColumn("n_vec", expr(s"tot div $bands"))
-        .collect()
+      val stats = sweepStats(occ, bands).collect()
       val selected = selectPlanes(stats, planeGrid, pairsPerVecBudget)
-      val hotFrame = occ.filter(col("p") === selected &&
-          col("m") > maxBucket)
-        .select(col("band"), col("key"), col("m").as("__cnt"))
-      val hot = hotFrame.limit(LshGuard.HotKeyCollectCap + 1).collect()
-      (selected,
-        if (hot.length > LshGuard.HotKeyCollectCap) None
-        else Some((hot.toSeq, hotFrame.schema)))
+      (selected, LshGuard.collectHotKnown(
+        occ.filter(col("p") === selected), maxBucket))
     } finally { occ.unpersist(blocking = false); () }
   }
 

@@ -217,46 +217,107 @@ class Extended23Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("SimHash fused calibration runs fewer jobs than sweep-then-probe") {
-    // the fusion's whole point: one collected occupancy replaces the
-    // sweep collect + the LshGuard probe collect. Count Spark jobs
-    // around each full path (selection + pairs materialization) —
-    // comparative, not absolute, so AQE job-splitting can't flake it
-    import graft.functions.{SimHash, TextFns}
-    val sigs = Tables.docsParallel(spark, dir)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .distinct()
-      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
-      .persist()
-    sigs.count() // materialize outside both timed regions
+  test("fused calibration: fewer jobs (SimHash), less shuffle (MinHash, hyperplane)") {
+    // each family's precise fused-path claim, asserted comparatively
+    // (not absolutely, so AQE job-splitting can't flake it):
+    //  - SimHash collects the whole bounded-keyspace occupancy, so
+    //    ONE collect replaces the sweep collect + the probe collect →
+    //    strictly fewer jobs;
+    //  - MinHash/hyperplane keep the occupancy distributed (persisted)
+    //    and trade the probe's corpus-wide groupBy SHUFFLE for a
+    //    cached-scan hot filter + a shuffle-free materializing count →
+    //    job counts tie, shuffle-write volume strictly drops.
+    import graft.functions.{MinHashLsh, SimHash, TextFns, VecFns}
+    import graft.operators.EmbedNearDup
+    graft.functions.expressions.GraftFunctions.register(spark)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(): Unit
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleRecs.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten): Unit
+      }
     }
     spark.sparkContext.addSparkListener(listener)
-    // listener delivery is async: settle = poll until the counter is
+    // listener delivery is async: settle = poll until the counters are
     // quiet for 300 ms (the public API has no bus-flush hook)
-    def settle(): Int = {
-      var last = -1; var cur = jobs.get()
-      while (cur != last) { last = cur; Thread.sleep(300); cur = jobs.get() }
+    def settle(): (Int, Long) = {
+      var last = (-1, -1L); var cur = (jobs.get(), shuffleRecs.get())
+      while (cur != last) {
+        last = cur; Thread.sleep(300); cur = (jobs.get(), shuffleRecs.get())
+      }
       cur
     }
-    def countJobs(body: => Unit): Int = {
-      val before = settle(); body; settle() - before
+    def measure(body: => Unit): (Int, Long) = {
+      val (j0, s0) = settle(); body; val (j1, s1) = settle()
+      (j1 - j0, s1 - s0)
     }
     try {
-      val probeJobs = countJobs {
+      // SimHash: fewer jobs
+      val sigs = Tables.docsParallel(spark, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+        .persist()
+      sigs.count() // materialize outside both measured regions
+      val (shProbeJobs, _) = measure {
         val w = SimHash.calibrateWidth(sigs, "sh")
         SimHash.candidatePairs(sigs, "doc_id", "sh", w).count(): Unit
       }
-      val fusedJobs = countJobs {
+      val (shFusedJobs, _) = measure {
         SimHash.calibratedPairs(sigs, "doc_id", "sh")._2.count(): Unit
       }
-      assert(fusedJobs < probeJobs,
-        s"fused path must run fewer jobs (fused=$fusedJobs, probe=$probeJobs)")
+      assert(shFusedJobs < shProbeJobs,
+        s"SimHash fused must run fewer jobs ($shFusedJobs vs $shProbeJobs)")
+      spark.catalog.clearCache()
+
+      // MinHash: strictly less shuffle-write volume
+      val mh = MinHashLsh.signaturesFromTokens(
+        Tables.docsParallel(spark, dir)
+          .withColumn("__t", TextFns.tokens(col("text"))),
+        "doc_id", "__t", 3, 12).persist()
+      mh.count()
+      val (_, mhProbeShuffle) = measure {
+        val b = MinHashLsh.calibrateBands(mh, "doc_id", 12, Seq(2, 3, 4, 6), 20L)
+        MinHashLsh.candidatePairs(mh, "doc_id", 12, b).count(): Unit
+      }
+      val (_, mhFusedShuffle) = measure {
+        val (b, hot) = MinHashLsh.calibrateBandsFused(
+          mh, "doc_id", 12, Seq(2, 3, 4, 6), 20L)
+        val (rows, schema) = hot.get
+        MinHashLsh.candidatePairsKnown(mh, "doc_id", 12, b, rows, schema)
+          .count(): Unit
+      }
+      assert(mhFusedShuffle < mhProbeShuffle,
+        s"MinHash fused must shuffle fewer records" +
+          s" ($mhFusedShuffle vs $mhProbeShuffle)")
+      spark.catalog.clearCache()
+
+      // hyperplane: strictly less shuffle-write volume
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+        .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+        .persist()
+      vecs.count()
+      val grid = Seq(2, 4, 6, 8)
+      val (_, hpProbeShuffle) = measure {
+        val p = EmbedNearDup.calibratePlanes(vecs, 4, grid, 64)
+        EmbedNearDup.bandedPairs(vecs, "vec_id", 4, p, 64, 0.4).count(): Unit
+      }
+      val (_, hpFusedShuffle) = measure {
+        val (p, hot) = EmbedNearDup.calibratePlanesFused(vecs, 4, grid, 64)
+        val (rows, schema) = hot.get
+        EmbedNearDup.bandedPairsKnown(
+          vecs, "vec_id", 4, p, 64, 0.4, rows, schema)._1.count(): Unit
+      }
+      assert(hpFusedShuffle < hpProbeShuffle,
+        s"hyperplane fused must shuffle fewer records" +
+          s" ($hpFusedShuffle vs $hpProbeShuffle)")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.catalog.clearCache()
