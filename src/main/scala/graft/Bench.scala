@@ -163,11 +163,12 @@ object Bench {
     // Durable copy: the driver's BENCH_rN.json artifact truncates the
     // per-query map, so also write the full line to a repo-committed
     // file (SPARK_GRAFT_BENCH_OUT overrides the default path). A
-    // SPARK_GRAFT_ONLY-filtered run never writes the default file —
-    // bench_latest.json must always reflect a full-registry run — so a
-    // focused run persists only when an explicit output path is given.
+    // SPARK_GRAFT_ONLY- or SPARK_GRAFT_SKIP-filtered run never writes
+    // the default file — bench_latest.json must always reflect a
+    // full-registry run — so a partial run persists only when an
+    // explicit output path is given.
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some {
+      .orElse(if (only.isEmpty && skip.isEmpty) Some {
         // never let a single-run snapshot clobber a composed
         // multi-run median baseline (tools/compose_medians.py tags
         // its output): snapshots land beside it instead, and the

@@ -112,19 +112,31 @@ object SimHash {
     if (fitting.nonEmpty) fitting.min else widthGrid.max
   }
 
-  /** Selection over [[widthSweep]]: the narrowest (highest-recall)
-    * width whose candidate load fits `pairsPerDocBudget` per signed
-    * document; widest as fallback when none fits (or the frame is
-    * empty).
+  /** Per-width (load, docs) stats from COLLECTED occupancy rows — the
+    * single stats definition both [[calibrateWidth]] and
+    * [[calibratedPairs]] consume, so the two selection paths can
+    * never desync ([[widthSweep]] keeps the SQL derivation for
+    * consumers that want the stats as a frame; the sweep-vs-executed
+    * cross-check in ScaleCalibrationSpec exercises it independently).
+    */
+  private def localStats(
+      rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Long, Long)] =
+    rows.groupBy(_.getAs[Int]("w")).map { case (w, rs) =>
+      val load = rs.map(r => { val m = r.getAs[Long]("m"); m * (m - 1) / 2 }).sum
+      val docs = rs.map(_.getAs[Long]("m")).sum / (bits / w)
+      (w, load, docs)
+    }.toSeq
+
+  /** Selection over the collected [[occupancy]] (keyspace-bounded —
+    * never corpus-sized): the narrowest (highest-recall) width whose
+    * candidate load fits `pairsPerDocBudget` per signed document;
+    * widest as fallback when none fits (or the frame is empty).
     */
   def calibrateWidth(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       widthGrid: Seq[Int] = DefaultWidthGrid,
-      pairsPerDocBudget: Long = 20L): Int = {
-    val stats = widthSweep(sigs, shCol, widthGrid).collect().toSeq
-      .map(r => (r.getAs[Int]("w"), r.getAs[Long]("cand_pairs"),
-        r.getAs[Long]("n_docs")))
-    selectWidth(stats, widthGrid, pairsPerDocBudget)
-  }
+      pairsPerDocBudget: Long = 20L): Int =
+    selectWidth(localStats(occupancy(sigs, shCol, widthGrid).collect()),
+      widthGrid, pairsPerDocBudget)
 
   /** Calibrate-then-execute in ONE pass over the corpus: collect the
     * grid [[occupancy]] (keyspace-bounded — never corpus-sized),
@@ -146,12 +158,8 @@ object SimHash {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val occ = occupancy(sigs, shCol, widthGrid)
     val rows = occ.collect()
-    val stats = rows.groupBy(_.getAs[Int]("w")).map { case (w, rs) =>
-      val load = rs.map(r => { val m = r.getAs[Long]("m"); m * (m - 1) / 2 }).sum
-      val docs = rs.map(_.getAs[Long]("m")).sum / (bits / w)
-      (w, load, docs)
-    }.toSeq
-    val selected = selectWidth(stats, widthGrid, pairsPerDocBudget)
+    val selected =
+      selectWidth(localStats(rows), widthGrid, pairsPerDocBudget)
     val hotSchema = org.apache.spark.sql.types.StructType(
       occ.schema.filter(_.name != "w")
         .map(f => if (f.name == "m") f.copy(name = "__cnt") else f))

@@ -69,7 +69,13 @@ object CorpusIngest {
       else fresh.join(
         spark.read.parquet(storeDir).select(col(idCol)),
         Seq(idCol), "left_anti")
-    deduped.write.parquet(s"$storeDir/batch_id=$batchId")
+    // overwrite, not the default ErrorIfExists: a write that crashed
+    // mid-job leaves the leaf dir behind with only its hidden
+    // _temporary staging content — listedBatchIds correctly reads that
+    // orphan as "not landed", and the replay must be able to re-land
+    // into it instead of throwing "path already exists" forever.
+    // Committed batches never reach here (the early return above).
+    deduped.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
   /** Batch ids already present in the store: the partition layout (a

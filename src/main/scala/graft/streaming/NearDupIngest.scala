@@ -487,10 +487,14 @@ object NearDupIngest {
       // root-level append would first resolve the existing relation,
       // i.e. list the whole index per trigger (the CorpusIngest
       // direct-leaf rationale)
+      // overwrite, not ErrorIfExists: a crashed append leaves the leaf
+      // dir behind holding only hidden _temporary staging content,
+      // which existingBatchIds reads as "not landed" — the replay must
+      // re-land into it (the CorpusIngest.ingestBatch rationale)
       MinHashLsh.bandKeys(
           sigs.join(freshNew.select(idCol), Seq(idCol), "left_semi"),
           idCol, k, bands)
-        .write.parquet(
+        .write.mode("overwrite").parquet(
           s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
     freshNew.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
@@ -539,12 +543,16 @@ object NearDupIngest {
     if (keyRows.isEmpty) return empty // no signed docs in the batch
     // touched buckets (exact) + the semi-join's small side: from the
     // collected keys when they fit, else re-derived distributed
+    // the broadcast hint belongs ONLY on the collected driver-local
+    // branch — hinting the over-cap branch would make Spark collect
+    // the deliberately-distributed key set to the driver anyway,
+    // defeating the cap (bulk-backfill triggers would OOM the driver)
     val (touched, keySide) =
       if (keyRows.length <= ProbeKeyCollectCap)
         (keyRows.map(_.getInt(2)).distinct.toSeq,
-          spark.createDataFrame(
+          broadcast(spark.createDataFrame(
             java.util.Arrays.asList(keyRows: _*), probeKeys.schema)
-            .select("band", "key"))
+            .select("band", "key")))
       else
         (probeKeys.select("bkt").distinct().collect()
           .map(_.getInt(0)).toSeq,
@@ -553,10 +561,10 @@ object NearDupIngest {
       touched :+ UnbucketedRun, batchId)
     if (idxSrc.isEmpty) return empty // no standing rows in any bucket
     // one scan: only rows COLLIDING with the batch's keys survive the
-    // broadcast semi-join, so everything downstream (the hot cap, the
-    // match join) works a collision-bounded slice
+    // semi-join, so everything downstream (the hot cap, the match
+    // join) works a collision-bounded slice
     val collide = idxSrc.get
-      .join(broadcast(keySide), Seq("band", "key"), "left_semi")
+      .join(keySide, Seq("band", "key"), "left_semi")
     val index = LshGuard.capBucketsSlice(collide, idCol, maxBucket)
     val matches = (0 until k)
       .map(i => when(col(s"l.s$i") === col(s"r.s$i"), 1).otherwise(0))
@@ -711,15 +719,20 @@ object NearDupIngest {
     * sweep over the index's OWN signatures (band-0 rows carry the
     * full signature — no corpus re-read, no re-shingling):
     *
-    *  - selection unchanged → the geometry still fits at the new
-    *    scale; the baseline resets to the current count (so the sweep
+    *  - selection unchanged AND the bucket layout still fits
+    *    (`bucketCountFor(nNow)` within the recorded bucket count) →
+    *    the baseline resets to the current count (so the sweep
     *    re-arms at the next decade) and nothing rewrites. Returns
     *    `None`.
-    *  - selection changed → the index is REBUILT at the new geometry
-    *    (written to a sibling, then swapped — batch lineage collapses
-    *    into the base partition, so run only with the stream
-    *    quiesced and its checkpoint at a batch boundary). Returns
-    *    `Some(newBands)`.
+    *  - selection changed, OR growth outran the bucket layout (a
+    *    stable selection still needs RE-BUCKETING, or per-touched-
+    *    bucket probe cost grows linearly with the corpus — the
+    *    sublinear-probe contract) → the index is REBUILT at the new
+    *    geometry and bucket count (written to a sibling, then
+    *    swapped — batch lineage collapses into the base partition,
+    *    with every folded batch id recorded in the merged-ids sidecar
+    *    so checkpoint replays of old batches stay no-ops; run only
+    *    with the stream quiesced). Returns `Some(newBands)`.
     *
     * Below the growth threshold this is two metadata reads and one
     * sidecar aggregation — cheap enough for a metered per-N-batches
@@ -745,22 +758,33 @@ object NearDupIngest {
     try {
       val newBands = MinHashLsh.calibrateBands(
         sigs, idCol, k, bandGrid, pairsPerDocBudget)
-      if (newBands == bands) {
+      val curBuckets = indexBucketCount(spark, indexDir)
+      val newBuckets = bucketCountFor(nNow)
+      if (newBands == bands && newBuckets <= curBuckets) {
         writeConfig(spark, indexDir, k, bands, shingleWidth,
-          indexBucketCount(spark, indexDir), Some(nNow))
+          curBuckets, Some(nNow))
         None
       } else {
         val tmp = indexDir + ".recal-tmp"
         deleteRecursively(new java.io.File(tmp))
+        // batch lineage collapses into the rebuilt base — record every
+        // folded batch id BEFORE the swap so a checkpoint replay of a
+        // previously-processed batch still reads as already-indexed
+        // (the compactIndex sidecar rationale; without it a replayed
+        // batch would re-append its band keys as a duplicate L0 run)
+        val foldedIds =
+          CorpusIngest.existingBatchIds(spark, indexDir) - InitialIndexBatch
         // the rebuild also RE-BUCKETS for the grown corpus — this is
         // what keeps per-bucket size (and so per-touched-bucket probe
-        // cost) bounded across decades of growth
-        val newBuckets = bucketCountFor(nNow)
+        // cost) bounded across decades of growth, and why a stable
+        // selection can still force a rebuild
         // the tmp build scans the OLD index (sigs reads it lazily);
         // only after it fully materializes does the swap retire it
         writeIndexFrom(sigs, tmp, idCol, k, newBands, newBuckets)
         writeConfig(spark, tmp, k, newBands, shingleWidth, newBuckets,
           Some(nNow))
+        if (foldedIds.nonEmpty)
+          CorpusIngest.recordMergedBatchIds(spark, tmp, foldedIds)
         deleteRecursively(new java.io.File(indexDir))
         require(new java.io.File(tmp).renameTo(new java.io.File(indexDir)),
           s"rename failed: $tmp -> $indexDir")

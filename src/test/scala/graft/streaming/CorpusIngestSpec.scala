@@ -41,6 +41,26 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L))
   }
 
+  test("replay re-lands into a crashed write's orphan leaf dir") {
+    // a direct-to-leaf write that died mid-job leaves the partition
+    // dir behind holding only its hidden _temporary staging content;
+    // listedBatchIds reads that as "not landed", so the replay MUST be
+    // able to write into the existing dir (mode overwrite) instead of
+    // throwing "path already exists" and crash-looping the stream
+    val dir = store()
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one")).toDF("doc_id", "text"), 0L, dir, "doc_id")
+    val orphan = java.nio.file.Paths.get(dir, "batch_id=1", "_temporary")
+    Files.createDirectories(orphan)
+    assert(!CorpusIngest.existingBatchIds(spark, dir).contains(1L),
+      "a _temporary-only leaf must read as not landed")
+    CorpusIngest.ingestBatch(
+      Seq((2L, "two")).toDF("doc_id", "text"), 1L, dir, "doc_id")
+    assert(spark.read.parquet(dir).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L, 1L))
+  }
+
   test("store schema can evolve between batches (mergeSchema read)") {
     val dir = store()
     CorpusIngest.ingestBatch(

@@ -297,6 +297,17 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(NearDupIngest.indexConfig(spark, idx).contains((12, 2, 3)))
     assert(NearDupIngest.calibrationDocCount(spark, idx).contains(34L))
     assert(NearDupIngest.indexedDocCount(spark, idx, 2) === 34L)
+    // the rebuild collapsed batch 0's lineage into the base — its id
+    // must survive in the merged-ids sidecar, so a checkpoint replay
+    // of batch 0 stays a no-op instead of double-indexing its docs
+    assert(CorpusIngest.existingBatchIds(spark, idx).contains(0L),
+      "folded batch ids must survive a recalibration rebuild")
+    val rowsAfterRebuild = spark.read.parquet(idx).count()
+    NearDupIngest.ingestBatch(
+      (0L until 30L).map(i => (i, boiler)).toDF("doc_id", "text"),
+      0L, idx, store, "doc_id", "text", 0.5, 3, 12, 2, 1000)
+    assert(spark.read.parquet(idx).count() === rowsAfterRebuild,
+      "replaying a folded batch must not append a duplicate L0 run")
     // probes at the new sidecar geometry still reject dups of BOTH the
     // original corpus and the appended batch
     NearDupIngest.ingestBatch(
