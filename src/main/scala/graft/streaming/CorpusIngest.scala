@@ -69,13 +69,45 @@ object CorpusIngest {
       else fresh.join(
         spark.read.parquet(storeDir).select(col(idCol)),
         Seq(idCol), "left_anti")
+    landPrepared(deduped, batchId, storeDir)
+  }
+
+  /** Land a frame that is ALREADY deduped (in-batch and against the
+    * store) into its batch partition — the write half of
+    * [[ingestBatch]] for callers like `NearDupIngest` that have
+    * performed their own dedup chain and must not pay a second
+    * full-store id scan + anti-join per trigger. Idempotent via the
+    * same committed-leaf check.
+    */
+  def landPrepared(prepared: DataFrame, batchId: Long,
+      storeDir: String): Unit = {
+    if (batchLanded(prepared.sparkSession, storeDir, batchId)) return
     // overwrite, not the default ErrorIfExists: a write that crashed
     // mid-job leaves the leaf dir behind with only its hidden
-    // _temporary staging content — listedBatchIds correctly reads that
+    // _temporary staging content — batchLanded correctly reads that
     // orphan as "not landed", and the replay must be able to re-land
     // into it instead of throwing "path already exists" forever.
-    // Committed batches never reach here (the early return above).
-    deduped.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    prepared.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
+  /** O(1) landed check for ONE batch id: the candidate leaf dir's own
+    * committed-content probe plus the merged-ids sidecar — no listing
+    * of the whole table (which grows with stream lifetime; see
+    * [[listedBatchIds]], whose full-set answer some callers still
+    * need).
+    */
+  def batchLanded(spark: SparkSession, storeDir: String,
+      batchId: Long): Boolean = {
+    val leaf = new org.apache.hadoop.fs.Path(storeDir, s"batch_id=$batchId")
+    val fs = leaf.getFileSystem(spark.sessionState.newHadoopConf())
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { c =>
+        val n = c.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (c.isFile || hasDataFile(c.getPath))
+      }
+    (fs.exists(leaf) && hasDataFile(leaf)) ||
+      mergedBatchIds(spark, storeDir).contains(batchId)
   }
 
   /** Batch ids already present in the store: the partition layout (a

@@ -180,9 +180,11 @@ object NearDupIngest {
 
   /** The one on-disk index layout, shared by the fixed-geometry and
     * calibrated builds so they can never diverge in shape. The
-    * occupancy sidecar's initial partial is derived by reading the
-    * written index back (column-pruned to the keys), so sidecar and
-    * index can never disagree about what is on disk.
+    * occupancy sidecar's initial partial aggregates the SAME persisted
+    * banded frame the index write consumed (not a read-back of the
+    * written files), so the two writes see one row multiset; the
+    * sidecar is re-derivable from the base at any time
+    * (rebuildOccupancy) if they ever need reconciling.
     */
   private def writeIndexFrom(sigs: DataFrame, indexDir: String,
       idCol: String, k: Int, bands: Int, buckets: Int): Unit = {
@@ -259,12 +261,21 @@ object NearDupIngest {
     readConfig(spark, indexDir).flatMap(fieldOpt(_, "nDocs"))
 
   /** The band-key bucket count the index was laid out with. Defaults
-    * to [[IndexBuckets]] when the sidecar predates the field — the
-    * constant every pre-field index was written with.
+    * to [[IndexBuckets]] only when the sidecar EXISTS but predates the
+    * field — the constant every pre-field index was written with. A
+    * missing sidecar fails fast: the config is written LAST by every
+    * build path, so its absence means the build never completed, and
+    * probing with a guessed bucket count would read the wrong base
+    * leaf dirs and silently land (and index) true near-duplicates.
     */
-  def indexBucketCount(spark: SparkSession, indexDir: String): Int =
-    readConfig(spark, indexDir).flatMap(fieldOpt(_, "buckets"))
-      .map(_.toInt).getOrElse(IndexBuckets)
+  def indexBucketCount(spark: SparkSession, indexDir: String): Int = {
+    val cfg = readConfig(spark, indexDir).getOrElse(sys.error(
+      s"no $ConfigFile under $indexDir — the index build did not" +
+        " complete (the config sidecar is written last); rebuild with" +
+        " writeIndex/writeIndexCalibrated instead of probing with a" +
+        " guessed bucket layout"))
+    fieldOpt(cfg, "buckets").map(_.toInt).getOrElse(IndexBuckets)
+  }
 
   private def readConfig(spark: SparkSession, indexDir: String)
       : Option[String] = {
@@ -350,40 +361,44 @@ object NearDupIngest {
     val base = java.nio.file.Files
       .createTempDirectory("graft_ndi").toString
     val (inDir, idxDir, storeDir) = (s"$base/in", s"$base/idx", s"$base/store")
-    // repartition before the CPU-heavy signature pass: the harness
-    // table is one parquet file -> one input split, which would put
-    // the whole shingle/md5 build on a single core (the
-    // Tables.docsParallel rationale)
-    writeIndex(
-      docs.filter(col("doc_id") % 10 =!= 0)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("__t", TextFns.tokens(col("text"))),
-      idxDir, tokensCol = "__t")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
-    val t0 = System.currentTimeMillis() - 600000L
-    for (b <- 0 until 3) {
-      val stage = s"$base/stage$b"
-      delta.filter(expr(s"(doc_id div 10) % 3 = $b"))
-        .coalesce(1).write.parquet(stage)
-      // an EMPTY batch partition may stage no part file at all — skip
-      // it (an absent trigger dedups nothing, so later batches keep
-      // the oracle's chained semantics under renumbering)
-      new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .foreach { part =>
-          val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          // the file stream orders same-listing files by mtime — pin
-          // it, and refuse to run with an unpinnable order (a silent
-          // setLastModified failure could ingest batches out of the
-          // oracle's order)
-          if (!dst.toFile.setLastModified(t0 + b * 10000L))
-            sys.error(s"setLastModified failed for $dst — batch order" +
-              " cannot be pinned on this filesystem")
-        }
-    }
+    // the try opens IMMEDIATELY after the workspace is allocated: the
+    // index build, the staging writes, and the deliberate
+    // setLastModified sys.error below must all reach the finally, or
+    // a failure in any of them leaks a corpus-sized workspace in /tmp
     try {
+      // repartition before the CPU-heavy signature pass: the harness
+      // table is one parquet file -> one input split, which would put
+      // the whole shingle/md5 build on a single core (the
+      // Tables.docsParallel rationale)
+      writeIndex(
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("__t", TextFns.tokens(col("text"))),
+        idxDir, tokensCol = "__t")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val t0 = System.currentTimeMillis() - 600000L
+      for (b <- 0 until 3) {
+        val stage = s"$base/stage$b"
+        delta.filter(expr(s"(doc_id div 10) % 3 = $b"))
+          .coalesce(1).write.parquet(stage)
+        // an EMPTY batch partition may stage no part file at all — skip
+        // it (an absent trigger dedups nothing, so later batches keep
+        // the oracle's chained semantics under renumbering)
+        new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .foreach { part =>
+            val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
+            java.nio.file.Files.move(part.toPath, dst)
+            // the file stream orders same-listing files by mtime — pin
+            // it, and refuse to run with an unpinnable order (a silent
+            // setLastModified failure could ingest batches out of the
+            // oracle's order)
+            if (!dst.toFile.setLastModified(t0 + b * 10000L))
+              sys.error(s"setLastModified failed for $dst — batch order" +
+                " cannot be pinned on this filesystem")
+          }
+      }
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(inDir)
@@ -422,6 +437,21 @@ object NearDupIngest {
       deleteRecursively(new java.io.File(base))
   }
 
+  /** The maintenance rewrites (compaction, recalibration rebuild) move
+    * directories with local `java.io.File` renames/deletes; on an
+    * object store or HDFS those calls silently no-op against paths
+    * that do not exist locally — compaction would strand tmp tables
+    * and never swap. Fail fast instead of corrupting; the ingest/probe
+    * path itself is filesystem-agnostic (Hadoop FS throughout).
+    */
+  private def requireLocalFs(dir: String, op: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(dir)
+      .toUri.getScheme).getOrElse("file")
+    require(scheme == "file",
+      s"$op performs local-filesystem renames and supports only file:" +
+        s" paths for now, got scheme '$scheme' in $dir")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -443,62 +473,86 @@ object NearDupIngest {
     // the index ⊇ landed-docs invariant). The occupancy sidecar needs
     // no per-batch write: it covers only the bucketed BASE partition,
     // and L0 runs are occupancy-counted live by the probe.
+    // the index-side check is the O(1) single-leaf probe (the index's
+    // live batch-dir count is compaction-bounded, but there is no
+    // reason to list it per trigger); the store side still lists the
+    // full set because the forall decision below needs it — a cost
+    // that grows with stream lifetime until the store is compacted
+    // (documented in CorpusIngest.batchLanded)
     val storeBatches = CorpusIngest.existingBatchIds(spark, storeDir)
     val storeHas = storeBatches.contains(batchId)
-    val idxHas = CorpusIngest.existingBatchIds(spark, indexDir)
-      .contains(batchId)
+    val idxHas = CorpusIngest.batchLanded(spark, indexDir, batchId)
     if (storeHas && idxHas) return
-    // in-batch id collapse FIRST (pick-one, the unordered-scan D1/D3
-    // contract): probe, landing, and index all derive from this one
-    // frame, so a duplicate id with differing text can never index
-    // content a different copy landed. Persisted: both the signature
-    // pass and the freshNew anti-join chain consume it — uncached,
-    // each consumer re-scanned the batch source and re-paid the
-    // dropDuplicates shuffle (attributed at ~0.5 s/trigger of the
-    // freshNew materialization in NearDupIngestCostSpec)
-    val deduped = batch.dropDuplicates(idCol).persist()
-    val toks = deduped.withColumn("__t", TextFns.tokens(col(textCol)))
-    // persisted: consumed by the probe join and (for survivors) the
-    // index append; batch-sized, released at the end of the batch
-    val sigs = MinHashLsh.signaturesFromTokens(
-      toks, idCol, "__t", shingleWidth, k).persist()
-    val dupIds = probeDupIds(sigs, batchId, indexDir, idCol,
-      k, bands, threshold, maxBucket)
-    // cross-batch id dedup BEFORE the index append, so the index holds
-    // exactly what lands: a re-delivered id is dropped by the store's
-    // anti-join and must not index its (possibly changed) content.
-    // Prior batches only — on replay the store may already hold THIS
-    // batch's rows, which still need indexing. Persisted: the store
-    // landing and the index append both consume it, and without the
-    // cache the second write would re-execute the whole probe join.
-    val fresh = deduped.join(dupIds, Seq(idCol), "left_anti")
-    val freshNew = (
-      if (storeBatches.forall(_ == batchId)) fresh
-      else fresh.join(
-        spark.read.parquet(storeDir)
-          .filter(col("batch_id") =!= batchId).select(col(idCol)),
-        Seq(idCol), "left_anti")).persist()
-    if (!storeHas)
-      CorpusIngest.ingestBatch(freshNew, batchId, storeDir, idCol)
-    if (!idxHas)
-      // landed band keys append as one UNBUCKETED L0 run — a single
-      // partition directory, no per-bucket file fan-out (see
-      // [[UnbucketedRun]]), written DIRECTLY to its leaf path: a
-      // root-level append would first resolve the existing relation,
-      // i.e. list the whole index per trigger (the CorpusIngest
-      // direct-leaf rationale)
-      // overwrite, not ErrorIfExists: a crashed append leaves the leaf
-      // dir behind holding only hidden _temporary staging content,
-      // which existingBatchIds reads as "not landed" — the replay must
-      // re-land into it (the CorpusIngest.ingestBatch rationale)
-      MinHashLsh.bandKeys(
-          sigs.join(freshNew.select(idCol), Seq(idCol), "left_semi"),
-          idCol, k, bands)
-        .write.mode("overwrite").parquet(
-          s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
-    freshNew.unpersist(blocking = false)
-    sigs.unpersist(blocking = false)
-    deduped.unpersist(blocking = false)
+    // in-batch id collapse FIRST, and DETERMINISTIC (min md5 of the
+    // row's JSON per id — not dropDuplicates, whose pick is
+    // scan-order-dependent): probe, landing, and index all derive
+    // from this one frame, so a duplicate id with differing text can
+    // never index content a different copy landed — INCLUDING under
+    // cache-recompute, where a lost executor re-derives the frame
+    // between the store write and the index append and a
+    // nondeterministic pick could silently index phantom content.
+    // Persisted: both the signature pass and the freshNew anti-join
+    // chain consume it — uncached, each consumer re-scanned the batch
+    // source and re-paid the dedup shuffle (attributed at
+    // ~0.5 s/trigger of the freshNew materialization in
+    // NearDupIngestCostSpec)
+    val pickOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(md5(to_json(struct(batch.columns.map(col): _*))).asc)
+    val deduped = batch
+      .withColumn("__pick", row_number().over(pickOrder))
+      .filter(col("__pick") === 1).drop("__pick")
+      .persist()
+    try {
+      val toks = deduped.withColumn("__t", TextFns.tokens(col(textCol)))
+      // persisted: consumed by the probe join and (for survivors) the
+      // index append; batch-sized, released at the end of the batch
+      val sigs = MinHashLsh.signaturesFromTokens(
+        toks, idCol, "__t", shingleWidth, k).persist()
+      try {
+        val dupIds = probeDupIds(sigs, batchId, indexDir, idCol,
+          k, bands, threshold, maxBucket)
+        // cross-batch id dedup BEFORE the index append, so the index
+        // holds exactly what lands: a re-delivered id is dropped by the
+        // store's anti-join and must not index its (possibly changed)
+        // content. Prior batches only — on replay the store may already
+        // hold THIS batch's rows, which still need indexing. Persisted:
+        // the store landing and the index append both consume it, and
+        // without the cache the second write would re-execute the whole
+        // probe join.
+        val fresh = deduped.join(dupIds, Seq(idCol), "left_anti")
+        val freshNew = (
+          if (storeBatches.forall(_ == batchId)) fresh
+          else fresh.join(
+            spark.read.parquet(storeDir)
+              .filter(col("batch_id") =!= batchId).select(col(idCol)),
+            Seq(idCol), "left_anti")).persist()
+        try {
+          if (!storeHas)
+            // landPrepared, not ingestBatch: freshNew is already
+            // id-deduped and anti-joined against every prior batch —
+            // ingestBatch would re-run both, paying a second full-store
+            // id scan + anti-join shuffle per trigger
+            CorpusIngest.landPrepared(freshNew, batchId, storeDir)
+          if (!idxHas)
+            // landed band keys append as one UNBUCKETED L0 run — a
+            // single partition directory, no per-bucket file fan-out
+            // (see [[UnbucketedRun]]), written DIRECTLY to its leaf
+            // path: a root-level append would first resolve the
+            // existing relation, i.e. list the whole index per trigger
+            // (the CorpusIngest direct-leaf rationale).
+            // overwrite, not ErrorIfExists: a crashed append leaves the
+            // leaf dir behind holding only hidden _temporary staging
+            // content, which existingBatchIds reads as "not landed" —
+            // the replay must re-land into it
+            MinHashLsh.bandKeys(
+                sigs.join(freshNew.select(idCol), Seq(idCol), "left_semi"),
+                idCol, k, bands)
+              .write.mode("overwrite").parquet(
+                s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
+        } finally freshNew.unpersist(blocking = false)
+      } finally sigs.unpersist(blocking = false)
+    } finally { deduped.unpersist(blocking = false); () }
   }
 
   /** Most distinct (band, key) probe keys collected to the driver per
@@ -622,19 +676,39 @@ object NearDupIngest {
     * the layout moves (and the probe's L0 full-scan share shrinks
     * back to zero). Maintenance operation: run with the stream
     * quiesced (same contract as any non-transactional table rewrite).
+    *
+    * Crash-safe and RE-ENTRANT: the fold dedups rows and the swap is
+    * retire-then-rename, so every failure window either preserves the
+    * old state or leaves rows duplicated between base and live L0
+    * dirs — and the next compaction repairs both (a re-fold collapses
+    * duplicates; an L0 dir whose id is already in the merged-ids
+    * sidecar is an orphan from a crash after the fold and is dropped
+    * without re-folding). No window loses rows.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
       keepRecentBatches: Int = 8,
       targetBytes: Long = 128L * 1024 * 1024)
       : Seq[graft.operators.Compact.LeafStats] = {
     require(keepRecentBatches >= 0, "keepRecentBatches must be >= 0")
-    val listed = CorpusIngest.listedBatchIds(spark, indexDir) -
+    requireLocalFs(indexDir, "compactIndex")
+    val merged0 = CorpusIngest.mergedBatchIds(spark, indexDir)
+    val listedAll = CorpusIngest.listedBatchIds(spark, indexDir) -
       InitialIndexBatch
-    val toMerge = listed.toSeq.sorted.dropRight(keepRecentBatches)
+    // orphans: a prior compaction folded these rows into the base and
+    // recorded their ids, then crashed before dropping the partitions
+    (listedAll intersect merged0).foreach(b =>
+      deleteRecursively(new java.io.File(s"$indexDir/batch_id=$b")))
+    val toMerge = (listedAll -- merged0).toSeq.sorted
+      .dropRight(keepRecentBatches)
     if (toMerge.nonEmpty) {
       val buckets = indexBucketCount(spark, indexDir)
+      // dropDuplicates makes the fold idempotent: if a crash left L0
+      // rows already present in the base (or a replayed batch
+      // re-appended one), the re-fold collapses them instead of
+      // doubling (index rows are exact per (id, band) by construction,
+      // so full-row dedup can only remove crash artifacts)
       foldBatches(spark, indexDir, toMerge,
-        _.withColumn("bkt", bucketOf(col("key"), buckets)))
+        _.dropDuplicates().withColumn("bkt", bucketOf(col("key"), buckets)))
       // sidecar rebuild from the folded base: base partials must now
       // cover the rows that were L0 (and so live-counted) before
       rebuildOccupancy(spark, indexDir)
@@ -656,10 +730,18 @@ object NearDupIngest {
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(tmp)
-    deleteRecursively(new java.io.File(occDir(indexDir)))
-    require(new java.io.File(tmp)
-        .renameTo(new java.io.File(occDir(indexDir))),
-      s"rename failed: $tmp -> ${occDir(indexDir)}")
+    // retire-then-rename (not delete-then-rename): a crash between the
+    // renames leaves the fresh sidecar intact at the tmp path and the
+    // old one at the retired path — recoverable, and the sidecar is
+    // always re-derivable from the base anyway
+    val live = new java.io.File(occDir(indexDir))
+    val retired = new java.io.File(occDir(indexDir) + ".retired")
+    deleteRecursively(retired)
+    if (live.exists())
+      require(live.renameTo(retired), s"rename failed: $live -> $retired")
+    require(new java.io.File(tmp).renameTo(live),
+      s"rename failed: $tmp -> $live (previous sidecar at $retired)")
+    deleteRecursively(retired)
   }
 
   /** Rewrite `dir`'s base partition as base ∪ `toMerge` (through
@@ -672,6 +754,15 @@ object NearDupIngest {
     */
   private def foldBatches(spark: SparkSession, dir: String,
       toMerge: Seq[Long], reAgg: DataFrame => DataFrame): Unit = {
+    val dst = new java.io.File(dir, s"batch_id=$InitialIndexBatch")
+    val retired = new java.io.File(dir + s".base-retired")
+    // recovery preamble: a crash between the base-retire and the
+    // rename-in leaves the live base absent with the old one intact
+    // at the retired path — restore it before folding, or this fold
+    // would silently lose every pre-crash base row
+    if (!dst.exists() && retired.exists())
+      require(retired.renameTo(dst), s"recovery rename failed:" +
+        s" $retired -> $dst")
     val ids = toMerge :+ InitialIndexBatch
     val merged = reAgg(spark.read.parquet(dir)
       .filter(col("batch_id").isin(ids: _*))
@@ -682,12 +773,22 @@ object NearDupIngest {
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("batch_id", "bkt")
       .parquet(tmp.getAbsolutePath)
-    ids.foreach(b => deleteRecursively(new java.io.File(s"$dir/batch_id=$b")))
+    // retire-then-rename, L0 deletes LAST: at every instant all rows
+    // exist on disk (old base at the retired path until the new one
+    // is in place; L0 rows in their live dirs until the folded base
+    // carrying them is live). A crash mid-window leaves duplicates,
+    // never losses — and compactIndex's dedup-on-fold + orphan
+    // cleanup repair duplicates on the next run.
+    deleteRecursively(retired)
     val src = new java.io.File(tmp, s"batch_id=$InitialIndexBatch")
-    if (src.exists()) {
-      val dst = new java.io.File(dir, s"batch_id=$InitialIndexBatch")
-      require(src.renameTo(dst), s"rename failed: $src -> $dst")
-    }
+    if (dst.exists())
+      require(dst.renameTo(retired), s"rename failed: $dst -> $retired")
+    if (src.exists())
+      require(src.renameTo(dst), s"rename failed: $src -> $dst" +
+        s" (previous base intact at $retired)")
+    deleteRecursively(retired)
+    toMerge.foreach(b =>
+      deleteRecursively(new java.io.File(s"$dir/batch_id=$b")))
     deleteRecursively(tmp)
   }
 
@@ -765,6 +866,7 @@ object NearDupIngest {
           curBuckets, Some(nNow))
         None
       } else {
+        requireLocalFs(indexDir, "maybeRecalibrate's rebuild")
         val tmp = indexDir + ".recal-tmp"
         deleteRecursively(new java.io.File(tmp))
         // batch lineage collapses into the rebuilt base — record every
@@ -785,9 +887,22 @@ object NearDupIngest {
           Some(nNow))
         if (foldedIds.nonEmpty)
           CorpusIngest.recordMergedBatchIds(spark, tmp, foldedIds)
-        deleteRecursively(new java.io.File(indexDir))
+        // retire-then-rename, never delete-then-rename: a crash in the
+        // old ordering's window (live index deleted, rebuilt one not
+        // yet renamed in) lost the stream's only state. Here every
+        // instant has both complete indexes on disk; a crash between
+        // the renames leaves the live path absent but the data intact
+        // at the named siblings (the error path spells out recovery).
+        val retired = indexDir + ".recal-retired"
+        deleteRecursively(new java.io.File(retired))
+        require(new java.io.File(indexDir).renameTo(new java.io.File(retired)),
+          s"rename failed: $indexDir -> $retired (rebuilt index intact" +
+            s" at $tmp)")
         require(new java.io.File(tmp).renameTo(new java.io.File(indexDir)),
-          s"rename failed: $tmp -> $indexDir")
+          s"rename failed: $tmp -> $indexDir — the rebuilt index is" +
+            s" complete at $tmp and the previous index at $retired;" +
+            " rename one of them to the live path to recover")
+        deleteRecursively(new java.io.File(retired))
         Some(newBands)
       }
     } finally sigs.unpersist(blocking = false)
