@@ -167,7 +167,13 @@ object SimHash {
       .filter(r => r.getAs[Int]("w") == selected && r.getAs[Long]("m") > maxBucket)
       .map(r => org.apache.spark.sql.Row(
         r.getAs[Int]("band"), r.getAs[Long]("key"), r.getAs[Long]("m")))
+    // persist + shuffle-free materializing count before the self-join
+    // (the candidatePairsKnown pattern): banding is cheap bit work,
+    // but against an unmaterialized cache the join's two concurrent
+    // map stages each re-scan the sigs input
     val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, selected)
+      .persist()
+    banded.count(): Unit
     (selected,
       pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
         idCol, shCol))

@@ -90,8 +90,41 @@ object CorpusIngest {
     prepared.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
+  /** A leaf partition directory counts as COMMITTED only when it
+    * carries the `_SUCCESS` marker Spark's FileOutputCommitter writes
+    * at successful JOB commit — directly, or in every nested partition
+    * subdirectory for multi-level leaves (the index's
+    * `batch_id=N/bkt=-1` L0 runs). "Any non-hidden file present" is
+    * NOT enough: a v1 job commit promotes task dirs one rename at a
+    * time, so a crash mid-commit leaves a partially-committed leaf
+    * whose part files would read as landed — the replay would skip the
+    * batch and silently lose the unpromoted rows, breaking the
+    * no-window-loses-rows contract. Partitions renamed into place by
+    * maintenance (the compaction fold's base) get their marker touched
+    * explicitly after the swap ([[markCommitted]]).
+    */
+  private def committedLeaf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) || {
+      val kids = fs.listStatus(p).toSeq.filter { c =>
+        val n = c.getPath.getName
+        c.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      kids.nonEmpty && kids.forall(c => committedLeaf(fs, c.getPath))
+    }
+
+  /** Touch the `_SUCCESS` marker into a partition directory that was
+    * renamed into place by maintenance: the rename promoted an already
+    * fully-written directory, so the commit has happened — the marker
+    * records it for [[batchLanded]]/[[listedBatchIds]].
+    */
+  def markCommitted(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
+  }
+
   /** O(1) landed check for ONE batch id: the candidate leaf dir's own
-    * committed-content probe plus the merged-ids sidecar — no listing
+    * committed-marker probe plus the merged-ids sidecar — no listing
     * of the whole table (which grows with stream lifetime; see
     * [[listedBatchIds]], whose full-set answer some callers still
     * need).
@@ -100,13 +133,7 @@ object CorpusIngest {
       batchId: Long): Boolean = {
     val leaf = new org.apache.hadoop.fs.Path(storeDir, s"batch_id=$batchId")
     val fs = leaf.getFileSystem(spark.sessionState.newHadoopConf())
-    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(p).exists { c =>
-        val n = c.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          (c.isFile || hasDataFile(c.getPath))
-      }
-    (fs.exists(leaf) && hasDataFile(leaf)) ||
+    (fs.exists(leaf) && committedLeaf(fs, leaf)) ||
       mergedBatchIds(spark, storeDir).contains(batchId)
   }
 
@@ -120,24 +147,19 @@ object CorpusIngest {
 
   /** Batch ids with a live, COMMITTED `batch_id=` partition directory
     * (compacted batches excluded — their rows moved to the base
-    * partition). Committed = the directory holds at least one
-    * non-hidden entry: a direct-to-leaf write that crashed mid-job
-    * leaves only its hidden `_temporary` staging dir behind, and such
-    * an orphan must read as "not landed" so the replay lands it.
+    * partition). Committed = the job-commit `_SUCCESS` marker
+    * ([[committedLeaf]]): a direct-to-leaf write that crashed anywhere
+    * before the marker — mid-task (only `_temporary` staging) or
+    * mid-job-commit (some part files promoted, some not) — reads as
+    * "not landed", so the replay overwrites the partial leaf.
     */
   def listedBatchIds(spark: SparkSession, storeDir: String): Set[Long] = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(p).exists { c =>
-        val n = c.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") &&
-          (c.isFile || hasDataFile(c.getPath))
-      }
     if (!fs.exists(path)) Set.empty
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .filter(s => hasDataFile(s.getPath))
+      .filter(s => committedLeaf(fs, s.getPath))
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
   }
 

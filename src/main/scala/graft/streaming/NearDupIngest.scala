@@ -202,6 +202,12 @@ object NearDupIngest {
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("batch_id", "bkt")
         .parquet(indexDir)
+      // the partitioned job's _SUCCESS lands at the table ROOT; touch
+      // the base partition's own marker so the committed-leaf check
+      // (CorpusIngest.committedLeaf — per-leaf markers) reads it as
+      // landed
+      CorpusIngest.markCommitted(banded.sparkSession,
+        s"$indexDir/batch_id=$InitialIndexBatch")
       banded.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(occDir(indexDir))
@@ -300,15 +306,28 @@ object NearDupIngest {
   private def writeConfig(spark: SparkSession, indexDir: String,
       k: Int, bands: Int, shingleWidth: Int, buckets: Int,
       nDocs: Option[Long]): Unit = {
+    // write-to-tmp then rename-over: fs.create(p, true) truncates the
+    // live file first, so a crash between truncate and close would
+    // leave a present-but-corrupt sidecar — fieldOpt on garbage falls
+    // through to the IndexBuckets default, precisely the guessed-
+    // bucket-layout silent miss the fail-fast guards against. The
+    // OVERWRITE rename keeps the sidecar either the old or the new
+    // complete JSON at every instant.
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, ConfigFile + ".tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try out.write(
       (s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth,""" +
         s""" "buckets": $buckets""" +
         nDocs.map(n => s""", "nDocs": $n""").getOrElse("") + "}")
         .getBytes("UTF-8"))
     finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(p).toUri, conf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** [[start]] probing with the geometry recorded in the index's
@@ -712,7 +731,15 @@ object NearDupIngest {
       // sidecar rebuild from the folded base: base partials must now
       // cover the rows that were L0 (and so live-counted) before
       rebuildOccupancy(spark, indexDir)
+      // record the merged ids BEFORE dropping the L0 partitions: a
+      // crash in the reverse order's window (L0 gone, ids unrecorded)
+      // would let checkpoint replays of those batches re-append
+      // duplicate L0 runs. This ordering's crash window instead leaves
+      // listed∩merged orphans, which the cleanup preamble above drops
+      // without re-folding (their rows are already in the base).
       CorpusIngest.recordMergedBatchIds(spark, indexDir, toMerge.toSet)
+      toMerge.foreach(b =>
+        deleteRecursively(new java.io.File(s"$indexDir/batch_id=$b")))
     }
     graft.operators.Compact.compact(spark, indexDir, targetBytes)
   }
@@ -773,7 +800,8 @@ object NearDupIngest {
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("batch_id", "bkt")
       .parquet(tmp.getAbsolutePath)
-    // retire-then-rename, L0 deletes LAST: at every instant all rows
+    // retire-then-rename, L0 deletes LAST (and only in the caller,
+    // after the merged ids are recorded): at every instant all rows
     // exist on disk (old base at the retired path until the new one
     // is in place; L0 rows in their live dirs until the folded base
     // carrying them is live). A crash mid-window leaves duplicates,
@@ -786,9 +814,10 @@ object NearDupIngest {
     if (src.exists())
       require(src.renameTo(dst), s"rename failed: $src -> $dst" +
         s" (previous base intact at $retired)")
+    // the renamed-in base has no per-leaf _SUCCESS (the tmp job's
+    // marker sits at tmp's root) — record the completed promotion
+    CorpusIngest.markCommitted(spark, dst.getAbsolutePath)
     deleteRecursively(retired)
-    toMerge.foreach(b =>
-      deleteRecursively(new java.io.File(s"$dir/batch_id=$b")))
     deleteRecursively(tmp)
   }
 

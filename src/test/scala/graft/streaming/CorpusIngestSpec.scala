@@ -61,6 +61,29 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L, 1L))
   }
 
+  test("a mid-job-commit crash (parts present, no _SUCCESS) reads as not landed") {
+    // FileOutputCommitter v1 promotes task dirs one rename at a time
+    // and writes _SUCCESS only at successful JOB commit — a crash in
+    // that window leaves part files behind without the marker. Such a
+    // leaf must read as NOT landed (the unpromoted rows are lost and
+    // only a replay can restore them); "any data file present" would
+    // skip the replay and silently drop them.
+    val dir = store()
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), 0L, dir, "doc_id")
+    assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L))
+    Files.delete(java.nio.file.Paths.get(dir, "batch_id=0", "_SUCCESS"))
+    assert(!CorpusIngest.existingBatchIds(spark, dir).contains(0L),
+      "a marker-less leaf with part files must read as not landed")
+    assert(!CorpusIngest.batchLanded(spark, dir, 0L))
+    // the replay overwrites the partial leaf and restores the marker
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), 0L, dir, "doc_id")
+    assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L))
+    assert(spark.read.parquet(dir).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("store schema can evolve between batches (mergeSchema read)") {
     val dir = store()
     CorpusIngest.ingestBatch(
