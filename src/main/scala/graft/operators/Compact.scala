@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.io.File
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 import org.apache.spark.sql.SparkSession
 
@@ -21,12 +21,15 @@ import org.apache.spark.sql.SparkSession
   * already at their target are untouched, so a second run is a no-op
   * (idempotent) and a partitioned table compacts incrementally.
   *
-  * The swap is write-to-sibling-then-rename within the same
-  * filesystem. On a real object store this step would ride the
-  * catalog's atomic commit (Iceberg/Delta snapshot swap); the
-  * filesystem rename here is the single-writer local analogue, and
-  * readers of the table directory must be quiesced during the swap —
-  * the same contract as Spark's own non-transactional overwrite.
+  * All file operations go through the Hadoop `FileSystem` resolved
+  * from the table path, so the rewrite runs against any registered
+  * scheme (file:, hdfs:, an object-store connector). The swap is
+  * write-to-sibling then per-file rename within the same filesystem —
+  * atomic on HDFS/local, a copy on stores without native rename; on a
+  * real object-store deployment this step would ride the catalog's
+  * atomic commit (Iceberg/Delta snapshot swap), and readers of the
+  * table directory must be quiesced during the swap — the same
+  * contract as Spark's own non-transactional overwrite.
   */
 object Compact {
 
@@ -34,19 +37,20 @@ object Compact {
   final case class LeafStats(
       path: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  private def isParquetPart(f: File): Boolean = {
-    val n = f.getName
-    f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+  private def isParquetPart(s: FileStatus): Boolean = {
+    val n = s.getPath.getName
+    s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
       (n.endsWith(".parquet") || n.contains(".parquet"))
   }
 
   /** Leaf dirs under `root` that directly contain parquet part files. */
-  private def leaves(root: File): Seq[File] =
-    if (!root.isDirectory) Nil
+  private def leaves(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.getFileStatus(root).isDirectory) Nil
     else {
-      val children = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      val children = fs.listStatus(root).toSeq
       val here = if (children.exists(isParquetPart)) Seq(root) else Nil
-      here ++ children.filter(_.isDirectory).flatMap(leaves)
+      here ++ children.filter(_.isDirectory).map(_.getPath)
+        .flatMap(leaves(fs, _))
     }
 
   /** Compact every leaf of `tableDir` toward `targetBytes` per file.
@@ -57,9 +61,12 @@ object Compact {
       tableDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Seq[LeafStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    leaves(new File(tableDir)).flatMap { leaf =>
-      val parts = leaf.listFiles().toSeq.filter(isParquetPart)
-      val bytes = parts.map(_.length()).sum
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    leaves(fs, root).flatMap { leaf =>
+      val parts = fs.listStatus(leaf).toSeq.filter(isParquetPart)
+      val bytes = parts.map(_.getLen).sum
       val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       if (parts.size <= target) None
       else {
@@ -67,31 +74,23 @@ object Compact {
         // files are self-contained row groups); coalesce is a narrow
         // repack of read splits — no shuffle, no sort disturbance
         // beyond file concatenation order.
-        val df = spark.read.parquet(parts.map(_.getAbsolutePath): _*)
-        val tmp = new File(leaf.getParentFile, s".${leaf.getName}.compact-tmp")
-        if (tmp.exists()) delete(tmp)
+        val df = spark.read.parquet(parts.map(_.getPath.toString): _*)
+        val tmp = new Path(leaf.getParent, s".${leaf.getName}.compact-tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
         df.coalesce(target).write
-          .mode("overwrite").parquet(tmp.getAbsolutePath)
-        // swap: drop old part files (and their LocalFS .crc shadows),
-        // move new ones in, drop tmp
-        parts.foreach { p =>
-          new File(p.getParentFile, s".${p.getName}.crc").delete()
-          p.delete()
-        }
-        val moved = tmp.listFiles().toSeq.filter(isParquetPart)
+          .mode("overwrite").parquet(tmp.toString)
+        // swap: drop old part files (a checksummed FS drops its .crc
+        // shadows with them), move new ones in, drop tmp
+        parts.foreach(p => fs.delete(p.getPath, false))
+        val moved = fs.listStatus(tmp).toSeq.filter(isParquetPart)
         moved.foreach { f =>
-          val dest = new File(leaf, f.getName)
-          require(f.renameTo(dest), s"rename failed: $f -> $dest")
+          val dest = new Path(leaf, f.getPath.getName)
+          require(fs.rename(f.getPath, dest),
+            s"rename failed: ${f.getPath} -> $dest")
         }
-        delete(tmp)
-        Some(LeafStats(leaf.getAbsolutePath, parts.size,
-          moved.size, bytes))
+        fs.delete(tmp, true)
+        Some(LeafStats(leaf.toString, parts.size, moved.size, bytes))
       }
     }
-  }
-
-  private def delete(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete()
   }
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared maintenance machinery for the LSM-shaped batch tables
+  * (`batch_id=` partitioned: the near-dup index, its id ledger, the
+  * landed corpus store): the fold that collapses per-batch L0
+  * partitions into the base partition, and the filesystem primitives
+  * the swaps are built from.
+  *
+  * Everything goes through the Hadoop `FileSystem` resolved from the
+  * table path, so maintenance runs against any registered scheme —
+  * file:, hdfs:, or an object-store connector — not just the local
+  * filesystem (the pre-round-16 `requireLocalFs` limitation). Rename
+  * atomicity is the filesystem's own contract: atomic on HDFS and
+  * local, a non-atomic copy on stores without native rename — there
+  * the retire-then-rename discipline still never LOSES rows (every
+  * crash window keeps both copies on disk under recoverable names),
+  * but a production object-store deployment should front the swap
+  * with a catalog pointer commit (Iceberg/Delta-style) so concurrent
+  * readers never observe the in-between listing.
+  */
+private[streaming] object Lsm {
+
+  /** Batch id of the base (folded) partition. */
+  val BaseBatch: Long = -1L
+
+  def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Recursive delete; no-op when the path is absent. */
+  def delete(fs: FileSystem, p: Path): Unit = {
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Rename requiring the destination ABSENT first. Hadoop `rename`
+    * into an existing directory NESTS the source inside it (HDFS
+    * semantics) and returns true — a silent wrong-location outcome
+    * posix `renameTo` could not produce — so every swap checks
+    * absence explicitly before renaming.
+    */
+  def renameStrict(fs: FileSystem, src: Path, dst: Path,
+      context: String): Unit = {
+    require(!fs.exists(dst), s"rename target already exists: $dst ($context)")
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst ($context)")
+  }
+
+  /** Rewrite `dir`'s base partition as base ∪ `toMerge` (each row
+    * passed through `reAgg` — dedup/re-bucket for an index, identity
+    * for a store), then swap it in. The combined frame is fully
+    * written to a sibling before any live directory moves; the swap
+    * is retire-then-rename, so at every instant all rows exist on
+    * disk (old base at the retired path until the new one is in
+    * place; L0 rows in their live dirs throughout). A crash mid-window
+    * leaves duplicates, never losses.
+    *
+    * The merged L0 partitions are left IN PLACE: the caller must
+    * record their ids in the merged-ids sidecar FIRST and only then
+    * [[dropBatches]] them — the reverse order's crash window (L0 gone,
+    * ids unrecorded) would let checkpoint replays re-append duplicate
+    * runs.
+    *
+    * `partitionCols` must start with `batch_id`; a bucketed table
+    * passes `Seq("batch_id", "bkt")` and re-buckets inside `reAgg`.
+    */
+  def foldBatches(spark: SparkSession, dir: String, toMerge: Seq[Long],
+      reAgg: DataFrame => DataFrame, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.headOption.contains("batch_id"),
+      s"partitionCols must start with batch_id, got $partitionCols")
+    val fs = fileSystem(spark, dir)
+    val dst = new Path(dir, s"batch_id=$BaseBatch")
+    val retired = new Path(dir + ".base-retired")
+    // recovery preamble: a crash between the base-retire and the
+    // rename-in leaves the live base absent with the old one intact
+    // at the retired path — restore it before folding, or this fold
+    // would silently lose every pre-crash base row
+    if (!fs.exists(dst) && fs.exists(retired))
+      renameStrict(fs, retired, dst, "base recovery")
+    val ids = toMerge :+ BaseBatch
+    val merged = reAgg(spark.read.parquet(dir)
+      .filter(col("batch_id").isin(ids: _*))
+      .drop("batch_id"))
+    val tmp = new Path(dir + ".merge-tmp")
+    delete(fs, tmp)
+    merged.withColumn("batch_id", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    delete(fs, retired)
+    val src = new Path(tmp, s"batch_id=$BaseBatch")
+    if (fs.exists(dst))
+      renameStrict(fs, dst, retired, "base retire")
+    if (fs.exists(src)) {
+      renameStrict(fs, src, dst, s"previous base intact at $retired")
+      // the renamed-in base has no per-leaf _SUCCESS (the tmp job's
+      // marker sits at tmp's root) — record the completed promotion
+      CorpusIngest.markCommitted(spark, dst.toString)
+    }
+    delete(fs, retired)
+    delete(fs, tmp)
+  }
+
+  /** Drop the given live batch partitions (after their ids are safely
+    * in the merged sidecar).
+    */
+  def dropBatches(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    val fs = fileSystem(spark, dir)
+    ids.foreach(b => delete(fs, new Path(dir, s"batch_id=$b")))
+  }
+}

@@ -324,10 +324,19 @@ object NearDupIngest {
         nDocs.map(n => s""", "nDocs": $n""").getOrElse("") + "}")
         .getBytes("UTF-8"))
     finally out.close()
-    org.apache.hadoop.fs.FileContext
+    try org.apache.hadoop.fs.FileContext
       .getFileContext(fs.makeQualified(p).toUri, conf)
       .rename(fs.makeQualified(tmp), fs.makeQualified(p),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // scheme has a FileSystem but no AbstractFileSystem binding
+        // (FileContext's registry is separate): fall back to
+        // delete-then-rename — the crash window leaves the sidecar
+        // MISSING (a loud fail-fast on the next read), never corrupt
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"rename failed: $tmp -> $p")
+    }
   }
 
   /** [[start]] probing with the geometry recorded in the index's
@@ -454,21 +463,6 @@ object NearDupIngest {
       // failure or success, the per-invocation workspace never outlives
       // the run — the leak this cleanup exists to prevent
       deleteRecursively(new java.io.File(base))
-  }
-
-  /** The maintenance rewrites (compaction, recalibration rebuild) move
-    * directories with local `java.io.File` renames/deletes; on an
-    * object store or HDFS those calls silently no-op against paths
-    * that do not exist locally — compaction would strand tmp tables
-    * and never swap. Fail fast instead of corrupting; the ingest/probe
-    * path itself is filesystem-agnostic (Hadoop FS throughout).
-    */
-  private def requireLocalFs(dir: String, op: String): Unit = {
-    val scheme = Option(new org.apache.hadoop.fs.Path(dir)
-      .toUri.getScheme).getOrElse("file")
-    require(scheme == "file",
-      s"$op performs local-filesystem renames and supports only file:" +
-        s" paths for now, got scheme '$scheme' in $dir")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -709,14 +703,14 @@ object NearDupIngest {
       targetBytes: Long = 128L * 1024 * 1024)
       : Seq[graft.operators.Compact.LeafStats] = {
     require(keepRecentBatches >= 0, "keepRecentBatches must be >= 0")
-    requireLocalFs(indexDir, "compactIndex")
+    val fs = Lsm.fileSystem(spark, indexDir)
     val merged0 = CorpusIngest.mergedBatchIds(spark, indexDir)
     val listedAll = CorpusIngest.listedBatchIds(spark, indexDir) -
       InitialIndexBatch
     // orphans: a prior compaction folded these rows into the base and
     // recorded their ids, then crashed before dropping the partitions
     (listedAll intersect merged0).foreach(b =>
-      deleteRecursively(new java.io.File(s"$indexDir/batch_id=$b")))
+      Lsm.delete(fs, new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$b")))
     val toMerge = (listedAll -- merged0).toSeq.sorted
       .dropRight(keepRecentBatches)
     if (toMerge.nonEmpty) {
@@ -725,9 +719,13 @@ object NearDupIngest {
       // rows already present in the base (or a replayed batch
       // re-appended one), the re-fold collapses them instead of
       // doubling (index rows are exact per (id, band) by construction,
-      // so full-row dedup can only remove crash artifacts)
-      foldBatches(spark, indexDir, toMerge,
-        _.dropDuplicates().withColumn("bkt", bucketOf(col("key"), buckets)))
+      // so full-row dedup can only remove crash artifacts). The
+      // repartition clusters by bucket so each bucket dir gets
+      // one-task file counts, not tasks × buckets slivers.
+      Lsm.foldBatches(spark, indexDir, toMerge,
+        _.dropDuplicates().withColumn("bkt", bucketOf(col("key"), buckets))
+          .repartition(col("bkt")),
+        Seq("batch_id", "bkt"))
       // sidecar rebuild from the folded base: base partials must now
       // cover the rows that were L0 (and so live-counted) before
       rebuildOccupancy(spark, indexDir)
@@ -738,8 +736,7 @@ object NearDupIngest {
       // listed∩merged orphans, which the cleanup preamble above drops
       // without re-folding (their rows are already in the base).
       CorpusIngest.recordMergedBatchIds(spark, indexDir, toMerge.toSet)
-      toMerge.foreach(b =>
-        deleteRecursively(new java.io.File(s"$indexDir/batch_id=$b")))
+      Lsm.dropBatches(spark, indexDir, toMerge)
     }
     graft.operators.Compact.compact(spark, indexDir, targetBytes)
   }
@@ -750,75 +747,26 @@ object NearDupIngest {
     * sees a half-written table.
     */
   private def rebuildOccupancy(spark: SparkSession, indexDir: String): Unit = {
-    val tmp = occDir(indexDir) + ".rebuild-tmp"
-    deleteRecursively(new java.io.File(tmp))
+    val fs = Lsm.fileSystem(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(occDir(indexDir) + ".rebuild-tmp")
+    Lsm.delete(fs, tmp)
     spark.read.option("basePath", indexDir)
       .parquet(s"$indexDir/batch_id=$InitialIndexBatch")
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
     // retire-then-rename (not delete-then-rename): a crash between the
     // renames leaves the fresh sidecar intact at the tmp path and the
     // old one at the retired path — recoverable, and the sidecar is
     // always re-derivable from the base anyway
-    val live = new java.io.File(occDir(indexDir))
-    val retired = new java.io.File(occDir(indexDir) + ".retired")
-    deleteRecursively(retired)
-    if (live.exists())
-      require(live.renameTo(retired), s"rename failed: $live -> $retired")
-    require(new java.io.File(tmp).renameTo(live),
-      s"rename failed: $tmp -> $live (previous sidecar at $retired)")
-    deleteRecursively(retired)
-  }
-
-  /** Rewrite `dir`'s base partition as base ∪ `toMerge` (through
-    * `reAgg` — identity for the index, partial-count re-aggregation
-    * for the sidecar), then drop the merged partitions. The combined
-    * frame is fully written to a sibling before any source partition
-    * is removed; the swap is same-filesystem renames (the
-    * `operators.Compact` contract — on an object store this step
-    * rides the catalog's atomic snapshot swap).
-    */
-  private def foldBatches(spark: SparkSession, dir: String,
-      toMerge: Seq[Long], reAgg: DataFrame => DataFrame): Unit = {
-    val dst = new java.io.File(dir, s"batch_id=$InitialIndexBatch")
-    val retired = new java.io.File(dir + s".base-retired")
-    // recovery preamble: a crash between the base-retire and the
-    // rename-in leaves the live base absent with the old one intact
-    // at the retired path — restore it before folding, or this fold
-    // would silently lose every pre-crash base row
-    if (!dst.exists() && retired.exists())
-      require(retired.renameTo(dst), s"recovery rename failed:" +
-        s" $retired -> $dst")
-    val ids = toMerge :+ InitialIndexBatch
-    val merged = reAgg(spark.read.parquet(dir)
-      .filter(col("batch_id").isin(ids: _*))
-      .drop("batch_id"))
-    val tmp = new java.io.File(dir + ".merge-tmp")
-    deleteRecursively(tmp)
-    merged.withColumn("batch_id", lit(InitialIndexBatch))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("batch_id", "bkt")
-      .parquet(tmp.getAbsolutePath)
-    // retire-then-rename, L0 deletes LAST (and only in the caller,
-    // after the merged ids are recorded): at every instant all rows
-    // exist on disk (old base at the retired path until the new one
-    // is in place; L0 rows in their live dirs until the folded base
-    // carrying them is live). A crash mid-window leaves duplicates,
-    // never losses — and compactIndex's dedup-on-fold + orphan
-    // cleanup repair duplicates on the next run.
-    deleteRecursively(retired)
-    val src = new java.io.File(tmp, s"batch_id=$InitialIndexBatch")
-    if (dst.exists())
-      require(dst.renameTo(retired), s"rename failed: $dst -> $retired")
-    if (src.exists())
-      require(src.renameTo(dst), s"rename failed: $src -> $dst" +
-        s" (previous base intact at $retired)")
-    // the renamed-in base has no per-leaf _SUCCESS (the tmp job's
-    // marker sits at tmp's root) — record the completed promotion
-    CorpusIngest.markCommitted(spark, dst.getAbsolutePath)
-    deleteRecursively(retired)
-    deleteRecursively(tmp)
+    val live = new org.apache.hadoop.fs.Path(occDir(indexDir))
+    val retired = new org.apache.hadoop.fs.Path(occDir(indexDir) + ".retired")
+    Lsm.delete(fs, retired)
+    if (fs.exists(live))
+      Lsm.renameStrict(fs, live, retired, "occupancy retire")
+    Lsm.renameStrict(fs, tmp, live,
+      s"previous sidecar at $retired")
+    Lsm.delete(fs, retired)
   }
 
   /** Documents currently indexed: the occupancy sidecar's Σ n covers
@@ -895,9 +843,9 @@ object NearDupIngest {
           curBuckets, Some(nNow))
         None
       } else {
-        requireLocalFs(indexDir, "maybeRecalibrate's rebuild")
+        val fs = Lsm.fileSystem(spark, indexDir)
         val tmp = indexDir + ".recal-tmp"
-        deleteRecursively(new java.io.File(tmp))
+        Lsm.delete(fs, new org.apache.hadoop.fs.Path(tmp))
         // batch lineage collapses into the rebuilt base — record every
         // folded batch id BEFORE the swap so a checkpoint replay of a
         // previously-processed batch still reads as already-indexed
@@ -921,17 +869,19 @@ object NearDupIngest {
         // yet renamed in) lost the stream's only state. Here every
         // instant has both complete indexes on disk; a crash between
         // the renames leaves the live path absent but the data intact
-        // at the named siblings (the error path spells out recovery).
+        // at the named siblings (the rename context spells out
+        // recovery).
         val retired = indexDir + ".recal-retired"
-        deleteRecursively(new java.io.File(retired))
-        require(new java.io.File(indexDir).renameTo(new java.io.File(retired)),
-          s"rename failed: $indexDir -> $retired (rebuilt index intact" +
-            s" at $tmp)")
-        require(new java.io.File(tmp).renameTo(new java.io.File(indexDir)),
-          s"rename failed: $tmp -> $indexDir — the rebuilt index is" +
-            s" complete at $tmp and the previous index at $retired;" +
-            " rename one of them to the live path to recover")
-        deleteRecursively(new java.io.File(retired))
+        Lsm.delete(fs, new org.apache.hadoop.fs.Path(retired))
+        Lsm.renameStrict(fs, new org.apache.hadoop.fs.Path(indexDir),
+          new org.apache.hadoop.fs.Path(retired),
+          s"rebuilt index intact at $tmp")
+        Lsm.renameStrict(fs, new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(indexDir),
+          s"the rebuilt index is complete at $tmp and the previous" +
+            s" index at $retired; rename one of them to the live path" +
+            " to recover")
+        Lsm.delete(fs, new org.apache.hadoop.fs.Path(retired))
         Some(newBands)
       }
     } finally sigs.unpersist(blocking = false)

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.TextFns
+
+/** The round-15 maintenance ops failed fast on any non-`file:` scheme
+  * because their swaps went through `java.io.File`. This spec pins the
+  * round-16 contract: the WHOLE index lifecycle — calibrated build,
+  * per-batch ingest, compaction (fold + occupancy rebuild + bin-pack),
+  * and the recalibration rebuild — runs against a registered
+  * non-local Hadoop `FileSystem` ([[GraftTestFs]], scheme `graftfs:`),
+  * with identical semantics to the local-path runs the rest of the
+  * suite pins. Rename atomicity on a real object store remains the
+  * store connector's contract (documented in `Lsm`); what this proves
+  * is that no maintenance step touches `java.io.File` for table paths.
+  */
+class NonLocalFsMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val A = "alpha beta gamma delta epsilon zeta eta theta"
+  private val B = "one two three four five six seven eight nine"
+  private val C = "red orange yellow green blue indigo violet ultraviolet infra"
+
+  private def ws(name: String): (String, String) = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val base = graft.TestSpark.scratchPath(name)
+    // absolute local path prefixed with the scheme: graftfs:///tmp/...
+    (s"graftfs://$base/idx", s"graftfs://$base/store")
+  }
+
+  private def ingest(batch: Seq[(Long, String)], id: Long,
+      idx: String, store: String, bands: Int = 4): Unit =
+    NearDupIngest.ingestBatch(batch.toDF("doc_id", "text"), id, idx, store,
+      "doc_id", "text", 0.5, 3, 12, bands, 1000)
+
+  private def landedIds(store: String): Seq[Long] =
+    spark.read.parquet(store).select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("build + ingest + compactIndex on a graftfs:// index") {
+    val (idx, store) = ws("graftfs_compact")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    ingest(Seq((1L, B)), 0L, idx, store)
+    ingest(Seq((2L, C)), 1L, idx, store)
+    ingest(Seq((3L, "completely different novel words appear here again ok")),
+      2L, idx, store)
+    def probeSet(): Seq[Long] = {
+      val sigs = graft.functions.MinHashLsh.signaturesFromTokens(
+        Seq((11L, A), (12L, B), (13L, C),
+          (14L, "nothing here matches anything at all truly fresh text"))
+          .toDF("doc_id", "text")
+          .withColumn("t", TextFns.tokens(col("text"))),
+        "doc_id", "t", 3, 12)
+      NearDupIngest.probeDupIds(sigs, 99L, idx, "doc_id", 12, 4, 0.5, 1000)
+        .as[Long].collect().sorted.toSeq
+    }
+    val before = probeSet()
+    assert(before == Seq(11L, 12L, 13L))
+    // the fold, the occupancy rebuild, and the bin-pack all swap
+    // through Hadoop FS renames on the non-local scheme
+    NearDupIngest.compactIndex(spark, idx, keepRecentBatches = 1)
+    assert(CorpusIngest.listedBatchIds(spark, idx) == Set(-1L, 2L))
+    assert(CorpusIngest.mergedBatchIds(spark, idx) == Set(0L, 1L))
+    assert(probeSet() == before,
+      "probe results must be unchanged by a non-local-FS compaction")
+    // replay of a folded batch is still a no-op
+    val idxRows = spark.read.parquet(idx).count()
+    ingest(Seq((1L, B)), 0L, idx, store)
+    assert(spark.read.parquet(idx).count() == idxRows)
+    // idempotent second run
+    assert(NearDupIngest.compactIndex(spark, idx, keepRecentBatches = 1)
+      .isEmpty)
+    assert(probeSet() == before)
+  }
+
+  test("recalibration rebuild swaps a graftfs:// index in place") {
+    val (idx, store) = ws("graftfs_recal")
+    val corpus = Seq(A, B, C,
+      "north south east west up down left right center").zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val bands0 = NearDupIngest.writeIndexCalibrated(corpus, idx)
+    assert(NearDupIngest.indexConfig(spark, idx).contains((12, bands0, 3)))
+    // grow past 2x with a degenerate same-text batch (the
+    // NearDupIngestSpec drift trick) to force the rebuild branch
+    val boiler = "boilerplate footer text repeated verbatim on every single page"
+    NearDupIngest.ingestBatch(
+      (0L until 30L).map(i => (i, boiler)).toDF("doc_id", "text"),
+      0L, idx, store, "doc_id", "text", 0.5, 3, 12, bands0, 1000)
+    assert(NearDupIngest.maybeRecalibrate(spark, idx).contains(2),
+      "the drifted index must rebuild at the re-swept band count")
+    assert(NearDupIngest.indexConfig(spark, idx).contains((12, 2, 3)))
+    assert(NearDupIngest.indexedDocCount(spark, idx, 2) === 34L)
+    assert(CorpusIngest.existingBatchIds(spark, idx).contains(0L),
+      "folded batch ids must survive the non-local-FS rebuild")
+    // the rebuilt index still rejects dups of corpus and batch docs
+    NearDupIngest.ingestBatch(
+      Seq((200L, A), (201L, boiler), (202L,
+        "entirely new sentence with nothing shared anywhere else today"))
+        .toDF("doc_id", "text"),
+      1L, idx, store, "doc_id", "text", 0.5, 3, 12, 2, 1000)
+    assert(landedIds(store).contains(202L))
+    assert(!landedIds(store).contains(200L) && !landedIds(store).contains(201L))
+  }
+}
