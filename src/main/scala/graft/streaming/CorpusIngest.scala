@@ -123,6 +123,18 @@ object CorpusIngest {
     p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
   }
 
+  /** Whether `batchId`'s own partition directory exists and is
+    * committed — the leaf-only half of [[batchLanded]], for callers
+    * that must distinguish a LIVE partition (readable for replay
+    * completion) from one compaction folded into the base.
+    */
+  def batchLeafLive(spark: SparkSession, storeDir: String,
+      batchId: Long): Boolean = {
+    val leaf = new org.apache.hadoop.fs.Path(storeDir, s"batch_id=$batchId")
+    val fs = leaf.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(leaf) && committedLeaf(fs, leaf)
+  }
+
   /** O(1) landed check for ONE batch id: the candidate leaf dir's own
     * committed-marker probe plus the merged-ids sidecar — no listing
     * of the whole table (which grows with stream lifetime; see
@@ -130,12 +142,9 @@ object CorpusIngest {
     * need).
     */
   def batchLanded(spark: SparkSession, storeDir: String,
-      batchId: Long): Boolean = {
-    val leaf = new org.apache.hadoop.fs.Path(storeDir, s"batch_id=$batchId")
-    val fs = leaf.getFileSystem(spark.sessionState.newHadoopConf())
-    (fs.exists(leaf) && committedLeaf(fs, leaf)) ||
+      batchId: Long): Boolean =
+    batchLeafLive(spark, storeDir, batchId) ||
       mergedBatchIds(spark, storeDir).contains(batchId)
-  }
 
   /** Batch ids already present in the store: the partition layout (a
     * directory listing, not a data scan) plus any batches a compaction
@@ -161,6 +170,58 @@ object CorpusIngest {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .filter(s => committedLeaf(fs, s.getPath))
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+  }
+
+  /** Fold all but the newest `keepRecentBatches` landed batch
+    * partitions into the store's base partition (`batch_id=-1`),
+    * bounding the partition-directory count — and with it every
+    * full-listing consumer's per-call cost — by the compaction
+    * cadence instead of the stream's lifetime. Batch PROVENANCE
+    * collapses into the base (exactly as the index compaction
+    * collapses batch lineage); replay idempotence survives through
+    * the merged-ids sidecar, recorded BEFORE the folded partitions
+    * drop (the `Lsm` ordering). The store's [[IdLedger]] (when
+    * present) folds the same batches and re-buckets if the corpus
+    * outgrew its layout, so ledger and store lineage stay aligned.
+    * Ends with an [[graft.operators.Compact]] bin-pack. Maintenance
+    * operation: run with the stream quiesced (the same contract as
+    * any non-transactional table rewrite). Crash-safe and re-entrant
+    * per the `Lsm.foldBatches` contract (duplicates between base and
+    * live runs are collapsed by the id-dedup on the next fold; a
+    * crash never loses rows).
+    */
+  def compactStore(spark: SparkSession, storeDir: String,
+      idCol: String = "doc_id", keepRecentBatches: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : Seq[graft.operators.Compact.LeafStats] = {
+    require(keepRecentBatches >= 0, "keepRecentBatches must be >= 0")
+    val fs = Lsm.fileSystem(spark, storeDir)
+    val merged0 = mergedBatchIds(spark, storeDir)
+    val listedAll = listedBatchIds(spark, storeDir) - Lsm.BaseBatch
+    // orphans: a prior compaction folded these rows into the base and
+    // recorded their ids, then crashed before dropping the partitions
+    (listedAll intersect merged0).foreach(b => Lsm.delete(fs,
+      new org.apache.hadoop.fs.Path(storeDir, s"batch_id=$b")))
+    val toMerge = (listedAll -- merged0).toSeq.sorted
+      .dropRight(keepRecentBatches)
+    if (toMerge.nonEmpty) {
+      // ledger FIRST: fold the outgoing batches' ids into the
+      // bucketed id base while their partitions are still live — the
+      // ordering behind the coverage invariant (storeMerged ⊆
+      // ledgerMerged at every crash point), so the per-trigger id
+      // dedup never misses a folded id
+      IdLedger.foldFromStore(spark, storeDir, idCol, toMerge)
+      // id-dedup on fold: store rows are unique per id by construction
+      // (the ingest anti-joins), so collapsing on the id can only
+      // remove an interrupted fold's identical-row crash artifacts.
+      // mergeSchema: batches may carry evolved schemas (the documented
+      // store contract) — old rows take nulls in newer columns.
+      Lsm.foldBatches(spark, storeDir, toMerge,
+        _.dropDuplicates(Seq(idCol)), Seq("batch_id"), mergeSchema = true)
+      recordMergedBatchIds(spark, storeDir, toMerge.toSet)
+      Lsm.dropBatches(spark, storeDir, toMerge)
+    }
+    graft.operators.Compact.compact(spark, storeDir, targetBytes)
   }
 
   /** Sidecar recording batch ids whose partitions were compacted into

@@ -66,9 +66,14 @@ private[streaming] object Lsm {
     *
     * `partitionCols` must start with `batch_id`; a bucketed table
     * passes `Seq("batch_id", "bkt")` and re-buckets inside `reAgg`.
+    * Tables whose batches may have EVOLVED schemas (a corpus store
+    * gaining columns mid-campaign) must pass `mergeSchema = true`, or
+    * the fold's read would sample one file's schema and silently drop
+    * the other generations' columns.
     */
   def foldBatches(spark: SparkSession, dir: String, toMerge: Seq[Long],
-      reAgg: DataFrame => DataFrame, partitionCols: Seq[String]): Unit = {
+      reAgg: DataFrame => DataFrame, partitionCols: Seq[String],
+      mergeSchema: Boolean = false): Unit = {
     require(partitionCols.headOption.contains("batch_id"),
       s"partitionCols must start with batch_id, got $partitionCols")
     val fs = fileSystem(spark, dir)
@@ -81,7 +86,8 @@ private[streaming] object Lsm {
     if (!fs.exists(dst) && fs.exists(retired))
       renameStrict(fs, retired, dst, "base recovery")
     val ids = toMerge :+ BaseBatch
-    val merged = reAgg(spark.read.parquet(dir)
+    val merged = reAgg(spark.read
+      .option("mergeSchema", mergeSchema.toString).parquet(dir)
       .filter(col("batch_id").isin(ids: _*))
       .drop("batch_id"))
     val tmp = new Path(dir + ".merge-tmp")
@@ -110,4 +116,58 @@ private[streaming] object Lsm {
     val fs = fileSystem(spark, dir)
     ids.foreach(b => delete(fs, new Path(dir, s"batch_id=$b")))
   }
+
+  /** Read a small JSON sidecar file under the table dir; None when
+    * absent.
+    */
+  def readSidecar(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
+    }
+  }
+
+  /** Crash-safe sidecar write: the JSON goes to a tmp path and is
+    * renamed over the live file (atomic OVERWRITE rename through
+    * FileContext where the scheme has an AbstractFileSystem binding),
+    * so a reader always sees either the old or the new complete JSON —
+    * never a truncated half-write that would silently parse to
+    * defaults. Schemes without a FileContext binding fall back to
+    * delete-then-rename, whose crash window leaves the sidecar MISSING
+    * (a loud fail-fast on the next read), never corrupt.
+    */
+  def writeSidecar(spark: SparkSession, dir: String, name: String,
+      json: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir, name)
+    val tmp = new Path(dir, name + ".tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(p).toUri, conf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"rename failed: $tmp -> $p")
+    }
+  }
+
+  /** First integer field named `name` in a sidecar JSON string. */
+  def jsonLong(s: String, name: String): Option[Long] =
+    s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+
+  /** First string field named `name` in a sidecar JSON string. */
+  def jsonStr(s: String, name: String): Option[String] =
+    (s""""$name"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(s)
+      .map(_.group(1))
 }

@@ -51,25 +51,40 @@ import graft.functions.{LshGuard, MinHashLsh, TextFns}
   *    MAINTENANCE artifact: it gives [[indexedDocCount]] and the
   *    [[maybeRecalibrate]] drift trigger their O(keys) answer without
   *    touching the index.
+  *  - the CROSS-BATCH ID dedup applies the same discipline to the
+  *    store side (round 16): live batch partitions double as the id
+  *    L0 runs (their id columns, compaction-bounded) and the
+  *    [[IdLedger]] base holds compacted-away ids hash-bucketed, so
+  *    the re-delivered-id anti-join reads the batch's touched id
+  *    buckets instead of scanning the full store id column every
+  *    trigger — the last O(landed-corpus)-per-trigger term, gone, at
+  *    ZERO extra per-trigger writes.
   *
   * Per micro-batch ([[ingestBatch]]):
-  *  1. in-batch id collapse (`dropDuplicates` — the D1/D3 pick-one
-  *     contract) FIRST, so the probe, the landed rows, and the
-  *     indexed signatures all derive from one frame (a re-delivered
-  *     id can never index content a different copy landed);
+  *  1. in-batch id collapse (deterministic min-md5 pick — the D1/D3
+  *     pick-one contract) FIRST, so the probe, the landed rows, and
+  *     the indexed signatures all derive from one frame (a
+  *     re-delivered id can never index content a different copy
+  *     landed);
   *  2. one zero-shuffle signature pass over the batch
   *     (`signaturesFromTokens` — the batch is the small side);
   *  3. band-key equi-join against the PRUNED index, hot buckets
   *     capped to `maxBucket` representatives (overflow metered on
   *     `graft.lsh.indexRowsCapped`);
-  *  4. docs whose best match reaches `threshold` are dropped; the
-  *     rest land exactly-once via [[CorpusIngest.ingestBatch]]
+  *  4. docs whose best match reaches `threshold` are dropped;
+  *     re-delivered ids are dropped by an anti-join against the
+  *     [[IdLedger]] slice — live batch partitions' id columns plus
+  *     the batch's touched buckets of the folded-id base (the id-side
+  *     twin of the index probe: per-trigger cost bounded by the batch
+  *     footprint and the compaction cadence, not the landed corpus);
+  *     the rest land exactly-once via [[CorpusIngest.landPrepared]]
   *     (partition-directory idempotence, so a checkpoint-replayed
   *     batch neither double-lands docs nor double-appends the index);
   *  5. landed docs' band keys append to the index as the batch's L0
   *     run — store and index each guarded by their own `batch_id`
   *     partition, so a crash between the two writes is completed
-  *     (only the missing one) by the replay.
+  *     (only the missing one, from the store partition's landed
+  *     truth) by the replay.
   *
   * SEMANTICS (duplicate-blind within one micro-batch): a batch's
   * documents probe the index as it stood BEFORE the batch; two
@@ -284,60 +299,28 @@ object NearDupIngest {
   }
 
   private def readConfig(spark: SparkSession, indexDir: String)
-      : Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close())
-    }
-  }
+      : Option[String] = Lsm.readSidecar(spark, indexDir, ConfigFile)
 
   private def fieldOpt(s: String, name: String): Option[Long] =
-    s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong)
+    Lsm.jsonLong(s, name)
 
   private def field(s: String, name: String): Int =
     fieldOpt(s, name)
       .getOrElse(sys.error(s"$ConfigFile missing field '$name': $s")).toInt
 
+  /** Crash-safe via [[Lsm.writeSidecar]]'s tmp+rename: a truncate-in-
+    * place crash window would leave a present-but-corrupt sidecar
+    * whose garbage falls through to the IndexBuckets default —
+    * precisely the guessed-bucket-layout silent miss the read-side
+    * fail-fast guards against.
+    */
   private def writeConfig(spark: SparkSession, indexDir: String,
       k: Int, bands: Int, shingleWidth: Int, buckets: Int,
-      nDocs: Option[Long]): Unit = {
-    // write-to-tmp then rename-over: fs.create(p, true) truncates the
-    // live file first, so a crash between truncate and close would
-    // leave a present-but-corrupt sidecar — fieldOpt on garbage falls
-    // through to the IndexBuckets default, precisely the guessed-
-    // bucket-layout silent miss the fail-fast guards against. The
-    // OVERWRITE rename keeps the sidecar either the old or the new
-    // complete JSON at every instant.
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(indexDir, ConfigFile)
-    val tmp = new org.apache.hadoop.fs.Path(indexDir, ConfigFile + ".tmp")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(
-      (s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth,""" +
+      nDocs: Option[Long]): Unit =
+    Lsm.writeSidecar(spark, indexDir, ConfigFile,
+      s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth,""" +
         s""" "buckets": $buckets""" +
         nDocs.map(n => s""", "nDocs": $n""").getOrElse("") + "}")
-        .getBytes("UTF-8"))
-    finally out.close()
-    try org.apache.hadoop.fs.FileContext
-      .getFileContext(fs.makeQualified(p).toUri, conf)
-      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // scheme has a FileSystem but no AbstractFileSystem binding
-        // (FileContext's registry is separate): fall back to
-        // delete-then-rename — the crash window leaves the sidecar
-        // MISSING (a loud fail-fast on the next read), never corrupt
-        if (fs.exists(p)) fs.delete(p, false)
-        require(fs.rename(tmp, p), s"rename failed: $tmp -> $p")
-    }
-  }
 
   /** [[start]] probing with the geometry recorded in the index's
     * [[ConfigFile]] sidecar (written by [[writeIndexCalibrated]]) —
@@ -479,23 +462,26 @@ object NearDupIngest {
       shingleWidth: Int, k: Int, bands: Int, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
     // per-destination idempotence: store landing and index append are
-    // two non-atomic writes, so each is guarded by its OWN batch_id
+    // two non-atomic writes, each guarded by its OWN batch_id
     // partition — a crash between them leaves one destination behind,
     // and the replay completes exactly the missing one (the
     // store-without-index window would otherwise permanently break
-    // the index ⊇ landed-docs invariant). The occupancy sidecar needs
-    // no per-batch write: it covers only the bucketed BASE partition,
-    // and L0 runs are occupancy-counted live by the probe.
-    // the index-side check is the O(1) single-leaf probe (the index's
-    // live batch-dir count is compaction-bounded, but there is no
-    // reason to list it per trigger); the store side still lists the
-    // full set because the forall decision below needs it — a cost
-    // that grows with stream lifetime until the store is compacted
-    // (documented in CorpusIngest.batchLanded)
-    val storeBatches = CorpusIngest.existingBatchIds(spark, storeDir)
-    val storeHas = storeBatches.contains(batchId)
+    // the index ⊇ landed-docs invariant). Both checks are O(1)
+    // single-leaf probes — no per-trigger listing grows with stream
+    // lifetime. The occupancy sidecar needs no per-batch write: it
+    // covers only the bucketed BASE partition, and L0 runs are
+    // occupancy-counted live by the probe.
+    val storeLive = CorpusIngest.batchLeafLive(spark, storeDir, batchId)
+    val storeHas = storeLive ||
+      CorpusIngest.mergedBatchIds(spark, storeDir).contains(batchId)
     val idxHas = CorpusIngest.batchLanded(spark, indexDir, batchId)
     if (storeHas && idxHas) return
+    // landed but no longer live: store compaction folded the batch
+    // into the base. Compaction's contract (quiesced stream, no
+    // incomplete batches) means the index append happened before the
+    // fold — and the rows are no longer attributable to the batch, so
+    // there is nothing a replay could safely complete
+    if (storeHas && !storeLive) return
     // in-batch id collapse FIRST, and DETERMINISTIC (min md5 of the
     // row's JSON per id — not dropDuplicates, whose pick is
     // scan-order-dependent): probe, landing, and index all derive
@@ -523,50 +509,68 @@ object NearDupIngest {
       val sigs = MinHashLsh.signaturesFromTokens(
         toks, idCol, "__t", shingleWidth, k).persist()
       try {
-        val dupIds = probeDupIds(sigs, batchId, indexDir, idCol,
-          k, bands, threshold, maxBucket)
-        // cross-batch id dedup BEFORE the index append, so the index
-        // holds exactly what lands: a re-delivered id is dropped by the
-        // store's anti-join and must not index its (possibly changed)
-        // content. Prior batches only — on replay the store may already
-        // hold THIS batch's rows, which still need indexing. Persisted:
-        // the store landing and the index append both consume it, and
-        // without the cache the second write would re-execute the whole
-        // probe join.
-        val fresh = deduped.join(dupIds, Seq(idCol), "left_anti")
-        val freshNew = (
-          if (storeBatches.forall(_ == batchId)) fresh
-          else fresh.join(
-            spark.read.parquet(storeDir)
-              .filter(col("batch_id") =!= batchId).select(col(idCol)),
-            Seq(idCol), "left_anti")).persist()
-        try {
-          if (!storeHas)
+        if (storeLive) {
+          // replay after a partial failure (store landed, index
+          // append missing): the store's own batch partition is the
+          // landed truth — derive the index completion from ITS id
+          // column, not from a recomputed dedup chain
+          writeL0Run(sigs,
+            spark.read.parquet(s"$storeDir/batch_id=$batchId")
+              .select(col(idCol)),
+            indexDir, batchId, idCol, k, bands)
+        } else {
+          val dupIds = probeDupIds(sigs, batchId, indexDir, idCol,
+            k, bands, threshold, maxBucket)
+          // cross-batch id dedup BEFORE the index append, so the index
+          // holds exactly what lands: a re-delivered id is dropped by
+          // the id anti-join and must not index its (possibly changed)
+          // content. The anti-join's right side is the IdLedger slice
+          // — live batch partitions' id columns (compaction-bounded)
+          // plus the batch's touched buckets of the folded-id base —
+          // per-trigger cost bounded by the batch footprint and the
+          // compaction cadence, NOT the landed corpus (the round-15
+          // full-store id scan is gone). Persisted: the store landing
+          // and the index append both consume freshNew, and without
+          // the cache the second write would re-execute the whole
+          // probe join.
+          val fresh = deduped.join(dupIds, Seq(idCol), "left_anti")
+          val freshNew =
+            (IdLedger.priorIds(deduped, idCol, storeDir,
+                excludeBatch = batchId) match {
+              case Some(prior) =>
+                fresh.join(prior, Seq(idCol), "left_anti")
+              case None => fresh // fresh store: nothing prior
+            }).persist()
+          try {
             // landPrepared, not ingestBatch: freshNew is already
-            // id-deduped and anti-joined against every prior batch —
-            // ingestBatch would re-run both, paying a second full-store
-            // id scan + anti-join shuffle per trigger
+            // id-deduped in-batch and against the ledger — ingestBatch
+            // would re-run both with a full-store scan
             CorpusIngest.landPrepared(freshNew, batchId, storeDir)
-          if (!idxHas)
-            // landed band keys append as one UNBUCKETED L0 run — a
-            // single partition directory, no per-bucket file fan-out
-            // (see [[UnbucketedRun]]), written DIRECTLY to its leaf
-            // path: a root-level append would first resolve the
-            // existing relation, i.e. list the whole index per trigger
-            // (the CorpusIngest direct-leaf rationale).
-            // overwrite, not ErrorIfExists: a crashed append leaves the
-            // leaf dir behind holding only hidden _temporary staging
-            // content, which existingBatchIds reads as "not landed" —
-            // the replay must re-land into it
-            MinHashLsh.bandKeys(
-                sigs.join(freshNew.select(idCol), Seq(idCol), "left_semi"),
-                idCol, k, bands)
-              .write.mode("overwrite").parquet(
-                s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
-        } finally freshNew.unpersist(blocking = false)
+            if (!idxHas)
+              writeL0Run(sigs, freshNew.select(col(idCol)), indexDir,
+                batchId, idCol, k, bands)
+          } finally freshNew.unpersist(blocking = false)
+        }
       } finally sigs.unpersist(blocking = false)
     } finally { deduped.unpersist(blocking = false); () }
   }
+
+  /** Landed band keys append as one UNBUCKETED L0 run — a single
+    * partition directory, no per-bucket file fan-out (see
+    * [[UnbucketedRun]]), written DIRECTLY to its leaf path: a
+    * root-level append would first resolve the existing relation,
+    * i.e. list the whole index per trigger (the CorpusIngest
+    * direct-leaf rationale). Overwrite, not ErrorIfExists: a crashed
+    * append leaves the leaf dir behind without its `_SUCCESS` marker,
+    * which reads as "not landed" — the replay must re-land into it.
+    */
+  private def writeL0Run(sigs: DataFrame, landedIds: DataFrame,
+      indexDir: String, batchId: Long, idCol: String, k: Int,
+      bands: Int): Unit =
+    MinHashLsh.bandKeys(
+        sigs.join(landedIds, Seq(idCol), "left_semi"), idCol, k, bands)
+      .write.mode("overwrite").parquet(
+        s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
 
   /** Most distinct (band, key) probe keys collected to the driver per
     * batch (~5 MB at the cap). A batch beyond it — tens of thousands

@@ -79,10 +79,9 @@ class NearDupIngestCostSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val storeBatches = t("existingBatchIds x2 (listings)") {
-        val sb = CorpusIngest.existingBatchIds(spark, storeDir)
-        CorpusIngest.existingBatchIds(spark, idxDir)
-        sb
+      t("batchLanded x2 (O(1) leaf probes)") {
+        CorpusIngest.batchLanded(spark, storeDir, 1L)
+        CorpusIngest.batchLanded(spark, idxDir, 1L)
       }
       val deduped = batch.dropDuplicates("doc_id")
       val sigs = t("signatures build+persist (materialize)") {
@@ -94,15 +93,16 @@ class NearDupIngestCostSpec extends AnyFunSuite {
       val dupIds = t("probeDupIds (pruned read + semi-join, eager key job)") {
         NearDupIngest.probeDupIds(sigs, 1L, idxDir, "doc_id", 12, 4, 0.5, 1000)
       }
-      val freshNew = t("freshNew anti-joins (materialize)") {
-        val f = deduped.join(dupIds, Seq("doc_id"), "left_anti")
-          .join(spark.read.parquet(storeDir)
-            .filter(col("batch_id") =!= 1L).select("doc_id"),
-            Seq("doc_id"), "left_anti").persist()
+      val freshNew = t("freshNew anti-joins (ledger slice, materialize)") {
+        val fresh = deduped.join(dupIds, Seq("doc_id"), "left_anti")
+        val f = (IdLedger.priorIds(deduped, "doc_id", storeDir, 1L) match {
+          case Some(prior) => fresh.join(prior, Seq("doc_id"), "left_anti")
+          case None => fresh
+        }).persist()
         f.count(); f
       }
       t("store landing write") {
-        CorpusIngest.ingestBatch(freshNew, 1L, storeDir, "doc_id")
+        CorpusIngest.landPrepared(freshNew, 1L, storeDir)
       }
       t("index L0 append write") {
         graft.functions.MinHashLsh.bandKeys(
