@@ -203,6 +203,42 @@ object EmbedNearDup {
     (selected, pairs, release)
   }
 
+  /** Planes-per-band grid scaled to the corpus — the ceiling the
+    * fixed 2/4/6/8 grid lacked. On isotropic vectors each band's 2^p
+    * cells hold ~N/2^p vectors, so the expected candidate load is
+    * bands·N²/2^(p+1); fitting a B-pairs-per-vector budget needs
+    * 2^p ≳ bands·N/(2B), i.e. **p ≳ log₂(bands·N/(2B))**. Hyperplane
+    * collision RATE is scale-invariant (ARCHITECTURE: within-cell
+    * pairs densify as the corpus grows), so a fixed ceiling
+    * eventually prices every config over the budget and the guarded
+    * fallback executes forever — the grid must grow with log N for a
+    * fitting selection to keep existing. Even steps from 2 up to the
+    * derived ceiling (never below 8, so small corpora keep today's
+    * grid and the q184/q187 oracles replay unchanged at harness
+    * scales; capped at 24 — 16M cells per band prices out any
+    * realistic budget long before the cap binds).
+    */
+  def planeGridFor(nVecs: Long, bands: Int = 4,
+      pairsPerVecBudget: Long = 20L): Seq[Int] = {
+    require(bands >= 1 && pairsPerVecBudget >= 1)
+    val need = math.max(1.0,
+      bands.toDouble * math.max(nVecs, 1L) / (2.0 * pairsPerVecBudget))
+    val pFit = math.ceil(math.log(need) / math.log(2.0)).toInt
+    val pMax = math.min(24, math.max(8, ((pFit + 1) / 2) * 2))
+    2 to pMax by 2
+  }
+
+  /** The grid sweep's per-config stats — (p, cand_pairs, n_vec), one
+    * row per grid member — as a frame (public for the decade audit in
+    * ScaleCalibrationSpec, symmetric with `SimHash.widthSweep`).
+    * `cand_pairs` is an exact prediction of the banded join's
+    * candidate multiset: Σ m·(m−1)/2 over cells counts the join's
+    * output pairs with band multiplicity.
+    */
+  def planeSweep(vecs: DataFrame, bands: Int, planeGrid: Seq[Int],
+      dim: Int): DataFrame =
+    sweepStats(gridOccupancy(vecs, bands, planeGrid, dim), bands)
+
   /** The planes-per-band sweep and selection alone (the q184 rule as
     * a standalone selector, symmetric with
     * `MinHashLsh.calibrateBands` / `SimHash.calibrateWidth`): fewest

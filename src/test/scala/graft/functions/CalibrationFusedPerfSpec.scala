@@ -28,8 +28,7 @@ class CalibrationFusedPerfSpec extends AnyFunSuite {
   private val Grid = Seq(2, 3, 4, 6)
   private val Budget = 20L
 
-  test("fused calibration+pairs within 15% of probing path (median of 5, interleaved)") {
-    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,20 +37,16 @@ class CalibrationFusedPerfSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // deterministic 150 k-doc synthetic corpus; signatures land on
-    // parquet once so every timed run pays the same scan and none
-    // pays the shingle/md5 signature build
-    val scratch = graft.TestSpark.scratchDir("calib_ab")
-    val sigsPath = s"$scratch/sigs.parquet"
-    val words = (0 until 40).map(i => s"substring(md5(cast(id * 37 + $i as string)), 1, ${3 + i % 5})")
-    val docs = spark.range(150000)
-      .select(col("id").as("doc_id"),
-        expr(s"concat_ws(' ', ${words.mkString(", ")})").as("text"))
-      .withColumn("t", TextFns.tokens(col("text")))
-    MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, K)
-      .write.mode("overwrite").parquet(sigsPath)
-
+  /** The interleaved A/B over a pre-landed signature table: result
+    * identity first, then alternating timed reps so an external load
+    * wave hits both variants equally. Returns (probing, fused)
+    * medians.
+    */
+  private def abOverSigs(spark: SparkSession, sigsPath: String,
+      label: String, reps: Int = 5): (Double, Double) = {
     def probing(): Long = {
       val sigs = spark.read.parquet(sigsPath)
       val sel = MinHashLsh.calibrateBands(sigs, "doc_id", K, Grid, Budget)
@@ -67,7 +62,6 @@ class CalibrationFusedPerfSpec extends AnyFunSuite {
         case None => MinHashLsh.candidatePairs(sigs, "doc_id", K, sel)
       }).count()
     }
-
     // result identity before any perf claim (count-level here; the
     // pair-level identity is pinned corpus-exactly by Extended23Spec)
     spark.catalog.clearCache()
@@ -81,15 +75,61 @@ class CalibrationFusedPerfSpec extends AnyFunSuite {
       val t0 = System.nanoTime(); body()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both plans once, then interleave 5 timed reps per variant
-    // so an external load wave hits both sides equally
+    // warm both plans once, then interleave the timed reps so an
+    // external load wave hits both sides equally
     timed(probing); timed(fused)
-    val (ps, fs) = (1 to 5).map(_ => (timed(probing), timed(fused))).unzip
+    val (ps, fs) = (1 to reps).map(_ => (timed(probing), timed(fused))).unzip
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val (mp, mf) = (median(ps), median(fs))
-    info(f"probing median $mp%.2f s (${ps.map(x => f"$x%.2f").mkString(", ")})")
-    info(f"fused   median $mf%.2f s (${fs.map(x => f"$x%.2f").mkString(", ")})")
+    info(f"$label probing median $mp%.2f s (${ps.map(x => f"$x%.2f").mkString(", ")})")
+    info(f"$label fused   median $mf%.2f s (${fs.map(x => f"$x%.2f").mkString(", ")})")
+    (mp, mf)
+  }
+
+  test("fused calibration+pairs within 15% of probing path (median of 5, interleaved)") {
+    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+    val spark = session()
+    // deterministic 150 k-doc synthetic corpus; signatures land on
+    // parquet once so every timed run pays the same scan and none
+    // pays the shingle/md5 signature build
+    val scratch = graft.TestSpark.scratchDir("calib_ab")
+    val sigsPath = s"$scratch/sigs.parquet"
+    val words = (0 until 40).map(i => s"substring(md5(cast(id * 37 + $i as string)), 1, ${3 + i % 5})")
+    val docs = spark.range(150000)
+      .select(col("id").as("doc_id"),
+        expr(s"concat_ws(' ', ${words.mkString(", ")})").as("text"))
+      .withColumn("t", TextFns.tokens(col("text")))
+    MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, K)
+      .write.mode("overwrite").parquet(sigsPath)
+    // 7 reps: the 150k medians sit in the load-wave noise band on this
+    // host (measured runs span 2.6-26.5 s), so the median needs the
+    // extra samples the stable 500k test does not
+    val (mp, mf) = abOverSigs(spark, sigsPath, "150k:", reps = 7)
     assert(mf <= mp * 1.15,
       f"fused path ($mf%.2f s) must be within 15%% of probing ($mp%.2f s)")
+  }
+
+  test("fused calibration+pairs beats probing at the 500k-doc decade (interleaved)") {
+    // the round-15 claim (fused 9.6 s vs probing 14.0 s at 500 k) lived
+    // only in STABILITY prose from ad-hoc A/Bs — this commits the same
+    // interleaved median-of-5 at the decade where the fusion matters
+    // (the probe's corpus-wide md5-string groupBy is what it deletes)
+    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+    val dir = "bench/sfgen/sf10"
+    assume(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"generate the decade first: runMain graft.tools.ScaleGen $dir ...")
+    val spark = session()
+    val scratch = graft.TestSpark.scratchDir("calib_ab_sf10")
+    val sigsPath = s"$scratch/sigs.parquet"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", TextFns.tokens(col("text")))
+    MinHashLsh.signaturesFromTokens(docs, "doc_id", "t", 3, K)
+      .write.mode("overwrite").parquet(sigsPath)
+    val (mp, mf) = abOverSigs(spark, sigsPath, "500k:")
+    // at this scale the deleted groupBy dominates: fused must not lose
+    assert(mf <= mp,
+      f"fused path ($mf%.2f s) must be at or under probing ($mp%.2f s)" +
+        " at 500k docs")
   }
 }

@@ -74,6 +74,25 @@ class VectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bandedPairs"))
   }
 
+  test("planeGridFor: ceiling ~log2(N), fixed grid at harness scales") {
+    // small corpora keep today's 2/4/6/8 grid (oracle stability) ...
+    for (n <- Seq(0L, 1L, 200L, 2000L, 2560L))
+      assert(EmbedNearDup.planeGridFor(n) == Seq(2, 4, 6, 8), s"n=$n")
+    // ... decade corpora extend it: p >= log2(bands*N / 2*budget)
+    assert(EmbedNearDup.planeGridFor(200000L) == (2 to 16 by 2))
+    assert(EmbedNearDup.planeGridFor(2000000L) == (2 to 18 by 2))
+    // monotone in N, capped at 24 (16M cells/band)
+    val grids = Seq(1L, 1000L, 100000L, 10000000L, Long.MaxValue / 8)
+      .map(EmbedNearDup.planeGridFor(_).max)
+    assert(grids == grids.sorted)
+    assert(grids.last == 24)
+    // the ceiling is exactly what makes the isotropic load fit: at the
+    // derived pMax, bands*N/2^(pMax+1) <= budget (up to rounding)
+    val n = 300000L
+    val pMax = EmbedNearDup.planeGridFor(n, 4, 20L).max
+    assert(4.0 * n / math.pow(2.0, pMax + 1) <= 20.0)
+  }
+
   test("codegen long_array_dot equals composable zip_with/aggregate dot") {
     import org.apache.spark.sql.functions._
     import graft.functions.VecFns

@@ -110,4 +110,79 @@ class ScaleCalibrationSpec extends AnyFunSuite {
   test("sf10-docs (500k): selected config's measured load within budget") {
     auditAt("bench/sfgen/sf10")
   }
+
+  test("sf10-vecs (200k): hyperplane grid ceiling scales; selection fits again") {
+    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+    val dir = "bench/sfgen/sf10"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"generate the decade first: runMain graft.tools.ScaleGen $dir ...")
+    // q187 is the fastest-growing production family (6.2x/decade at
+    // round 15): hyperplane collision RATE is scale-invariant, so the
+    // fixed 8-plane ceiling eventually prices every config over the
+    // budget and the guarded fallback executes. planeGridFor grows the
+    // ceiling ~log2(N) — this row pins that at 200k vectors the fixed
+    // grid's selection is adjudicated (fitting or fallback, measured),
+    // the derived grid extends past 8, and its selection's MEASURED
+    // load obeys the prediction (and the budget when a config fits).
+    import graft.functions.VecFns
+    import graft.operators.EmbedNearDup
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val (bands, dim) = (4, 64)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+      .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+      .persist()
+    val n = vecs.count()
+    def audit(label: String, grid: Seq[Int]): (Int, Long, Boolean) = {
+      val stats = EmbedNearDup.planeSweep(vecs, bands, grid, dim).collect()
+      for (r <- stats.sortBy(_.getAs[Int]("p")))
+        info(s"$label p=${r.getAs[Int]("p")}: " +
+          s"cand_pairs=${r.getAs[Long]("cand_pairs")} budget=${Budget * n}")
+      val fitting = stats.filter(r =>
+        r.getAs[Long]("cand_pairs") <= r.getAs[Long]("n_vec") * Budget)
+        .map(_.getAs[Int]("p"))
+      val selected = if (fitting.nonEmpty) fitting.min else grid.max
+      val predicted = stats.find(_.getAs[Int]("p") == selected).get
+        .getAs[Long]("cand_pairs")
+      info(s"$label: n_vec=$n selected=$selected planes " +
+        s"(${if (fitting.nonEmpty) "FITTING" else "FALLBACK"}), " +
+        s"predicted<=$predicted")
+      (selected, predicted, fitting.nonEmpty)
+    }
+    val fixedGrid = Seq(2, 4, 6, 8)
+    val (selFixed, predFixed, fitsFixed) = audit("fixed-grid", fixedGrid)
+    val derived = EmbedNearDup.planeGridFor(n, bands, Budget)
+    assert(derived.max > fixedGrid.max,
+      s"planeGridFor($n) must extend past the fixed 8-plane ceiling," +
+        s" got $derived")
+    val (selDerived, predDerived, fitsDerived) = audit("derived-grid", derived)
+    // the bend: the derived grid's selection never predicts more load
+    // than the fixed grid's executed config
+    assert(predDerived <= predFixed,
+      s"derived selection $selDerived predicts $predDerived >" +
+        s" fixed $selFixed's $predFixed")
+    // execute the derived selection and check prediction + budget
+    // (minCos = -1 keeps every verified candidate, so the count IS the
+    // distinct candidate load the sweep predicted with multiplicity)
+    val (pairs, release) = EmbedNearDup.bandedPairsWithCleanup(
+      vecs, "vec_id", bands, selDerived, dim, minCos = -1.0)
+    val measured = pairs.count()
+    release()
+    info(s"derived-grid executed: measured=$measured distinct candidates" +
+      s" (predicted<=$predDerived, budget=${Budget * n})")
+    assert(measured <= predDerived,
+      s"banded join emitted $measured pairs, sweep predicted <=$predDerived")
+    if (fitsDerived)
+      assert(measured <= Budget * n,
+        s"selected config $selDerived broke its own budget:" +
+          s" $measured > ${Budget * n}")
+    vecs.unpersist()
+    spark.catalog.clearCache()
+    // note for the ARCHITECTURE calibration table: fixed grid fitting=
+    // (see info above); at 2k vectors (sf0.1) planeGridFor returns the
+    // fixed grid itself, so harness-scale behavior is unchanged
+    assert(EmbedNearDup.planeGridFor(2000, bands, Budget) == fixedGrid)
+    assert(!fitsFixed || fitsDerived,
+      "a selection fitting the fixed grid must still fit the superset grid")
+  }
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The span-dedup production contract (round-16 adjudication of
+  * q165's cost): q165 hashes EVERY 6-token window — exact, linear,
+  * but the heaviest-constant query at decade scale (41.6 s at sf10,
+  * every window hashed and shuffled). q84 winnowing (MOSS) is the
+  * declared production counterpart: it selects ~2/(W+1) of the
+  * windows, and carries the standard guarantee — any span of at least
+  * K + W − 1 = 4 + 5 − 1 = 8 tokens shared verbatim between two
+  * documents yields at least one IDENTICAL selected fingerprint in
+  * both (a full hash window fits inside the shared span; both sides
+  * select that window's minimum, and equal hash sequences have equal
+  * minima). Spans of 6–7 tokens — q165's K=6 floor — are where the
+  * two can differ, and the measured recall below prices exactly that
+  * gap. Pinned here: the guarantee EXACTLY (cross-doc 8-gram dup docs
+  * ⊆ winnow-collision docs) and the measured doc-level recall vs
+  * q165's flagged set (reported via info; recorded in ARCHITECTURE's
+  * span-dedup contract paragraph).
+  */
+class SpanDedupContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** Doc ids sharing at least one K-token window with another doc —
+    * q165's phase-1 shape at an arbitrary K.
+    */
+  private def crossDocSpanDocs(k: Int): DataFrame = {
+    val docs = graft.Tables.docsParallel(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")))
+      .filter(col("n_tok") >= k)
+    val grams = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n_tok") - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k))))))
+          .as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    grams.join(dup, "gh").select("doc_id").distinct()
+  }
+
+  /** Doc ids sharing at least one winnowing fingerprint VALUE with
+    * another doc — q84's fingerprint construction (4-gram hashes,
+    * window W=5, rightmost-min selection), collided across docs.
+    */
+  private def winnowCollisionDocs(): DataFrame = {
+    val w = 5
+    val grams = graft.Tables.docsParallel(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFns.wordShinglesFromTokens(col("t"), 4)))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("col")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    val fps = grams
+      .withColumn("wmin", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .withColumn("n_grams", count(lit(1)).over(
+        Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("n_grams") - w)
+      .select(col("doc_id"), col("wmin.h").as("fp"))
+      .distinct()
+    val shared = fps.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    fps.join(shared, "fp").select("doc_id").distinct()
+  }
+
+  test("winnowing guarantee holds exactly; measured recall vs q165 reported") {
+    val winnowed = winnowCollisionDocs().as[Long].collect().toSet
+    // the MOSS guarantee, assertable exactly: every doc sharing a
+    // >= K+W-1 = 8-token span is winnow-caught
+    val guaranteed = crossDocSpanDocs(8).as[Long].collect().toSet
+    assert(guaranteed.subsetOf(winnowed),
+      s"guarantee violated for docs ${(guaranteed -- winnowed).take(5)}")
+    // measured recall against q165's exact K=6 flagged set — the 6-7
+    // token spans are the only possible misses
+    val exact = crossDocSpanDocs(6).as[Long].collect().toSet
+    val recall =
+      if (exact.isEmpty) 1.0
+      else exact.intersect(winnowed).size.toDouble / exact.size
+    info(f"sf0.01: q165 flags ${exact.size} docs, winnowing collides " +
+      f"${winnowed.size}, guarantee set ${guaranteed.size}; " +
+      f"doc-level recall vs q165 = $recall%.4f")
+    // every flagged doc at this corpus carries spans at or past the
+    // guarantee threshold or collides anyway; a data change that
+    // introduces heavy 6-7-token-only overlap would surface here as a
+    // recall drop below the contract floor
+    assert(recall >= 0.9,
+      f"winnowing recall vs q165 fell to $recall%.4f — re-adjudicate" +
+        " the span-dedup contract (ARCHITECTURE)")
+  }
+}
