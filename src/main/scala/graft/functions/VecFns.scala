@@ -113,4 +113,34 @@ object VecFns {
     (0 until planesPerBand).map { k =>
       signs(band * planesPerBand + k) * (1L << k)
     }.reduce(_ + _).cast("long")
+
+  /** ALL plane signs 0..maxPlanes-1 in one codegen'd expression
+    * (`expressions.PlaneSignMask`): bit j of the returned 64-bit
+    * words is `planeSign(vq, j, dim)`. One static multiply kernel per
+    * row instead of maxPlanes inline dot expressions — past ~32
+    * planes the inline form breaches the JIT method-size cliff and
+    * the whole projection runs interpreted (measured 13× on the q187
+    * derived-grid sweep). Requires `GraftFunctions.register`.
+    */
+  def planeSignMask(vq: Column, maxPlanes: Int, dim: Int): Column =
+    call_function("plane_sign_mask", vq, lit(maxPlanes), lit(dim))
+
+  /** Band `band`'s packed sign key extracted from a [[planeSignMask]]
+    * word array — pure bit arithmetic (element_at + shifts), bit-
+    * identical to [[lshBandKey]]: key bit k = sign of global plane
+    * band·p + k. Handles keys straddling a word boundary (p ≤ 24
+    * spans at most two words).
+    */
+  def bandKeyFromMask(mask: Column, band: Int, planesPerBand: Int): Column = {
+    val lo = band * planesPerBand
+    val word = lo / 64
+    val off = lo % 64
+    val base = shiftrightunsigned(element_at(mask, word + 1), off)
+    val key =
+      if (off + planesPerBand <= 64) base
+      else base.bitwiseOR(
+        // off > 64 - p >= 40 here, so the shift amount is in (0, 64)
+        shiftleft(element_at(mask, word + 2), 64 - off))
+    key.bitwiseAND(lit((1L << planesPerBand) - 1)).cast("long")
+  }
 }

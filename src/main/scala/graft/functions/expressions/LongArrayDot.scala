@@ -76,6 +76,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "long_array_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "internal")
     reg.createOrReplaceTempFunction(
+      "plane_sign_mask",
+      exprs => PlaneSignMask(exprs(0), exprs(1), exprs(2)), "internal")
+    reg.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "internal")
     reg.createOrReplaceTempFunction(
       "pq_luts", exprs => PqLuts(exprs(0), exprs(1)), "internal")

@@ -96,14 +96,27 @@ object EmbedNearDup {
       () => { banded.unpersist(blocking = false); () })
   }
 
-  /** One row per (vector, band) with the band's packed sign key. */
+  /** One row per (vector, band) with the band's packed sign key. The
+    * signs come from ONE [[VecFns.planeSignMask]] kernel per row and
+    * the keys are bit extraction — never bands·p inline dot
+    * expressions, whose generated projection breaches the JIT
+    * method-size cliff past ~32 planes and runs interpreted (the
+    * round-16 q187 derived-grid regression: 68 s vs 8 s at 200 k
+    * vectors). Bit-identical to `VecFns.lshBandKey` per band.
+    */
   private def bandedFrame(vecs: DataFrame, idCol: String, bands: Int,
       planesPerBand: Int, dim: Int): DataFrame = {
+    // self-sufficient registration (idempotent): the mask kernel is a
+    // registered function, and not every caller runs after a query
+    // that registered the session
+    graft.functions.expressions.GraftFunctions.register(vecs.sparkSession)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        VecFns.lshBandKey(col("vq"), b, planesPerBand, dim).as("key"))
+        VecFns.bandKeyFromMask(col("__mask"), b, planesPerBand).as("key"))
     }
     vecs
+      .withColumn("__mask",
+        VecFns.planeSignMask(col("vq"), bands * planesPerBand, dim))
       .withColumn("__bk", explode(array(bandKeys: _*)))
       .select(col(idCol), col("vq"), col("nsq"),
         col("__bk.band").as("band"), col("__bk.key").as("key"))
@@ -265,13 +278,20 @@ object EmbedNearDup {
   private def gridOccupancy(vecs: DataFrame, bands: Int,
       planeGrid: Seq[Int], dim: Int): DataFrame = {
     require(planeGrid.nonEmpty, "planeGrid must be non-empty")
+    graft.functions.expressions.GraftFunctions.register(vecs.sparkSession)
     val maxPlanes = bands * planeGrid.max
-    val signed = vecs.select((0 until maxPlanes).map(j =>
-      VecFns.planeSign(col("vq"), j, dim).as(s"__sg$j")): _*)
+    // one sign-mask kernel per vector (shared across every config —
+    // config p's band b reads bits b·p .. b·p+p−1), then pure bit
+    // extraction per (config, band). The former per-plane sign
+    // COLUMNS hit the JIT method-size cliff past ~32 planes (the
+    // scaled grid sweeps 64+) — measured 60 s vs 4.5 s at 200 k
+    // vectors before this kernel.
+    val signed = vecs.select(
+      VecFns.planeSignMask(col("vq"), maxPlanes, dim).as("__mask"))
     signed.select(explode(array(
         (for { p <- planeGrid; b <- 0 until bands } yield
           struct(lit(p).as("p"), lit(b).as("band"),
-            VecFns.lshBandKeyFromSigns(j => col(s"__sg$j"), b, p)
+            VecFns.bandKeyFromMask(col("__mask"), b, p)
               .as("key"))): _*))
         .as("bk"))
       .select(col("bk.p"), col("bk.band"), col("bk.key"))

@@ -74,6 +74,31 @@ class VectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bandedPairs"))
   }
 
+  test("plane_sign_mask band keys are bit-identical to the dot-expression keys") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFns
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val vq = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+    // include a NULL vector: both forms must bucket it under key 0
+    val df = vq.unionByName(
+      vq.limit(1).select((col("vec_id") + 1000000).as("vec_id"),
+        lit(null).cast("array<bigint>").as("vq")))
+    // spans a word boundary at (bands=4, p=18): band 3 reads bits
+    // 54..71 — the two-word extraction path
+    for ((bands, p) <- Seq((4, 2), (4, 8), (4, 16), (4, 18), (3, 24))) {
+      val mask = VecFns.planeSignMask(col("vq"), bands * p, 64)
+      val diffs = df.withColumn("__mask", mask)
+        .select((0 until bands).flatMap(b => Seq(
+          VecFns.lshBandKey(col("vq"), b, p, 64).as(s"old$b"),
+          VecFns.bandKeyFromMask(col("__mask"), b, p).as(s"new$b"))): _*)
+        .filter((0 until bands).map(b =>
+          col(s"old$b") =!= col(s"new$b")).reduce(_ || _))
+        .count()
+      assert(diffs === 0, s"bands=$bands p=$p")
+    }
+  }
+
   test("planeGridFor: ceiling ~log2(N), fixed grid at harness scales") {
     // small corpora keep today's 2/4/6/8 grid (oracle stability) ...
     for (n <- Seq(0L, 1L, 200L, 2000L, 2560L))
