@@ -513,10 +513,15 @@ object NearDupIngest {
           // replay after a partial failure (store landed, index
           // append missing): the store's own batch partition is the
           // landed truth — derive the index completion from ITS id
-          // column, not from a recomputed dedup chain
+          // column, not from a recomputed dedup chain. Explicit
+          // one-column schema: an EMPTY landed batch's leaf holds a
+          // _SUCCESS marker and possibly zero part files, which
+          // schema inference would refuse (and the id column is all
+          // the completion needs anyway).
           writeL0Run(sigs,
-            spark.read.parquet(s"$storeDir/batch_id=$batchId")
-              .select(col(idCol)),
+            spark.read.schema(org.apache.spark.sql.types.StructType(
+                Seq(batch.schema(idCol))))
+              .parquet(s"$storeDir/batch_id=$batchId"),
             indexDir, batchId, idCol, k, bands)
         } else {
           val dupIds = probeDupIds(sigs, batchId, indexDir, idCol,

@@ -111,6 +111,78 @@ class ScaleCalibrationSpec extends AnyFunSuite {
     auditAt("bench/sfgen/sf10")
   }
 
+  test("sf100-docs (5M): selected config's measured load within budget") {
+    // third docs decade (VERDICT r15 #7): the same audit, one decade
+    // further — selection shifts or the priced-out fallback routes,
+    // and the prediction must still bound the guarded execution
+    auditAt("bench/sfgen/sf100")
+  }
+
+  test("sf100-docs (5M): 16-bit SimHash stays priced out of the budget") {
+    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+    val dir = "bench/sfgen/sf100"
+    assume(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"generate the decade first: runMain graft.tools.ScaleGen $dir ...")
+    import graft.functions.SimHash
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+    val stats = SimHash.widthSweep(sigs, "sh").collect()
+    for (r <- stats)
+      info(s"w=${r.getAs[Int]("w")}: cand_pairs=${r.getAs[Long]("cand_pairs")}" +
+        s" budget=${Budget * r.getAs[Long]("n_docs")}")
+    assert(stats.forall(r => r.getAs[Long]("cand_pairs") >
+      r.getAs[Long]("n_docs") * Budget),
+      "expected every 16-bit config to exceed the budget at 5M docs")
+    assert(SimHash.calibrateWidth(sigs, "sh",
+      pairsPerDocBudget = Budget) === SimHash.DefaultWidthGrid.max)
+    spark.catalog.clearCache()
+  }
+
+  test("sf100-vecs (2M): hyperplane derived grid at the third decade") {
+    assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
+    val dir = "bench/sfgen/sf100"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"generate the decade first: runMain graft.tools.ScaleGen $dir ...")
+    import graft.functions.VecFns
+    import graft.operators.EmbedNearDup
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val (bands, dim) = (4, 64)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
+      .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+      .persist()
+    val n = vecs.count()
+    val grid = EmbedNearDup.planeGridFor(n, bands, Budget)
+    info(s"n_vec=$n planeGridFor -> $grid")
+    val stats = EmbedNearDup.planeSweep(vecs, bands, grid, dim).collect()
+    for (r <- stats.sortBy(_.getAs[Int]("p")))
+      info(s"p=${r.getAs[Int]("p")}: " +
+        s"cand_pairs=${r.getAs[Long]("cand_pairs")} budget=${Budget * n}")
+    val fitting = stats.filter(r =>
+      r.getAs[Long]("cand_pairs") <= r.getAs[Long]("n_vec") * Budget)
+      .map(_.getAs[Int]("p"))
+    val selected = if (fitting.nonEmpty) fitting.min else grid.max
+    val predicted = stats.find(_.getAs[Int]("p") == selected).get
+      .getAs[Long]("cand_pairs")
+    info(s"selected=$selected planes " +
+      s"(${if (fitting.nonEmpty) "FITTING" else "FALLBACK"}), " +
+      s"predicted<=$predicted")
+    val (pairs, release) = EmbedNearDup.bandedPairsWithCleanup(
+      vecs, "vec_id", bands, selected, dim, minCos = -1.0)
+    val measured = pairs.count()
+    release()
+    info(s"executed: measured=$measured (predicted<=$predicted," +
+      s" budget=${Budget * n})")
+    assert(measured <= predicted)
+    if (fitting.nonEmpty) assert(measured <= Budget * n)
+    vecs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("sf10-vecs (200k): hyperplane grid ceiling scales; selection fits again") {
     assume(sys.env.contains("GRAFT_PERF"), "set GRAFT_PERF=1 to run")
     val dir = "bench/sfgen/sf10"

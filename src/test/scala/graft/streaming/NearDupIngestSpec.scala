@@ -153,6 +153,31 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(landedIds(store) == Seq(1L))
   }
 
+  test("crash window with an EMPTY landed leaf: replay completes inference-free") {
+    // an all-dups batch lands zero rows — its committed leaf can hold
+    // the _SUCCESS marker and no part files at all. A replay that
+    // crashed before the index append must complete from that leaf's
+    // id column WITHOUT schema inference (which refuses a file-less
+    // directory); the completion appends an empty L0 run.
+    val (idx, store) = ws("ndi_emptyleaf")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    CorpusIngest.landPrepared(
+      Seq((9L, B)).toDF("doc_id", "text"), 0L, store)
+    // strip the part files, keep the marker — the on-disk shape of a
+    // zero-row job commit
+    new java.io.File(s"$store/batch_id=0").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => assert(f.delete()))
+    assert(CorpusIngest.batchLeafLive(spark, store, 0L))
+    val idxBefore = spark.read.parquet(idx).count()
+    ingest(Seq((9L, B)), 0L, idx, store) // replay — must not throw
+    assert(spark.read.parquet(idx).count() == idxBefore,
+      "an empty landed leaf completes with an empty index run")
+    assert(CorpusIngest.batchLanded(spark, idx, 0L))
+  }
+
   test("re-delivered id with changed text neither lands nor indexes") {
     val (idx, store) = ws("ndi_phantom")
     NearDupIngest.writeIndex(

@@ -82,4 +82,34 @@ class NearDupProbeScaleSpec extends AnyFunSuite {
       f"probe not flat across the decade: $tSmall%.3f s -> $tBig%.3f s")
     spark.catalog.clearCache()
   }
+
+  test("probe time ~flat at the THIRD decade (sf1 -> sf100, 5M docs)") {
+    gated()
+    val (sf1, sf100) = ("bench/sfgen/sf1", "bench/sfgen/sf100")
+    assume(new java.io.File(s"$sf1/documents.parquet").exists() &&
+      new java.io.File(s"$sf100/documents.parquet").exists(),
+      "generate the third decade: runMain graft.tools.ScaleGen" +
+        " bench/sfgen/sf100 5000000 2000000")
+    val idxSmall = buildIndex("npss3_sf1", sf1)
+    val idxHuge = buildIndex("npss3_sf100", sf100)
+    assert(NearDupIngest.indexBucketCount(spark, idxSmall) === 64)
+    assert(NearDupIngest.indexBucketCount(spark, idxHuge) === 8192)
+    val delta = (0 until 8).map(i =>
+      (9000000L + i, s"probe$i alpha$i beta$i gamma$i delta$i " +
+        s"epsilon$i zeta$i eta$i theta$i iota$i"))
+      .toDF("doc_id", "text")
+      .withColumn("__t", TextFns.tokens(col("text")))
+    val sigs = graft.functions.MinHashLsh.signaturesFromTokens(
+      delta, "doc_id", "__t", 3, 12).persist()
+    sigs.count()
+    medianProbe(idxSmall, sigs, 2) // warmup, discarded
+    val tSmall = medianProbe(idxSmall, sigs, 5)
+    val tHuge = medianProbe(idxHuge, sigs, 5)
+    info(f"probe vs 50k-doc index: $tSmall%.3f s; vs 5M-doc index: $tHuge%.3f s")
+    sigs.unpersist(blocking = false)
+    // TWO decades of index growth, same flatness bar
+    assert(tHuge <= tSmall * 2.0 + 0.25,
+      f"probe not flat across two decades: $tSmall%.3f s -> $tHuge%.3f s")
+    spark.catalog.clearCache()
+  }
 }
