@@ -155,6 +155,23 @@ object SimHash {
       pairsPerDocBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, org.apache.spark.sql.DataFrame) = {
+    val (w, pairs, _) = calibratedPairsWithCleanup(
+      sigs, idCol, shCol, widthGrid, pairsPerDocBudget, maxBucket)
+    (w, pairs)
+  }
+
+  /** [[calibratedPairs]] plus the banded frame's unpersist handle —
+    * the `EmbedNearDup.calibratedPairsWithCleanup` contract: callers
+    * outside a clear-caches-between-queries loop (long-lived ingest
+    * or test sessions issuing repeated calls) invoke the handle once
+    * the returned frame is consumed, instead of accumulating
+    * corpus×bands-sized cached blocks.
+    */
+  def calibratedPairsWithCleanup(sigs: org.apache.spark.sql.DataFrame,
+      idCol: String, shCol: String, widthGrid: Seq[Int] = DefaultWidthGrid,
+      pairsPerDocBudget: Long = 20L,
+      maxBucket: Int = LshGuard.DefaultMaxBucket)
+      : (Int, org.apache.spark.sql.DataFrame, () => Unit) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val occ = occupancy(sigs, shCol, widthGrid)
     val rows = occ.collect()
@@ -176,7 +193,8 @@ object SimHash {
     banded.count(): Unit
     (selected,
       pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
-        idCol, shCol))
+        idCol, shCol),
+      () => { banded.unpersist(blocking = false); () })
   }
 
   /** Banded candidate pairs at `w` bits per band with the

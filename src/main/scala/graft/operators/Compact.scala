@@ -79,15 +79,25 @@ object Compact {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         df.coalesce(target).write
           .mode("overwrite").parquet(tmp.toString)
-        // swap: drop old part files (a checksummed FS drops its .crc
-        // shadows with them), move new ones in, drop tmp
-        parts.foreach(p => fs.delete(p.getPath, false))
+        // swap: move the NEW files in first, delete the old parts
+        // LAST. The reverse order's crash window left a leaf holding
+        // only its _SUCCESS marker — which the batch-landed check
+        // reads as committed, so the rows (alive only in the hidden
+        // tmp) would be silently lost to every reader. This order's
+        // crash window duplicates rows instead (old + new coexist),
+        // which the next table fold's id-dedup collapses — duplicates,
+        // never losses. Part names can't collide: each write job
+        // embeds its own UUID.
         val moved = fs.listStatus(tmp).toSeq.filter(isParquetPart)
         moved.foreach { f =>
           val dest = new Path(leaf, f.getPath.getName)
+          require(!fs.exists(dest), s"part name collision: $dest")
           require(fs.rename(f.getPath, dest),
             s"rename failed: ${f.getPath} -> $dest")
         }
+        // old parts drop last (a checksummed FS drops its .crc
+        // shadows with them)
+        parts.foreach(p => fs.delete(p.getPath, false))
         fs.delete(tmp, true)
         Some(LeafStats(leaf.toString, parts.size, moved.size, bytes))
       }

@@ -88,6 +88,15 @@ object CorpusIngest {
     // orphan as "not landed", and the replay must be able to re-land
     // into it instead of throwing "path already exists" forever.
     prepared.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    // deployments that disable the committer's marker
+    // (marksuccessfuljobs=false — common object-store advice) would
+    // otherwise leave every fully-landed leaf reading as NOT landed:
+    // replays re-land forever and cross-batch id dedup never sees
+    // prior batches. The job commit just succeeded, so touching the
+    // marker ourselves is sound — and a no-op where the committer
+    // already wrote it.
+    if (!batchLeafLive(prepared.sparkSession, storeDir, batchId))
+      markCommitted(prepared.sparkSession, s"$storeDir/batch_id=$batchId")
   }
 
   /** A leaf partition directory counts as COMMITTED only when it
@@ -243,15 +252,16 @@ object CorpusIngest {
   }
 
   /** Record `ids` as compacted into the base partition (unioned with
-    * any previously recorded set).
+    * any previously recorded set). Crash-safe via [[Lsm.writeSidecar]]
+    * (tmp + overwrite rename): a truncate-in-place crash would leave a
+    * partial id list that the lenient parse silently accepts — and
+    * batches whose partitions compaction already dropped would replay
+    * wholesale as duplicates.
     */
   def recordMergedBatchIds(spark: SparkSession, dir: String,
       ids: Set[Long]): Unit = {
     val all = (mergedBatchIds(spark, dir) ++ ids).toSeq.sorted
-    val p = new org.apache.hadoop.fs.Path(dir, MergedBatchesFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"merged": [${all.mkString(", ")}]}""".getBytes("UTF-8"))
-    finally out.close()
+    Lsm.writeSidecar(spark, dir, MergedBatchesFile,
+      s"""{"merged": [${all.mkString(", ")}]}""")
   }
 }

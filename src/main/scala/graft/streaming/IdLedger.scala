@@ -96,20 +96,28 @@ object IdLedger {
     val spark = batch.sparkSession
     val live = CorpusIngest.listedBatchIds(spark, storeDir) - excludeBatch
     if (live.isEmpty) return None
+    // explicit one-column schema on every leaf read: a committed
+    // EMPTY batch leaf (marker, zero part files) would otherwise fail
+    // schema inference
+    val idSchema = org.apache.spark.sql.types.StructType(
+      Seq(batch.schema(idCol)))
     val liveDirs = (live - Lsm.BaseBatch).toSeq.sorted
       .map(b => s"$storeDir/batch_id=$b")
     val liveIds =
       if (liveDirs.isEmpty) None
-      else Some(spark.read.option("basePath", storeDir)
+      else Some(spark.read.schema(idSchema)
         .parquet(liveDirs: _*).select(col(idCol)))
     val baseIds =
       if (!live.contains(Lsm.BaseBatch)) None
       else {
-        val covered = config(spark, storeDir).isDefined &&
+        // each sidecar read once per trigger (they are filesystem
+        // round-trips — remote calls on an object store)
+        val cfg = config(spark, storeDir)
+        val covered = cfg.isDefined &&
           CorpusIngest.mergedBatchIds(spark, storeDir)
             .subsetOf(CorpusIngest.mergedBatchIds(spark, dir(storeDir)))
         if (covered) {
-          val (buckets, _) = config(spark, storeDir).get
+          val (buckets, _) = cfg.get
           // bounded by the bucket count by construction — a batch
           // touching t buckets probes t leaf dirs of ~1000 ids each
           val touched = batch
@@ -122,7 +130,7 @@ object IdLedger {
           // foreign compaction left the base uncovered: correct but
           // linear over the base; the next compactStore folds the
           // ledger and restores the sublinear path
-          Some(spark.read
+          Some(spark.read.schema(idSchema)
             .parquet(s"$storeDir/batch_id=${Lsm.BaseBatch}")
             .select(col(idCol)))
       }
@@ -154,19 +162,33 @@ object IdLedger {
     val storeMerged = CorpusIngest.mergedBatchIds(spark, storeDir)
     val covered = config(spark, storeDir).isDefined &&
       storeMerged.subsetOf(mergedPrev)
+    // explicit one-column schema on every leaf read (committed EMPTY
+    // leaves hold a marker and zero part files, which inference
+    // refuses — the NearDupIngest replay-path rationale). The id type
+    // comes from the store's own schema; if the whole store is
+    // file-less the id set is empty and any type serves the empty
+    // write.
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      scala.util.Try(
+        spark.read.option("mergeSchema", "true").parquet(storeDir)
+          .schema(idCol))
+        .getOrElse(org.apache.spark.sql.types.StructField(
+          idCol, org.apache.spark.sql.types.LongType))))
     // sources: the existing base's ids (from the ledger when covered,
     // else the store base — the foreign-compaction migration) plus
     // the outgoing batches' id columns
     val baseSrc =
       if (covered)
-        Some(spark.read.parquet(s"$ldir/batch_id=${Lsm.BaseBatch}")
+        Some(spark.read.schema(idSchema)
+          .parquet(s"$ldir/batch_id=${Lsm.BaseBatch}")
           .select(col(idCol)))
       else if (CorpusIngest.listedBatchIds(spark, storeDir)
           .contains(Lsm.BaseBatch))
-        Some(spark.read.parquet(s"$storeDir/batch_id=${Lsm.BaseBatch}")
+        Some(spark.read.schema(idSchema)
+          .parquet(s"$storeDir/batch_id=${Lsm.BaseBatch}")
           .select(col(idCol)))
       else None
-    val outgoing = spark.read.option("basePath", storeDir)
+    val outgoing = spark.read.schema(idSchema)
       .parquet(toMerge.map(b => s"$storeDir/batch_id=$b"): _*)
       .select(col(idCol))
     // ids only — small even at corpus scale; persisted because the

@@ -95,16 +95,19 @@ private[streaming] object Lsm {
     merged.withColumn("batch_id", lit(BaseBatch))
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
-    delete(fs, retired)
     val src = new Path(tmp, s"batch_id=$BaseBatch")
+    // the partitioned job's _SUCCESS sits at tmp's ROOT; touch the
+    // base partition's own marker INSIDE tmp so it rides the rename —
+    // marking after the swap left a crash window where the promoted
+    // base read as uncommitted and every folded id went invisible to
+    // the prior-id probes until the next maintenance run
+    if (fs.exists(src))
+      CorpusIngest.markCommitted(spark, src.toString)
+    delete(fs, retired)
     if (fs.exists(dst))
       renameStrict(fs, dst, retired, "base retire")
-    if (fs.exists(src)) {
+    if (fs.exists(src))
       renameStrict(fs, src, dst, s"previous base intact at $retired")
-      // the renamed-in base has no per-leaf _SUCCESS (the tmp job's
-      // marker sits at tmp's root) — record the completed promotion
-      CorpusIngest.markCommitted(spark, dst.toString)
-    }
     delete(fs, retired)
     delete(fs, tmp)
   }
@@ -150,6 +153,14 @@ private[streaming] object Lsm {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8"))
     finally out.close()
+    // checksum-shadow hygiene on checksummed filesystems: if the live
+    // file carries a .crc (written by a checksum-enabled fs) but the
+    // tmp does not (checksums disabled this session), a rename-over
+    // would leave the OLD crc describing the NEW bytes — every later
+    // read throws ChecksumException. Drop the stale shadow first.
+    val tmpCrc = new Path(dir, s".$name.tmp.crc")
+    val liveCrc = new Path(dir, s".$name.crc")
+    if (!fs.exists(tmpCrc) && fs.exists(liveCrc)) fs.delete(liveCrc, false)
     try org.apache.hadoop.fs.FileContext
       .getFileContext(fs.makeQualified(p).toUri, conf)
       .rename(fs.makeQualified(tmp), fs.makeQualified(p),
@@ -159,6 +170,10 @@ private[streaming] object Lsm {
         if (fs.exists(p)) fs.delete(p, false)
         require(fs.rename(tmp, p), s"rename failed: $tmp -> $p")
     }
+    // a rename path that moved only the data file leaves the tmp's
+    // shadow stranded (and stale) — drop it
+    if (fs.exists(tmpCrc)) fs.delete(tmpCrc, false)
+    ()
   }
 
   /** First integer field named `name` in a sidecar JSON string. */

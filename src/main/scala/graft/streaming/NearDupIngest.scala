@@ -571,11 +571,18 @@ object NearDupIngest {
     */
   private def writeL0Run(sigs: DataFrame, landedIds: DataFrame,
       indexDir: String, batchId: Long, idCol: String, k: Int,
-      bands: Int): Unit =
+      bands: Int): Unit = {
+    val leaf = s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun"
     MinHashLsh.bandKeys(
         sigs.join(landedIds, Seq(idCol), "left_semi"), idCol, k, bands)
-      .write.mode("overwrite").parquet(
-        s"$indexDir/batch_id=$batchId/bkt=$UnbucketedRun")
+      .write.mode("overwrite").parquet(leaf)
+    // marker self-heal for committers configured without _SUCCESS
+    // (the CorpusIngest.landPrepared rationale)
+    val spark = sigs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(leaf, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) CorpusIngest.markCommitted(spark, leaf)
+  }
 
   /** Most distinct (band, key) probe keys collected to the driver per
     * batch (~5 MB at the cap). A batch beyond it — tens of thousands

@@ -84,6 +84,26 @@ class CorpusIngestSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("landing self-heals the marker when the committer writes none") {
+    // marksuccessfuljobs=false is common object-store advice; without
+    // the self-heal every landed leaf would read as NOT landed forever
+    // (replays re-land, prior-id dedup sees an empty store)
+    val dir = store()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try {
+      CorpusIngest.ingestBatch(
+        Seq((1L, "one")).toDF("doc_id", "text"), 0L, dir, "doc_id")
+      assert(CorpusIngest.batchLanded(spark, dir, 0L),
+        "the landing must touch its own marker when the committer wrote none")
+      assert(CorpusIngest.existingBatchIds(spark, dir) == Set(0L))
+    } finally {
+      if (prev == null) conf.unset(key) else conf.set(key, prev)
+    }
+  }
+
   test("store schema can evolve between batches (mergeSchema read)") {
     val dir = store()
     CorpusIngest.ingestBatch(

@@ -139,6 +139,28 @@ class IdLedgerSpec extends AnyFunSuite {
       .as[java.lang.Double].head() == null)
   }
 
+  test("compactStore folds committed EMPTY leaves (marker, zero files)") {
+    // an all-dups trigger lands a zero-row committed partition; a
+    // maintenance run over a stretch of such batches must fold them
+    // without schema inference (which refuses file-less directories)
+    val (_, store) = ws("ldg_emptyfold")
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one")).toDF("doc_id", "text"), 0L, store, "doc_id")
+    CorpusIngest.landPrepared(
+      Seq((2L, "two")).toDF("doc_id", "text"), 1L, store)
+    // strip batch 1's part files, keep the marker — the on-disk shape
+    // of a zero-row job commit
+    new java.io.File(s"$store/batch_id=1").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => assert(f.delete()))
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    assert(landedIds(store) == Seq(1L))
+    assert(CorpusIngest.mergedBatchIds(spark, store) == Set(0L, 1L))
+    // prior-id probes still answer over the folded base
+    val batch = Seq(1L, 7L).toDF("doc_id")
+    assert(survivors(batch, store, exclude = 9L) == Set(7L))
+  }
+
   test("bucket count grows with the corpus across folds") {
     val (_, store) = ws("ldg_grow")
     // 70 k ids: bucketCountFor targets ~1000 ids/bucket -> 128 buckets
