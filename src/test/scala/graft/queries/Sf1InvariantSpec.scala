@@ -166,20 +166,22 @@ class Sf1InvariantSpec extends AnyFunSuite {
     val planesVals = rows.map(_.getAs[Long]("planes")).distinct
     assert(planesVals.length === 1, "one selected config across all rows")
     val planes = planesVals.head.toInt
-    val grid = Seq(2, 4, 6, 8)
-    assert(grid.contains(planes))
     for (r <- rows) {
       assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
       val c = r.getAs[Double]("cos_r")
       assert(c >= 0.4 && c <= 1.0)
     }
     // executed config == the standalone selector's choice on the
-    // identical quantized vectors
+    // identical quantized vectors, over the CORPUS-DERIVED grid (the
+    // round-16 planeGridFor contract: sf1's 20k vectors extend the
+    // ceiling to 12 — the decade behavior this spec exists to pin)
     graft.functions.expressions.GraftFunctions.register(spark)
     val all = graft.Tables.embeddingsParallel(spark, dir)
       .select(col("vec_id"),
         graft.functions.VecFns.quantize(col("embedding")).as("vq"))
       .persist()
+    val grid = graft.operators.EmbedNearDup.planeGridFor(all.count(), 4, 20L)
+    assert(grid.contains(planes))
     assert(graft.operators.EmbedNearDup.calibratePlanes(
       all, 4, grid, 64, 20L) === planes)
     // budget respected by the executed config
