@@ -78,6 +78,30 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
     assert(probeSet() == before)
   }
 
+  test("compactStore + ledger fold on a graftfs:// store") {
+    val (idx, store) = ws("graftfs_store")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    ingest(Seq((1L, B)), 0L, idx, store)
+    ingest(Seq((2L, C)), 1L, idx, store)
+    ingest(Seq((3L, "totally different unrelated words all around here")),
+      2L, idx, store)
+    val before = landedIds(store)
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1)
+    assert(landedIds(store) == before,
+      "store contents must survive a non-local-FS compaction")
+    assert(CorpusIngest.listedBatchIds(spark, store) == Set(-1L, 2L))
+    assert(CorpusIngest.mergedBatchIds(spark, store)
+      .subsetOf(CorpusIngest.mergedBatchIds(spark, IdLedger.dir(store))),
+      "the ledger coverage invariant must hold on the non-local scheme")
+    // a re-delivered FOLDED id still dedups through the ledger base
+    ingest(Seq((1L, "changed text sharing nothing with anything prior"),
+      (9L, "more novel words that match nothing else anywhere today")),
+      3L, idx, store)
+    assert(landedIds(store) == Seq(1L, 2L, 3L, 9L))
+  }
+
   test("recalibration rebuild swaps a graftfs:// index in place") {
     val (idx, store) = ws("graftfs_recal")
     val corpus = Seq(A, B, C,
