@@ -86,6 +86,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted frames so later timings aren't
         // skewed by accumulated block-manager state
+        graft.functions.PersistLeases.releaseAll()
         spark.catalog.clearCache()
         outcome.map(_ => dt)
       }

@@ -46,6 +46,7 @@ object Verify {
       }
       // queries that persist intermediates (q26/q28/q96) must not
       // accumulate cached blocks across the 99-query dump
+      graft.functions.PersistLeases.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

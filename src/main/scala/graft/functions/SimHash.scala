@@ -3,34 +3,91 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** SimHash document fingerprinting (16-bit variant).
+/** SimHash document fingerprinting, parameterized by fingerprint
+  * width ([[SimHash]] = the original 16-bit variant, [[SimHash64]] =
+  * the scale variant — see the width note below).
   *
-  * Per distinct token: take the first 4 hex chars of md5(token)
-  * (16 bits). Per document and bit position b: the bit is set iff more
-  * than half the tokens have bit b set. The per-token bit extraction
-  * is pure integer arithmetic on hex nibbles (`instr` on a hex
-  * alphabet), so the whole computation is portable, codegen'd, and
-  * exactly reproducible in any ANSI-SQL engine — no platform hash.
+  * Per distinct token: take the first `bits/4` hex chars of
+  * md5(token). Per document and bit position b: the bit is set iff
+  * more than half the tokens have bit b set. The per-token hash is
+  * assembled ONCE per row as a long (`tokenHash`) from `conv` over
+  * the md5 hex — pure integer arithmetic, portable, codegen'd, and
+  * exactly reproducible in any ANSI-SQL engine (no platform hash) —
+  * and the per-bit terms are then cheap shift/mask extractions from
+  * that long. Assembling the hash once matters at 64 bits twice
+  * over: it keeps md5 from being recomputed per bit, and it keeps
+  * the aggregate's generated update method far from the JVM JIT's
+  * method-size ceiling (the q187 HugeMethodLimit lesson: 64 similar
+  * heavy expressions over one input silently run interpreted; 64
+  * shift-and terms over one long do not).
   *
   * Shape at scale: explode to (doc, token) → one hash-aggregate keyed
-  * by doc with 16 conditional sums; a single shuffle.
+  * by doc with `bits` conditional sums; a single shuffle.
+  *
+  * WIDTH AND SCALE: a w-bit band over a `bits`-wide fingerprint has
+  * at most 2^w keys, and the fingerprint keyspace itself is 2^bits.
+  * At 16 bits the whole corpus lands on ≤65 k distinct fingerprints,
+  * so from ~5 M docs up bucket occupancy grows linearly in N and
+  * candidate pairs quadratically — the round-16 sf100 calibration
+  * priced out EVERY 16-bit width and the guarded fallback became the
+  * permanent path. [[SimHash64]] is the fix (Charikar's construction
+  * at the width Manku–Jain–Sadikov use for web-scale dedup): 16 md5
+  * nibbles, band widths 8–16 give 256–65 k keys per band with
+  * keyspace headroom for decades of corpus growth. The 16-bit
+  * variant stays for its committed oracles (q29/q60/q160/q176/q189)
+  * and for corpora small enough that its narrower hamming radii are
+  * the point.
   */
-object SimHash {
-  val bits = 16
+sealed abstract class SimHashFamily(val bits: Int) {
+  require(bits == 16 || bits == 64, s"unsupported fingerprint width $bits")
 
-  /** Bit b (0 = LSB of the last nibble) of the 16-bit token hash. */
-  def tokenBit(token: Column, b: Int): Column = {
-    val hexPos = 4 - b / 4 // hex char position 1..4, MSB first
-    val nib = conv(substring(md5(token), hexPos, 1), 16, 10).cast("int")
-    floor(nib / (1 << (b % 4))) % 2
+  private val hexChars = bits / 4
+
+  /** The `bits`-bit token hash as ONE long column: `conv` the leading
+    * md5 nibbles in ≤8-char (32-bit) limbs — each limb fits a long
+    * with headroom, so the assembly is shift/or bit work with no
+    * ANSI-overflow surface (a single 16-char conv of a hash with the
+    * top bit set would exceed Long.MaxValue as unsigned decimal and
+    * fail the cast).
+    */
+  def tokenHash(token: Column): Column = {
+    val hex = md5(token)
+    if (bits <= 32)
+      conv(substring(hex, 1, hexChars), 16, 10).cast("long")
+    else {
+      val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+      shiftleft(hi, 32).bitwiseOR(lo)
+    }
   }
 
-  /** Aggregate expression: 16-bit simhash over grouped token rows. */
-  def simhashAgg(token: Column): Column = {
+  /** Bit b (0 = LSB) of a token-hash long. */
+  def bitOf(h: Column, b: Int): Column =
+    shiftright(h, b).bitwiseAND(lit(1L))
+
+  /** Bit b of the token's hash (kept for expression-level parity with
+    * the per-nibble oracle construction — see [[tokenHash]]).
+    */
+  def tokenBit(token: Column, b: Int): Column = bitOf(tokenHash(token), b)
+
+  /** Aggregate expression: `bits`-bit simhash over grouped token rows.
+    * The `1L << b` term for the sign bit is Long.MinValue; the left
+    * fold adds it last, after the ≤(2^63 − 1) sum of the lower bits,
+    * so every partial sum stays in range under ANSI arithmetic (the
+    * DuckDB oracles promote to HUGEINT and cast back — same values).
+    */
+  def simhashAgg(token: Column): Column =
+    simhashAggFromHash(tokenHash(token))
+
+  /** [[simhashAgg]] over a pre-computed token-hash column — the form
+    * to use when the plan already carries the hash (one md5 per row
+    * instead of relying on subexpression elimination).
+    */
+  def simhashAggFromHash(h: Column): Column = {
     val tot = count(lit(1))
     (0 until bits)
       .map { b =>
-        val cnt = sum(tokenBit(token, b))
+        val cnt = sum(bitOf(h, b))
         when(cnt * 2 > tot, lit(1L << b)).otherwise(lit(0L))
       }
       .reduce(_ + _)
@@ -42,13 +99,24 @@ object SimHash {
 
   /** Default bits-per-band grid for [[calibrateWidth]] (divisors of
     * [[bits]], narrowest first — fewer bits per band → more bands and
-    * more collisions → higher recall, more candidate pairs).
+    * more collisions → higher recall, more candidate pairs). The
+    * 64-bit grid starts at 4 (a 2-bit band of a 64-bit fingerprint is
+    * 32 bands of 4 keys — pure noise) and tops out at 32: on a
+    * near-uniform fingerprint population the per-doc load at width w
+    * is ~(bits/w)·N/2^(w+1), so w=16 stops fitting a 20-pairs/doc
+    * budget near N ≈ 650 k and the third decade needs the 2^32
+    * keyspace (2 bands — structurally complete for hamming ≤ 1, the
+    * honest recall trade the selection makes explicit; 4 bands of 16
+    * keep the hamming ≤ 3 completeness wherever they fit).
     */
-  val DefaultWidthGrid: Seq[Int] = Seq(2, 4, 8)
+  val DefaultWidthGrid: Seq[Int] =
+    if (bits <= 16) Seq(2, 4, 8) else Seq(4, 8, 16, 32)
 
   /** Banded keys of a fingerprint frame at `w` bits per band: one row
     * per (input row, band) with `band` and `key` columns appended —
-    * key = (sh >> band·w) & (2^w − 1), pure bit arithmetic.
+    * key = (sh >> band·w) & (2^w − 1), pure bit arithmetic (the
+    * arithmetic shift's sign extension is masked off identically in
+    * Spark and the oracle's engine).
     */
   def bandKeys(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       w: Int): org.apache.spark.sql.DataFrame = {
@@ -60,24 +128,13 @@ object SimHash {
         .bitwiseAND(lit((1L << w) - 1)))
   }
 
-  /** One-pass bits-per-band calibration sweep (the q189 shape): for
-    * every width in `widthGrid`, the exact banded-join candidate load
-    * Σ m·(m−1)/2 and the signed-doc count, from one groupBy over the
-    * fingerprint frame — the 16-bit keyspace has at most 2^w buckets
-    * per band, so this is also how the family PRICES itself out of a
-    * budget on large corpora (the sweep reports the quadratic load
-    * without ever running the join).
-    *
-    * @return one row per width: (w, cand_pairs, n_docs)
-    */
   /** Per-bucket occupancy of the WHOLE width grid in one aggregation:
-    * (w, band, key, m). The 16-bit fingerprint bounds the result at
-    * Σ_w (bits/w)·2^w rows — 608 for the default grid — AT ANY CORPUS
-    * SIZE, which is what makes the SimHash family's calibrate-then-
-    * execute loop a single corpus pass: the collected occupancy drives
-    * both the width selection and the hot-bucket split
-    * ([[calibratedPairs]]), where the unbounded-keyspace families
-    * (MinHash, hyperplane) must pay a separate guard probe.
+    * (w, band, key, m) — a DISTRIBUTED intermediate, never collected:
+    * narrow widths bound it by keyspace (Σ_w (bits/w)·2^w), but a
+    * 32-bit band's keyspace exceeds any corpus, so the frame is
+    * corpus-sized in general and everything driver-side derives from
+    * its |grid|-row aggregation ([[widthSweep]]) or its over-cap
+    * filtrate (the [[LshGuard]] probe), both provably small.
     */
   def occupancy(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       widthGrid: Seq[Int] = DefaultWidthGrid): org.apache.spark.sql.DataFrame = {
@@ -112,40 +169,45 @@ object SimHash {
     if (fitting.nonEmpty) fitting.min else widthGrid.max
   }
 
-  /** Per-width (load, docs) stats from COLLECTED occupancy rows — the
-    * single stats definition both [[calibrateWidth]] and
+  /** Per-width (load, docs) stats as collected [[widthSweep]] rows —
+    * the single stats definition both [[calibrateWidth]] and
     * [[calibratedPairs]] consume, so the two selection paths can
-    * never desync ([[widthSweep]] keeps the SQL derivation for
-    * consumers that want the stats as a frame; the sweep-vs-executed
-    * cross-check in ScaleCalibrationSpec exercises it independently).
+    * never desync; the collect is |grid|-row by construction.
     */
-  private def localStats(
-      rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Long, Long)] =
-    rows.groupBy(_.getAs[Int]("w")).map { case (w, rs) =>
-      val load = rs.map(r => { val m = r.getAs[Long]("m"); m * (m - 1) / 2 }).sum
-      val docs = rs.map(_.getAs[Long]("m")).sum / (bits / w)
-      (w, load, docs)
-    }.toSeq
+  private def sweepStats(sigs: org.apache.spark.sql.DataFrame, shCol: String,
+      widthGrid: Seq[Int]): Seq[(Int, Long, Long)] =
+    widthSweep(sigs, shCol, widthGrid).collect().toSeq.map(r =>
+      (r.getAs[Int]("w"), r.getAs[Long]("cand_pairs"),
+        r.getAs[Long]("n_docs")))
 
-  /** Selection over the collected [[occupancy]] (keyspace-bounded —
-    * never corpus-sized): the narrowest (highest-recall) width whose
-    * candidate load fits `pairsPerDocBudget` per signed document;
-    * widest as fallback when none fits (or the frame is empty).
+  /** Selection over the |grid|-row [[widthSweep]] aggregate: the
+    * narrowest (highest-recall) width whose candidate load fits
+    * `pairsPerDocBudget` per signed document; widest as fallback when
+    * none fits (or the frame is empty).
     */
   def calibrateWidth(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       widthGrid: Seq[Int] = DefaultWidthGrid,
       pairsPerDocBudget: Long = 20L): Int =
-    selectWidth(localStats(occupancy(sigs, shCol, widthGrid).collect()),
+    selectWidth(sweepStats(sigs, shCol, widthGrid),
       widthGrid, pairsPerDocBudget)
 
-  /** Calibrate-then-execute in ONE pass over the corpus: collect the
-    * grid [[occupancy]] (keyspace-bounded — never corpus-sized),
-    * select the width driver-side with the same comparator as
-    * [[calibrateWidth]], derive the selected width's over-cap buckets
-    * from the SAME collected rows, and run the banded join with the
-    * hot split already known ([[LshGuard.splitHotKnown]]) — the
-    * separate guard probe job (and its pass over the banded frame)
-    * that [[candidatePairs]] pays never runs.
+  /** Calibrate-then-execute in ONE pass over the corpus: one
+    * [[widthSweep]] aggregation prices the whole grid (a |grid|-row
+    * collect), the width is selected driver-side with the same
+    * comparator as [[calibrateWidth]], and the banded join executes
+    * at the selected width with the [[LshGuard]] probe running over
+    * the already-persisted banded frame — cheap bit re-derivation
+    * against cached blocks, never a second corpus pass. (Round 17:
+    * this replaced the full-occupancy collect, which was
+    * keyspace-bounded only while every grid width was ≤16 bits —
+    * a 32-bit band's occupancy is corpus-sized.)
+    *
+    * The banded frame stays persisted for the returned pairs frame's
+    * benefit; the unpersist handle is registered with
+    * [[PersistLeases]] so harnesses and long-lived sessions that
+    * drain leases between queries release it without threading the
+    * handle (callers that manage lifetime explicitly should prefer
+    * [[calibratedPairsWithCleanup]]).
     *
     * @return (selected width, pairs frame — the [[candidatePairs]]
     *         schema and semantics, bit-identical to the probe path)
@@ -155,8 +217,9 @@ object SimHash {
       pairsPerDocBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, org.apache.spark.sql.DataFrame) = {
-    val (w, pairs, _) = calibratedPairsWithCleanup(
+    val (w, pairs, release) = calibratedPairsWithCleanup(
       sigs, idCol, shCol, widthGrid, pairsPerDocBudget, maxBucket)
+    PersistLeases.register(release)
     (w, pairs)
   }
 
@@ -173,34 +236,23 @@ object SimHash {
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, org.apache.spark.sql.DataFrame, () => Unit) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val occ = occupancy(sigs, shCol, widthGrid)
-    val rows = occ.collect()
-    val selected =
-      selectWidth(localStats(rows), widthGrid, pairsPerDocBudget)
-    val hotSchema = org.apache.spark.sql.types.StructType(
-      occ.schema.filter(_.name != "w")
-        .map(f => if (f.name == "m") f.copy(name = "__cnt") else f))
-    val hotRows = rows.toSeq
-      .filter(r => r.getAs[Int]("w") == selected && r.getAs[Long]("m") > maxBucket)
-      .map(r => org.apache.spark.sql.Row(
-        r.getAs[Int]("band"), r.getAs[Long]("key"), r.getAs[Long]("m")))
-    // persist + shuffle-free materializing count before the self-join
-    // (the candidatePairsKnown pattern): banding is cheap bit work,
-    // but against an unmaterialized cache the join's two concurrent
-    // map stages each re-scan the sigs input
+    val selected = selectWidth(sweepStats(sigs, shCol, widthGrid),
+      widthGrid, pairsPerDocBudget)
+    // persist before the self-join (the candidatePairs pattern): the
+    // guard probe is the materializing action, so the join's two
+    // concurrent map stages then read cached blocks instead of each
+    // re-scanning the sigs input
     val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, selected)
       .persist()
-    banded.count(): Unit
     (selected,
-      pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
-        idCol, shCol),
+      pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, shCol),
       () => { banded.unpersist(blocking = false); () })
   }
 
   /** Banded candidate pairs at `w` bits per band with the
     * [[LshGuard]] hot-bucket cap — the SimHash counterpart of
     * `MinHashLsh.candidatePairs`, and the reason the fallback width is
-    * safe to EXECUTE (not just price): a 16-bit fingerprint has at most
+    * safe to EXECUTE (not just price): a narrow fingerprint has at most
     * 2^w keys per band, so fingerprint-concentrated corpora put
     * hundreds of thousands of rows behind one key, and the raw band
     * self-join is O(m²) per bucket regardless of which width the sweep
@@ -219,9 +271,11 @@ object SimHash {
       : org.apache.spark.sql.DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     // persist before the self-join: the occupancy probe materializes
-    // the cache, the two join sides then read cached blocks
+    // the cache, the two join sides then read cached blocks; the
+    // unpersist lease drains at the harness between-queries point
     val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, w)
       .persist()
+    PersistLeases.register(() => { banded.unpersist(blocking = false); () })
     pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, shCol)
   }
 
@@ -263,3 +317,17 @@ object SimHash {
     hotPairs.fold(coldPairs)(coldPairs.unionByName).distinct()
   }
 }
+
+/** The original 16-bit family — every committed SimHash oracle
+  * (q29/q60/q160/q176/q189) replays this construction; values are
+  * bit-identical to the pre-family implementation.
+  */
+object SimHash extends SimHashFamily(16)
+
+/** The 64-bit scale family (round-17): the width at which the
+  * calibration contract — pick a FITTING config — stays satisfiable
+  * past 5 M documents, where the 16-bit keyspace saturates (see the
+  * class note). Same aggregation shape, same guard, same oracle
+  * replayability (16 md5 nibbles → 64 conditional sums).
+  */
+object SimHash64 extends SimHashFamily(64)

@@ -44,9 +44,12 @@ object EmbedNearDup {
     */
   def bandedPairs(vecs: DataFrame, idCol: String, bands: Int,
       planesPerBand: Int, dim: Int, minCos: Double,
-      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame =
-    bandedPairsWithCleanup(vecs, idCol, bands, planesPerBand, dim, minCos,
-      maxBucket)._1
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+    val (pairs, release) = bandedPairsWithCleanup(vecs, idCol, bands,
+      planesPerBand, dim, minCos, maxBucket)
+    graft.functions.PersistLeases.register(release)
+    pairs
+  }
 
   /** [[bandedPairs]] plus an unpersist handle for the banded frame —
     * call it after the consuming action to release the cached blocks
@@ -189,8 +192,9 @@ object EmbedNearDup {
       planeGrid: Seq[Int], dim: Int, minCos: Double,
       pairsPerVecBudget: Long = 20L,
       maxBucket: Int = LshGuard.DefaultMaxBucket): (Int, DataFrame) = {
-    val (sel, pairs, _) = calibratedPairsWithCleanup(vecs, idCol, bands,
+    val (sel, pairs, release) = calibratedPairsWithCleanup(vecs, idCol, bands,
       planeGrid, dim, minCos, pairsPerVecBudget, maxBucket)
+    graft.functions.PersistLeases.register(release)
     (sel, pairs)
   }
 

@@ -161,6 +161,11 @@ object Extended23 {
         val (p, pairs) = graft.operators.EmbedNearDup.calibratedPairs(
           all, "vec_id", EmbBands, grid, EmbDim, MinCos,
           PairsPerVecBudget)
+        // the fused calibration has materialized the banded cache by
+        // the time it returns (eager sweep + count), so the quantized
+        // input's own cache is no longer load-bearing — release it
+        // here instead of leaking it until the harness cache-clear
+        all.unpersist(blocking = false)
         pairs
           .withColumn("planes", lit(p.toLong))
           .select(col("a"), col("b"), col("cos_r"), col("planes"))
@@ -346,6 +351,9 @@ object Extended23 {
         // split — no separate LshGuard probe job over the banded frame
         val (selected, pairs) = SimHash.calibratedPairs(sigs, "doc_id",
           "sh", WidthGrid, PairsPerDocBudget)
+        // occupancy collect + banded count have both run inside the
+        // fused call — the signature cache is done serving; release
+        sigs.unpersist(blocking = false)
         pairs
           .withColumn("hamming", SimHash.hamming(col("sa"), col("sb")))
           .filter(col("hamming") <= 1)

@@ -53,7 +53,7 @@ object Registry {
         Extended14.queries ++ Extended15.queries ++ Extended16.queries ++
         Extended17.queries ++ Extended18.queries ++ Extended19.queries ++
         Extended20.queries ++ Extended21.queries ++ Extended22.queries ++
-        Extended23.queries
+        Extended23.queries ++ Extended24.queries
     val missing = streamingNames -- base.keySet
     require(missing.isEmpty, s"streamingNames not in registry: $missing")
     base.map { case (n, q) =>
