@@ -235,13 +235,20 @@ object EmbedNearDup {
     * scales; capped at 24 — 16M cells per band prices out any
     * realistic budget long before the cap binds).
     */
+  /** Hard ceiling for planes per band, shared by [[planeGridFor]]'s
+    * derived ceiling and [[calibratePlanesFused]]'s extend-on-
+    * overshoot loop — 16M cells per band prices out any realistic
+    * budget long before the cap binds.
+    */
+  val PlaneCap = 24
+
   def planeGridFor(nVecs: Long, bands: Int = 4,
       pairsPerVecBudget: Long = 20L): Seq[Int] = {
     require(bands >= 1 && pairsPerVecBudget >= 1)
     val need = math.max(1.0,
       bands.toDouble * math.max(nVecs, 1L) / (2.0 * pairsPerVecBudget))
     val pFit = math.ceil(math.log(need) / math.log(2.0)).toInt
-    val pMax = math.min(24, math.max(8, ((pFit + 1) / 2) * 2))
+    val pMax = math.min(PlaneCap, math.max(8, ((pFit + 1) / 2) * 2))
     2 to pMax by 2
   }
 
@@ -347,13 +354,40 @@ object EmbedNearDup {
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, Option[(Seq[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType)]) = {
-    val occ = gridOccupancy(vecs, bands, planeGrid, dim).persist()
-    try {
+    // Extend-on-overshoot (VERDICT r16 #2): `planeGridFor`'s ceiling
+    // is exact on isotropic vectors, but clustered corpora densify
+    // cells and can price out the whole derived grid (sf100: the p=18
+    // fallback executed 1.9× its budget while the cap had rungs to
+    // spare). The sweep knows the fallback's load BEFORE executing, so
+    // when nothing fits and headroom remains we sweep two more rungs
+    // (+2, +4 — `need` doubles per plane, so two rungs cover a 16×
+    // densification) instead of executing a known overshoot. Each
+    // extension round re-sweeps ONLY the new rungs; priced-out rungs
+    // stay priced out. At the cap the guarded fallback executes as
+    // before — now with a committed proof the cap itself is over
+    // budget. Isotropic corpora fit inside the derived grid and never
+    // reach this loop, and at harness scales (≤2k vectors) the grid
+    // is the static 2/4/6/8 the oracles replay — behavior unchanged.
+    var grid = planeGrid
+    var overallMax = planeGrid.max
+    while (true) {
+      val occ = gridOccupancy(vecs, bands, grid, dim).persist()
       val stats = sweepStats(occ, bands).collect()
-      val selected = selectPlanes(stats, planeGrid, pairsPerVecBudget)
-      (selected, LshGuard.collectHotKnown(
-        occ.filter(col("p") === selected), maxBucket))
-    } finally { occ.unpersist(blocking = false); () }
+      val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
+        r.getAs[Long]("n_vec") * pairsPerVecBudget).map(_.getAs[Int]("p"))
+      if (fitting.nonEmpty || overallMax + 2 > PlaneCap) {
+        try {
+          val selected = if (fitting.nonEmpty) fitting.min else overallMax
+          return (selected, LshGuard.collectHotKnown(
+            occ.filter(col("p") === selected), maxBucket))
+        } finally { occ.unpersist(blocking = false); () }
+      }
+      occ.unpersist(blocking = false)
+      grid = Seq(overallMax + 2, math.min(overallMax + 4, PlaneCap))
+        .distinct.filter(_ <= PlaneCap)
+      overallMax = grid.max
+    }
+    sys.error("unreachable: extension loop always returns at the cap")
   }
 
   /** Exact all-pairs near-dup — O(N²) with a full-side broadcast.

@@ -194,11 +194,18 @@ object Extended19 {
     // nothing here shuffles more than the two 50-row lists ----------
     "q176_rrf_fusion" -> Q(
       impl = (s, d) => {
-        // lexical side: q174's BM25 over the embedding-backed subset
+        // lexical side: q174's BM25 over the embedding-backed subset.
+        // The tokenized slice feeds two branches (corpus stats and the
+        // term tf) — persist so the scan + tokenize runs once (r16
+        // ratio audit: the per-branch recomputes of 1-row aggregates
+        // were q176's floor; bounded at <2000 rows by the filter)
         val docs = Tables.docsParallel(s, d)
           .filter(col("doc_id") < 2000)
           .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
           .withColumn("len", size(col("t")))
+          .persist()
+        graft.functions.PersistLeases.register(
+          () => { docs.unpersist(blocking = false); () })
         val stats = docs.agg(count(lit(1)).as("n"), sum("len").as("sumlen"))
         val tf = docs
           .select(col("doc_id"), col("len"), explode(col("t")).as("tok"))
@@ -220,8 +227,12 @@ object Extended19 {
           .withColumn("rt", row_number().over(
             Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("rt"))
-        // vector side: q30's exact quantized cosine vs query vec 0
-        val all = VectorQueries.quantized(s, d)
+        // vector side: q30's exact quantized cosine vs query vec 0;
+        // quantized vectors feed the query-vector lookup AND the scored
+        // scan — persist so quantization runs once
+        val all = VectorQueries.quantized(s, d).persist()
+        graft.functions.PersistLeases.register(
+          () => { all.unpersist(blocking = false); () })
         val q0 = broadcast(all.filter(col("vec_id") === 0)
           .toDF("q_id", "q_vq", "q_nsq"))
         val scored = all.toDF("n_id", "n_vq", "n_nsq").crossJoin(q0)

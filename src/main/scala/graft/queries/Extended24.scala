@@ -18,7 +18,17 @@ import graft.functions.{SimHash64, TextFns}
   * decades.
   *
   * q191 is the q189 calibrate-then-execute shape on the 64-bit
-  * family: one fingerprint pass, the width sweep as pure bit
+  * family, over 3-token SHINGLES rather than q189's unigram tokens:
+  * the harness/ScaleGen vocabulary is ~31 words, so every document
+  * holds most of the unigram universe and the majority-vote
+  * fingerprint degenerates to a near-global codeword (measured at
+  * 50 k docs: bit 0 set in 0% of docs, bit 32 in 97% — fingerprints
+  * concentrate and every width prices out REGARDLESS of fingerprint
+  * bits). Trigram shingles span a ~31³ feature space (~58 mostly
+  * doc-specific features per doc), which is the same discriminative
+  * feature set the MinHash family shingles on — SimHash's feature
+  * choice matters as much as its width, and the two families now
+  * share it. One fingerprint pass, the width sweep as pure bit
   * arithmetic over it, narrowest fitting width selected (widest as
   * fallback), then the hamming-verified band join at the selected
   * width through the LshGuard-capped `candidatePairs` body. The
@@ -72,12 +82,14 @@ object Extended24 {
     "q191_calibrated_simhash64" -> Q(
       impl = (s, d) => {
         val sigs = Tables.docsParallel(s, d)
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .withColumn("t", TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sg"))
           .distinct()
-          // hash assembled ONCE per token row, pre-aggregation: the 64
-          // conditional sums then reduce over shift/mask terms of one
+          // hash assembled ONCE per shingle row, pre-aggregation: the
+          // 64 conditional sums then reduce over shift/mask terms of one
           // long — no md5 fan, no JIT-cliff surface (SimHashFamily note)
-          .select(col("doc_id"), SimHash64.tokenHash(col("tok")).as("h"))
+          .select(col("doc_id"), SimHash64.tokenHash(col("sg")).as("h"))
           .groupBy("doc_id")
           .agg(SimHash64.simhashAggFromHash(col("h")).as("sh"))
           .persist() // sweep + selected-config join read it
@@ -122,11 +134,16 @@ object Extended24 {
           s"SELECT a, b, sa, sb FROM pairs$w WHERE (SELECT ws FROM wsel) = $w")
           .mkString(" UNION ALL ")
         s"""
-        WITH tk AS (SELECT DISTINCT doc_id,
-                           unnest(string_split(text, ' ')) AS tok
-                    FROM documents),
-        sig AS (SELECT doc_id, ${simhash64Sql("tok")} AS sh
-                FROM tk GROUP BY doc_id),$perConfig,
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        sg AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+               FROM idx WHERE i + 2 <= len(t)),
+        sig AS (SELECT doc_id, ${simhash64Sql("sg")} AS sh
+                FROM sg GROUP BY doc_id),$perConfig,
         allstats AS ($unioned),
         wsel AS (
           SELECT coalesce(

@@ -75,8 +75,17 @@ class CalibrationRuleSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
       .select(col("vec_id"), VecFns.quantize(col("embedding")).as("vq"))
       .withColumn("nsq", VecFns.dotQFast(col("vq"), col("vq")))
+    // round 17: the fused path EXTENDS on overshoot before falling
+    // back — a nothing-fits corpus (identical vectors collide at any
+    // p) now sweeps the extension rungs up to PlaneCap and lands on
+    // the cap, not the original grid max; the standalone selector
+    // keeps the in-grid fallback rule
     val (pI, _) = graft.operators.EmbedNearDup.calibratedPairs(
       same, "vec_id", bands, grid, dim, 0.4, Budget)
-    assert(pI === grid.max, "nothing-fits corpus must fall back to the most planes")
+    assert(pI === graft.operators.EmbedNearDup.PlaneCap,
+      "nothing-fits corpus must extend to the cap before falling back")
+    assert(graft.operators.EmbedNearDup.calibratePlanes(
+      same, bands, grid, dim, Budget) === grid.max,
+      "the sweep-only selector keeps the in-grid widest fallback")
   }
 }
