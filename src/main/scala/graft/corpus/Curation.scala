@@ -131,6 +131,101 @@ object Curation {
     * shape), choosing by `preferenceAsc` ascending (e.g.
     * `struct(-n_chars, doc_id)`).
     */
+  /** Span-level dedup stage (VERDICT r16 #6 — the public form of the
+    * q84/q165 routing contract in ARCHITECTURE): drop documents that
+    * share verbatim token spans with other documents.
+    *
+    * PRODUCTION PATH (`exact = false`, the default): winnowing (MOSS)
+    * fingerprints — hash every `k`-gram, keep each `w`-window's
+    * minimum, and drop any document sharing at least `minSharedFps`
+    * fingerprint VALUES with another document. The winnowing
+    * guarantee (pinned exactly by SpanDedupContractSpec): every
+    * cross-document verbatim span of ≥ k+w−1 tokens is caught. Cost
+    * shape: one doc_id-partitioned windowed min over the gram stream,
+    * one fingerprint-value aggregation — the selection thins the gram
+    * stream ~w× before anything shuffles by value.
+    *
+    * EXACT PATH (`exact = true`): the q165 accounting — EVERY
+    * `spanK`-token window hashes and shuffles by value, duplicated
+    * windows merge into maximal regions per doc, and documents whose
+    * duplicated-token fraction reaches `maxDupFrac` drop. Exact span
+    * mass, at ~w× the shuffled volume of the winnowing path — the
+    * measurement/forensics tool, not the corpus-scale default
+    * (SpanDedupContractSpec measured winnowing doc-level recall
+    * 1.0000 against it at sf0.01).
+    */
+  def spanDedup(k: Int = 4, w: Int = 5, minSharedFps: Long = 1L,
+      exact: Boolean = false, spanK: Int = 6, maxDupFrac: Double = 0.5,
+      idCol: String = "doc_id", tokensCol: String = "t")(
+      df: DataFrame): DataFrame = {
+    require(k >= 1 && w >= 1 && minSharedFps >= 1 && spanK >= 1)
+    val dropIds =
+      if (!exact) {
+        // q84's exact construction (Extended3): 12-hex md5 prefix gram
+        // hashes, windowed (h, -pos) min, full windows only
+        val grams = df
+          .select(col(idCol), posexplode(
+            TextFns.wordShinglesFromTokens(col(tokensCol), k)))
+          .select(col(idCol), col("pos"),
+            conv(substring(md5(col("col")), 1, 12), 16, 10)
+              .cast("long").as("h"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+        val fps = grams
+          .withColumn("wmin",
+            min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+          .withColumn("n_grams", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+          .filter(col("pos") <= col("n_grams") - w)
+          .select(col(idCol), col("wmin.h").as("fp"))
+          .distinct()
+        val shared = fps.groupBy("fp")
+          .agg(count_distinct(col(idCol)).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("fp")
+        fps.join(shared, Seq("fp"), "left_semi")
+          .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minSharedFps)
+          .select(idCol)
+      } else {
+        // q165's exact accounting (Extended17): duplicated-window
+        // region merge, threshold on the duplicated-token fraction
+        val docs = df
+          .select(col(idCol), col(tokensCol).as("__t"))
+          .withColumn("n_tok", size(col("__t")))
+          .filter(col("n_tok") >= spanK)
+        val grams = docs.select(col(idCol), col("n_tok"),
+            posexplode(transform(sequence(lit(0), col("n_tok") - spanK),
+              i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(spanK)))))))
+          .toDF(idCol, "n_tok", "pos", "gh")
+        val dup = grams.groupBy("gh")
+          .agg(count_distinct(col(idCol)).as("nd"))
+          .filter(col("nd") >= 2).select("gh")
+        val byPos = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy("pos")
+        val prevMaxEnd = max(col("e"))
+          .over(byPos.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+        val hits = grams.join(dup, "gh")
+          .withColumn("e", col("pos") + (spanK - 1))
+          .withColumn("newr",
+            when(col("pos") > coalesce(prevMaxEnd + 1, lit(Int.MinValue)), 1L)
+              .otherwise(0L))
+        hits
+          .withColumn("gid", sum(col("newr")).over(byPos.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col(idCol), col("gid"))
+          .agg(max("n_tok").as("n_tok"),
+            min("pos").as("rs"), max("e").as("re"))
+          .groupBy(idCol)
+          .agg((sum(col("re") - col("rs") + 1) /
+            max("n_tok")).as("dup_frac"))
+          .filter(col("dup_frac") >= maxDupFrac)
+          .select(idCol)
+      }
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   def nearDupCanonical(preferenceAsc: Column, threshold: Double = 0.5,
       k: Int = 12, bands: Int = 4, shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(

@@ -157,5 +157,55 @@ object Extended24 {
         FROM selpairs WHERE bit_count(xor(sa, sb)) <= $HammingMax
         ORDER BY a, b"""
       },
+      bench = true),
+
+    // ---- q192: the span-dedup ROUTING CONTRACT as a public pipeline
+    // stage (VERDICT r16 #6). SpanDedupContractSpec + ARCHITECTURE
+    // declared winnowing (q84) the production span-dedup and q165 the
+    // exact accounting tool, but no Curation stage exposed either — a
+    // user composing the public pipeline couldn't reach the contract.
+    // Curation.spanDedup is that stage: winnowing-backed by default
+    // (drop any doc sharing a fingerprint value with another doc —
+    // every cross-doc verbatim span of >= k+w-1 tokens is caught, the
+    // MOSS guarantee), q165's exact region accounting behind
+    // exact=true with its ~w-times-shuffled-volume cost documented.
+    // The oracle replays the whole winnowing path: gram hashes,
+    // windowed (h, -pos) min, full-windows-only selection, shared-
+    // fingerprint drop set, anti-join, per-source survivor counts ----
+    "q192_span_dedup_stage" -> Q(
+      impl = (s, d) => {
+        import graft.corpus.Curation
+        Tables.docsParallel(s, d)
+          .transform(Curation.withTokens())
+          .transform(Curation.spanDedup())
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1))) AS i
+                FROM toks),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     CAST('0x' || substr(md5(
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                     ), 1, 12) AS BIGINT) AS h
+              FROM idx WHERE i + 3 <= len(t)),
+        wm AS (SELECT doc_id, pos,
+                      min(struct_pack(h := h, np := -pos)) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+                      count(*) OVER (PARTITION BY doc_id) AS n_grams
+               FROM g),
+        fp AS (SELECT DISTINCT doc_id, wmin.h AS fp
+               FROM wm WHERE pos <= n_grams - 5),
+        shared AS (SELECT fp FROM fp GROUP BY fp
+                   HAVING count(DISTINCT doc_id) >= 2),
+        dropped AS (SELECT doc_id FROM fp SEMI JOIN shared USING (fp)
+                    GROUP BY doc_id HAVING count(*) >= 1)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        WHERE dr.doc_id IS NULL
+        GROUP BY d.source ORDER BY d.source"""),
       bench = true))
 }

@@ -132,6 +132,48 @@ object CorpusIngest {
     p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
   }
 
+  /** One-time migration for tables written BEFORE the per-leaf
+    * `_SUCCESS` commit criterion (round 16): base partitions promoted
+    * by rename under the old code carry no marker, so
+    * [[listedBatchIds]]/[[batchLeafLive]] silently read them as
+    * uncommitted. This backfills markers into every `batch_id=` leaf
+    * that passes the OLD has-data-file criterion (≥1 non-hidden
+    * parquet part, no `_temporary` staging residue).
+    *
+    * Deliberately EXPLICIT, not automatic: the old criterion cannot
+    * distinguish a pre-round-16 leaf from a new-code write that
+    * crashed mid-job-commit and lost its staging dir — backfilling
+    * such a leaf would re-open exactly the partial-commit loss window
+    * the marker closes. Run once per table at upgrade time, before
+    * any new-code stream writes to it.
+    */
+  def backfillMarkers(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    def hasPart(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { c =>
+        val n = c.getPath.getName
+        (c.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          n.contains(".parquet")) ||
+          (c.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+            hasPart(c.getPath))
+      }
+    def hasStaging(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { c =>
+        c.isDirectory && (c.getPath.getName == "_temporary" ||
+          (!c.getPath.getName.startsWith(".") && hasStaging(c.getPath)))
+      }
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filterNot(s => committedLeaf(fs, s.getPath))
+      .filter(s => hasPart(s.getPath) && !hasStaging(s.getPath))
+      .map { s =>
+        markCommitted(spark, s.getPath.toString)
+        s.getPath.toString
+      }
+  }
+
   /** Whether `batchId`'s own partition directory exists and is
     * committed — the leaf-only half of [[batchLanded]], for callers
     * that must distinguish a LIVE partition (readable for replay
@@ -175,10 +217,18 @@ object CorpusIngest {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) Set.empty
-    else fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .filter(s => committedLeaf(fs, s.getPath))
-      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+    else {
+      val listed = fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .filter(s => committedLeaf(fs, s.getPath))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+      // a generationally-folded table holds its base OUTSIDE the
+      // partition layout (Lsm.foldBatchesGen) — the logical base
+      // partition still exists for every lineage/coverage consumer
+      if (listed.contains(Lsm.BaseBatch) ||
+          Lsm.committedGens(fs, storeDir).isEmpty) listed
+      else listed + Lsm.BaseBatch
+    }
   }
 
   /** Fold all but the newest `keepRecentBatches` landed batch

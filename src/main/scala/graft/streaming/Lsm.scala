@@ -16,17 +16,70 @@ import org.apache.spark.sql.functions._
   * file:, hdfs:, or an object-store connector — not just the local
   * filesystem (the pre-round-16 `requireLocalFs` limitation). Rename
   * atomicity is the filesystem's own contract: atomic on HDFS and
-  * local, a non-atomic copy on stores without native rename — there
-  * the retire-then-rename discipline still never LOSES rows (every
-  * crash window keeps both copies on disk under recoverable names),
-  * but a production object-store deployment should front the swap
-  * with a catalog pointer commit (Iceberg/Delta-style) so concurrent
-  * readers never observe the in-between listing.
+  * local, a non-atomic copy on stores without native rename.
+  *
+  * Two fold disciplines coexist (round 17): the INDEX folds through
+  * [[foldBatchesGen]] — marker-committed immutable base GENERATIONS,
+  * zero reader-visible renames in the commit path, so a concurrent
+  * reader on a copy-semantics store resolves a complete base at every
+  * instant (the catalog-pointer commit the round-16 doc recommended,
+  * pinned by NonLocalFsMaintenanceSpec's copy-semantics case). The
+  * store and ledger folds keep the retire-then-rename discipline
+  * ([[foldBatches]]), which never LOSES rows (every crash window
+  * keeps both copies on disk under recoverable names) but exposes the
+  * in-between listing to concurrent readers on stores without native
+  * rename — their migration to the proven generational mechanism is
+  * the follow-up; until then quiesce readers for store/ledger
+  * maintenance on such stores.
   */
 private[streaming] object Lsm {
 
   /** Batch id of the base (folded) partition. */
   val BaseBatch: Long = -1L
+
+  /** Root of the GENERATIONAL base layout ([[foldBatchesGen]]):
+    * underscore-prefixed, so whole-table parquet scans never see it —
+    * readers resolve the live base through [[resolveBase]]. Each fold
+    * writes a complete new `gen=<N>` directory and COMMITS it by
+    * touching its `_SUCCESS` marker; nothing in the commit path is a
+    * rename, so the swap is safe on object stores whose rename is a
+    * non-atomic copy (the round-16 Lsm doc's catalog-pointer
+    * recommendation, realized as marker-committed generations: a
+    * pointer FILE swap would itself be the non-atomic step on such
+    * stores, where "highest gen with a marker" needs no mutation of
+    * shared state at all).
+    */
+  val GenRootName = "_graft_basegen"
+
+  def genRoot(dir: String): Path = new Path(dir, GenRootName)
+
+  def genPath(dir: String, g: Long): Path = new Path(genRoot(dir), s"gen=$g")
+
+  /** Committed base generations under `dir`, ascending (committed =
+    * the generation directory carries its `_SUCCESS` marker; a fold
+    * that crashed mid-write left no marker and its partial directory
+    * is invisible until the next fold clobbers it).
+    */
+  def committedGens(fs: FileSystem, dir: String): Seq[Long] = {
+    val root = genRoot(dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      .filter(g => fs.exists(new Path(genPath(dir, g), "_SUCCESS")))
+      .sorted
+  }
+
+  /** The live committed base: the highest committed generation, else
+    * the legacy in-table `batch_id=-1` partition (the pre-generational
+    * layout doubles as gen zero, so existing tables resolve with no
+    * migration step).
+    */
+  def resolveBase(fs: FileSystem, dir: String): Option[Path] =
+    committedGens(fs, dir).lastOption.map(genPath(dir, _)).orElse {
+      val legacy = new Path(dir, s"batch_id=$BaseBatch")
+      if (fs.exists(legacy)) Some(legacy) else None
+    }
 
   def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -112,6 +165,70 @@ private[streaming] object Lsm {
     delete(fs, tmp)
   }
 
+  /** The generational counterpart of [[foldBatches]] (the index
+    * table's fold — VERDICT r16 #5): rewrite the base as
+    * resolved-base ∪ `toMerge`, written to a brand-new
+    * `_graft_basegen/gen=<N+1>` directory and committed by touching
+    * its marker. The commit path performs ZERO renames and never
+    * mutates a directory a reader could be resolving: a reader that
+    * resolved gen N keeps a complete, immutable base for the whole
+    * fold (the previous generation is retained through one more fold
+    * before GC), and a reader arriving mid-fold resolves gen N because
+    * the half-written N+1 has no marker. On an object store whose
+    * rename is a non-atomic copy this is the difference between "a
+    * mid-swap reader sees a partial base listing" and "a mid-swap
+    * reader cannot observe the new generation at all until it is
+    * complete".
+    *
+    * Crash windows: mid-write → unmarked partial gen, clobbered by the
+    * next fold; after commit, before legacy/old-gen GC → two committed
+    * bases on disk, readers resolve the newest, next fold GCs. As with
+    * [[foldBatches]], merged L0 partitions are left in place — record
+    * their ids in the merged-ids sidecar, then [[dropBatches]].
+    *
+    * `subPartitionCols` are the layout's columns BELOW batch_id (the
+    * index passes `Seq("bkt")`); `batch_id` itself does not exist in
+    * the generational layout — readers re-attach it as a literal.
+    */
+  def foldBatchesGen(spark: SparkSession, dir: String, toMerge: Seq[Long],
+      reAgg: DataFrame => DataFrame, subPartitionCols: Seq[String]): Unit = {
+    val fs = fileSystem(spark, dir)
+    // migration preamble: restore a pre-generational crash state (live
+    // base retired under the old rename discipline, never renamed back)
+    val legacy = new Path(dir, s"batch_id=$BaseBatch")
+    val retired = new Path(dir + ".base-retired")
+    if (!fs.exists(legacy) && committedGens(fs, dir).isEmpty &&
+        fs.exists(retired))
+      renameStrict(fs, retired, legacy, "base recovery (legacy layout)")
+    val l0 = spark.read.option("basePath", dir)
+      .parquet(toMerge.map(b => s"$dir/batch_id=$b"): _*)
+      .drop("batch_id")
+    val combined = resolveBase(fs, dir) match {
+      case None => l0
+      case Some(p) =>
+        val base = spark.read.option("basePath", p.toString)
+          .parquet(p.toString).drop("batch_id") // legacy carries none of
+        // the gen layout's columns beyond data + subPartitionCols; the
+        // drop is a no-op there and strips the partition col on legacy
+        l0.unionByName(base.select(l0.columns.map(col): _*))
+    }
+    val gens = committedGens(fs, dir)
+    val next = gens.lastOption.getOrElse(-1L) + 1
+    val target = genPath(dir, next)
+    delete(fs, target) // clobber an unmarked partial from a crashed fold
+    reAgg(combined)
+      .write.mode("overwrite").partitionBy(subPartitionCols: _*)
+      .parquet(target.toString)
+    // the parquet job's own _SUCCESS at the gen root IS the commit;
+    // touch it explicitly for marker-disabled committers
+    CorpusIngest.markCommitted(spark, target.toString)
+    // GC superseded bases: the legacy in-table partition (now shadowed
+    // by the generation) and all generations but the new one and its
+    // predecessor (retained one fold for in-flight readers)
+    delete(fs, legacy)
+    (gens :+ next).dropRight(2).foreach(g => delete(fs, genPath(dir, g)))
+  }
+
   /** Drop the given live batch partitions (after their ids are safely
     * in the merged sidecar).
     */
@@ -141,8 +258,14 @@ private[streaming] object Lsm {
     * so a reader always sees either the old or the new complete JSON —
     * never a truncated half-write that would silently parse to
     * defaults. Schemes without a FileContext binding fall back to
-    * delete-then-rename, whose crash window leaves the sidecar MISSING
-    * (a loud fail-fast on the next read), never corrupt.
+    * delete-then-rename, whose crash window leaves the sidecar MISSING,
+    * never corrupt. What "missing" means is the consumer's contract:
+    * `CorpusIngest.mergedBatchIds` reads an absent sidecar as the
+    * empty set (it cannot fail fast — a never-compacted table with an
+    * initial base legitimately has no sidecar), so in that window
+    * already-folded batches replay wholesale as duplicate L0 runs,
+    * which the next fold's dedup collapses — duplicates, never losses,
+    * the same degradation as every other crash window here.
     */
   def writeSidecar(spark: SparkSession, dir: String, name: String,
       json: String): Unit = {

@@ -677,22 +677,82 @@ object NearDupIngest {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
     val want = touched.map(t => s"bkt=$t").toSet
+    // generationally-folded base (Lsm.foldBatchesGen): resolve the
+    // committed generation and prune its bucket leaves the same way;
+    // the legacy in-table base partition — shadowed the moment a
+    // generation commits, GC'd by the fold — is excluded from the
+    // batch listing so a crash window between commit and GC can never
+    // read the stale base alongside the new one
+    val genBase = Lsm.committedGens(fs, dir).lastOption
+      .map(g => Lsm.genPath(dir, g))
+    val skipNames = Set(s"batch_id=$excludeBatch") ++
+      (if (genBase.isDefined) Set(s"batch_id=${Lsm.BaseBatch}") else Set.empty)
     val paths = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("batch_id=") &&
-        s.getPath.getName != s"batch_id=$excludeBatch")
+        !skipNames.contains(s.getPath.getName))
       .flatMap(b => fs.listStatus(b.getPath).toSeq
         .filter(c => c.isDirectory && want.contains(c.getPath.getName))
         .map(_.getPath.toString))
-    if (paths.isEmpty) None
+    val genPaths = genBase.toSeq.flatMap(g => fs.listStatus(g).toSeq
+      .filter(c => c.isDirectory && want.contains(c.getPath.getName))
+      .map(_.getPath.toString))
+    if (paths.isEmpty && genPaths.isEmpty) None
     else {
-      // the path set is already pruned and small — list it on the
+      // the path sets are already pruned and small — list them on the
       // driver instead of paying a distributed listing job
       val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
       val prev = spark.conf.get(thresholdKey)
       spark.conf.set(thresholdKey, "100000")
-      try Some(spark.read.option("basePath", dir).parquet(paths: _*))
-      finally spark.conf.set(thresholdKey, prev)
+      try {
+        val batchSide =
+          if (paths.isEmpty) None
+          else Some(spark.read.option("basePath", dir).parquet(paths: _*))
+        val baseSide =
+          if (genPaths.isEmpty) None
+          else Some(spark.read.option("basePath", genBase.get.toString)
+            .parquet(genPaths: _*)
+            .withColumn("batch_id", lit(Lsm.BaseBatch)))
+        (batchSide, baseSide) match {
+          case (Some(b), Some(g)) => Some(b.unionByName(
+            g.select(b.columns.map(col): _*)))
+          case (b, g) => b.orElse(g)
+        }
+      } finally spark.conf.set(thresholdKey, prev)
+    }
+  }
+
+  /** The whole standing index as one frame — live L0 batch partitions
+    * ∪ the resolved base (generational or legacy), with `batch_id`
+    * re-attached as `Lsm.BaseBatch` on generational base rows so the
+    * schema matches the partition-discovered batches. Maintenance-
+    * scale reader (recalibration, schema sniffs): a full-table scan by
+    * design, never on the per-trigger path.
+    */
+  private[streaming] def indexFrame(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val fs = Lsm.fileSystem(spark, indexDir)
+    val genBase = Lsm.committedGens(fs, indexDir).lastOption
+      .map(g => Lsm.genPath(indexDir, g))
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      // the legacy base is shadowed once a generation exists (crash
+      // window between gen commit and legacy GC) — never read both
+      .filter(s => genBase.isEmpty ||
+        s.getPath.getName != s"batch_id=${Lsm.BaseBatch}")
+      .map(_.getPath.toString)
+    val batches =
+      if (batchDirs.isEmpty) None
+      else Some(spark.read.option("basePath", indexDir)
+        .parquet(batchDirs: _*))
+    val base = genBase.map(g => spark.read
+      .option("basePath", g.toString).parquet(g.toString)
+      .withColumn("batch_id", lit(Lsm.BaseBatch)))
+    (batches, base) match {
+      case (Some(b), Some(g)) => b.unionByName(g.select(b.columns.map(col): _*))
+      case (b, g) => b.orElse(g).getOrElse(
+        sys.error(s"no index partitions under $indexDir"))
     }
   }
 
@@ -738,10 +798,18 @@ object NearDupIngest {
       // so full-row dedup can only remove crash artifacts). The
       // repartition clusters by bucket so each bucket dir gets
       // one-task file counts, not tasks × buckets slivers.
-      Lsm.foldBatches(spark, indexDir, toMerge,
-        _.dropDuplicates().withColumn("bkt", bucketOf(col("key"), buckets))
+      // generational fold (Lsm.foldBatchesGen): the new base commits
+      // by marker, never by rename — a concurrent reader resolves a
+      // complete generation at every instant, even on stores whose
+      // rename is a non-atomic copy. The bkt column is DROPPED before
+      // the dedup so a crash-window twin (an L0 row at the sentinel
+      // bucket vs its folded copy at the real bucket) collapses to one
+      // row, then recomputed for the new layout.
+      Lsm.foldBatchesGen(spark, indexDir, toMerge,
+        _.drop("bkt").dropDuplicates()
+          .withColumn("bkt", bucketOf(col("key"), buckets))
           .repartition(col("bkt")),
-        Seq("batch_id", "bkt"))
+        Seq("bkt"))
       // sidecar rebuild from the folded base: base partials must now
       // cover the rows that were L0 (and so live-counted) before
       rebuildOccupancy(spark, indexDir)
@@ -766,8 +834,10 @@ object NearDupIngest {
     val fs = Lsm.fileSystem(spark, indexDir)
     val tmp = new org.apache.hadoop.fs.Path(occDir(indexDir) + ".rebuild-tmp")
     Lsm.delete(fs, tmp)
-    spark.read.option("basePath", indexDir)
-      .parquet(s"$indexDir/batch_id=$InitialIndexBatch")
+    val base = Lsm.resolveBase(fs, indexDir).getOrElse(
+      sys.error(s"no base partition under $indexDir to rebuild from"))
+    spark.read.option("basePath", base.toString)
+      .parquet(base.toString)
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(tmp.toString)
@@ -845,7 +915,7 @@ object NearDupIngest {
     val nNow = indexedDocCount(spark, indexDir, bands)
     if (n0 > 0 && nNow.toDouble / n0 < growthFactor) return None
     val idCol = indexIdCol(spark, indexDir, k)
-    val sigs = spark.read.parquet(indexDir)
+    val sigs = indexFrame(spark, indexDir)
       .filter(col("band") === 0)
       .select(col(idCol) +: (0 until k).map(i => col(s"s$i")): _*)
       .persist()
@@ -910,7 +980,7 @@ object NearDupIngest {
       k: Int): String = {
     val reserved = Set("band", "key", "bkt", "batch_id") ++
       (0 until k).map(i => s"s$i")
-    val rest = spark.read.parquet(indexDir).schema.fieldNames
+    val rest = indexFrame(spark, indexDir).schema.fieldNames
       .filterNot(reserved)
     require(rest.length == 1,
       s"cannot identify the index id column among ${rest.mkString(",")}")

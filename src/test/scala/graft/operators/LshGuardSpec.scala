@@ -32,6 +32,13 @@ class LshGuardSpec extends AnyFunSuite {
         (0 until K).map(i => col("s")(i).as(s"s$i")): _*)
 
   test("degenerate bucket is chain-linked: O(m) pairs, still one component, cold pairs untouched") {
+    // the instrument-accumulator assertions below double-count if a
+    // cached banded frame is EVICTED and recomputed mid-test — drain
+    // the session's accumulated caches (earlier suites' persisted
+    // frames + pair-wrapper leases) so memory pressure can't flake
+    // this suite
+    graft.functions.PersistLeases.releaseAll()
+    spark.catalog.clearCache()
     // 100 identical docs (ids 1000-1099) — one hot bucket per band
     val hot = constSigs(1000 until 1100, 7L)
     // small genuine clusters, all below the cap: {1,2} and {3,4,5}

@@ -99,4 +99,33 @@ class SpanDedupContractSpec extends AnyFunSuite {
       f"winnowing recall vs q165 fell to $recall%.4f — re-adjudicate" +
         " the span-dedup contract (ARCHITECTURE)")
   }
+
+  test("Curation.spanDedup carries the contract: guarantee set dropped; exact path matches q165 routing") {
+    // the PUBLIC stage (round-17, q192) must drop every document the
+    // MOSS guarantee covers — same predicate as the raw-dataflow test
+    // above, now through the composable API a pipeline user reaches
+    val docs = graft.Tables.docsParallel(spark, dir)
+      .transform(graft.corpus.Curation.withTokens())
+    val kept = docs.transform(graft.corpus.Curation.spanDedup())
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val dropped = all -- kept
+    val guaranteed = crossDocSpanDocs(8).as[Long].collect().toSet
+    assert(guaranteed.subsetOf(dropped),
+      s"stage kept guarantee-covered docs ${(guaranteed -- dropped).take(5)}")
+    val winnowed = winnowCollisionDocs().as[Long].collect().toSet
+    assert(dropped == winnowed,
+      "the stage's drop set must be exactly the winnow-collision set")
+    // exact=true routes to q165's region accounting: with a 100%
+    // dup-fraction threshold, only fully-duplicated docs drop — and
+    // each dropped doc must be q165-flagged (span-sharing) at K=6
+    val keptExact = docs.transform(graft.corpus.Curation.spanDedup(
+        exact = true, maxDupFrac = 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    val exactFlagged = crossDocSpanDocs(6).as[Long].collect().toSet
+    assert((all -- keptExact).subsetOf(exactFlagged),
+      "exact path dropped a doc q165 does not flag")
+    info(s"stage: ${dropped.size} winnow-dropped of ${all.size}; " +
+      s"exact@1.0 drops ${(all -- keptExact).size} fully-duplicated docs")
+  }
 }

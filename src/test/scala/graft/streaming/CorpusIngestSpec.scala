@@ -121,6 +121,33 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(byId == Map(1L -> None, 2L -> Some(0.9)))
   }
 
+  test("backfillMarkers: pre-marker-era leaves become visible; staged/partial ones do not") {
+    val dir = store()
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one")).toDF("doc_id", "text"), 0L, dir, "doc_id")
+    CorpusIngest.ingestBatch(
+      Seq((2L, "two")).toDF("doc_id", "text"), 1L, dir, "doc_id")
+    val fs = Lsm.fileSystem(spark, dir)
+    // simulate a pre-round-16 table: strip the markers maintenance
+    // would have relied on (old code promoted leaves by rename, no
+    // marker anywhere)
+    for (b <- Seq(0L, 1L))
+      Lsm.delete(fs, new org.apache.hadoop.fs.Path(s"$dir/batch_id=$b/_SUCCESS"))
+    assert(CorpusIngest.listedBatchIds(spark, dir).isEmpty,
+      "unmarked pre-era leaves must read as uncommitted before migration")
+    // a NEW-code crashed write (staging residue) must NOT be backfilled
+    val crashed = new org.apache.hadoop.fs.Path(s"$dir/batch_id=7")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(crashed, "_temporary/0"))
+    val part = fs.create(
+      new org.apache.hadoop.fs.Path(crashed, "part-00000.parquet"), true)
+    part.write(Array[Byte](80, 65, 82, 49)); part.close()
+    val backfilled = CorpusIngest.backfillMarkers(spark, dir)
+    assert(backfilled.size == 2, s"expected 2 backfills, got $backfilled")
+    assert(CorpusIngest.listedBatchIds(spark, dir) == Set(0L, 1L))
+    assert(!CorpusIngest.batchLeafLive(spark, dir, 7L),
+      "a leaf with staging residue must stay uncommitted after migration")
+  }
+
   test("stream end-to-end: file-source micro-batches land deduped") {
     val src = graft.TestSpark.scratchDir("ingest_src")
     val dir = store()
