@@ -76,9 +76,15 @@ class CalibrationFusedPerfSpec extends AnyFunSuite {
       (System.nanoTime() - t0) / 1e9
     }
     // warm both plans once, then interleave the timed reps so an
-    // external load wave hits both sides equally
+    // external load wave hits both sides equally — ALTERNATING the
+    // within-rep order (round 17): a session that degrades
+    // monotonically (GC pressure at the 5M-doc scale) would otherwise
+    // systematically penalize whichever side always ran second
     timed(probing); timed(fused)
-    val (ps, fs) = (1 to reps).map(_ => (timed(probing), timed(fused))).unzip
+    val (ps, fs) = (1 to reps).map { i =>
+      if (i % 2 == 1) (timed(probing), timed(fused))
+      else { val f = timed(fused); val p = timed(probing); (p, f) }
+    }.unzip
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val (mp, mf) = (median(ps), median(fs))
     info(f"$label probing median $mp%.2f s (${ps.map(x => f"$x%.2f").mkString(", ")})")
