@@ -43,14 +43,23 @@ object Compact {
       (n.endsWith(".parquet") || n.contains(".parquet"))
   }
 
-  /** Leaf dirs under `root` that directly contain parquet part files. */
+  /** Leaf dirs under `root` that directly contain parquet part files.
+    * Hidden/metadata subtrees (underscore- or dot-prefixed: a table's
+    * `_graft_basegen` generations, its `_graft_ids` ledger,
+    * `_temporary` staging) are never descended into — committed base
+    * generations are IMMUTABLE by contract (`Lsm.foldBatchesGen`), so
+    * an in-place repack would break the rename-free commit guarantee;
+    * they are born packed by their own fold's repartition instead.
+    */
   private def leaves(fs: FileSystem, root: Path): Seq[Path] =
     if (!fs.getFileStatus(root).isDirectory) Nil
     else {
       val children = fs.listStatus(root).toSeq
       val here = if (children.exists(isParquetPart)) Seq(root) else Nil
-      here ++ children.filter(_.isDirectory).map(_.getPath)
-        .flatMap(leaves(fs, _))
+      here ++ children.filter { c =>
+        val n = c.getPath.getName
+        c.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath).flatMap(leaves(fs, _))
     }
 
   /** Compact every leaf of `tableDir` toward `targetBytes` per file.

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *    needs NO extra per-trigger write at all;
   *  - the ledger proper is only the BUCKETED BASE: the ids of
   *    batches that store compaction folded away, hash-bucketed by
-  *    [[bucketOf]] under `storeDir/_graft_ids/batch_id=-1/bkt=N`
-  *    (underscore-prefixed, so store scans skip it). A batch's dedup
+  *    [[bucketOf]] under the newest marker-committed generation at
+  *    `storeDir/_graft_ids/_graft_basegen/gen=N/bkt=M`
+  *    (underscore-prefixed, so store scans skip it; legacy
+  *    pre-generational ledgers sit at `_graft_ids/batch_id=-1/bkt=M`
+  *    and migrate on their first fold). A batch's dedup
   *    probe ([[priorIds]]) reads only its own ids' TOUCHED buckets —
   *    leaf enumeration before any listing, the same
   *    [[NearDupIngest.readTouchedBuckets]] discipline as the index
@@ -34,7 +37,8 @@ import org.apache.spark.sql.functions._
   *    base ∪ outgoing-batches' ids at a bucket count re-derived from
   *    the id count ([[NearDupIngest.bucketCountFor]]) — re-bucketing
   *    rides every fold, and the config travels inside the
-  *    swapped directory so count and layout can never disagree.
+  *    marker-committed generation so count and layout can never
+  *    disagree.
   *
   * COVERAGE INVARIANT: every batch the STORE records as merged has
   * its ids in the ledger base (the ledger folds first, so
@@ -52,10 +56,43 @@ object IdLedger {
   /** Sidecar recording the ledger's bucket count (a LAYOUT property —
     * probing with a different count would prune away landed ids and
     * re-land duplicates) and the id column name. Lives INSIDE the
-    * ledger dir and is rewritten only by [[foldFromStore]]'s
-    * whole-dir swap, so it always matches the base it describes.
+    * base generation [[foldFromStore]] writes (legacy pre-generational
+    * ledgers: at the ledger root), committed atomically with the base
+    * it describes by the generation's own marker — count and layout
+    * can never disagree.
     */
   val ConfigFile = "_graft_ledger_config.json"
+
+  /** The directory holding the ledger's LIVE state — base buckets,
+    * config, merged-ids sidecar: the newest marker-committed
+    * generation when the ledger has been folded under the round-17
+    * generational layout, else the ledger root (the legacy layout,
+    * whose base sits at `batch_id=-1` and whose sidecars sit at the
+    * root). Once a generation exists the root is NEVER consulted — a
+    * crash between a generation's commit and the legacy GC leaves
+    * stale root sidecars behind, shadowed rather than trusted.
+    */
+  private def liveDir(spark: SparkSession, storeDir: String): String = {
+    val ldir = dir(storeDir)
+    val fs = Lsm.fileSystem(spark, ldir)
+    Lsm.committedGens(fs, ldir).lastOption
+      .map(g => Lsm.genPath(ldir, g).toString).getOrElse(ldir)
+  }
+
+  /** The ledger base's bucket-leaf parent for direct reads: the live
+    * generation itself, or the legacy `batch_id=-1` partition.
+    */
+  private def basePath(spark: SparkSession, storeDir: String): String = {
+    val live = liveDir(spark, storeDir)
+    if (live == dir(storeDir)) s"$live/batch_id=${Lsm.BaseBatch}" else live
+  }
+
+  /** Batch ids recorded as folded into the ledger base — read from
+    * the live generation's own sidecar ([[liveDir]]), so the answer
+    * always describes the base a probe would read.
+    */
+  def mergedIds(spark: SparkSession, storeDir: String): Set[Long] =
+    CorpusIngest.mergedBatchIds(spark, liveDir(spark, storeDir))
 
   /** Hash bucket of an id value — Spark's murmur3 `hash`, computable
     * identically on the write and probe side from the id alone.
@@ -67,7 +104,7 @@ object IdLedger {
     * ledger base exists (a store that was never compacted).
     */
   def config(spark: SparkSession, storeDir: String): Option[(Int, String)] =
-    Lsm.readSidecar(spark, dir(storeDir), ConfigFile).map { s =>
+    Lsm.readSidecar(spark, liveDir(spark, storeDir), ConfigFile).map { s =>
       (Lsm.jsonLong(s, "buckets").getOrElse(sys.error(
         s"$ConfigFile missing 'buckets': $s")).toInt,
         Lsm.jsonStr(s, "idCol").getOrElse(sys.error(
@@ -115,7 +152,7 @@ object IdLedger {
         val cfg = config(spark, storeDir)
         val covered = cfg.isDefined &&
           CorpusIngest.mergedBatchIds(spark, storeDir)
-            .subsetOf(CorpusIngest.mergedBatchIds(spark, dir(storeDir)))
+            .subsetOf(mergedIds(spark, storeDir))
         if (covered) {
           val (buckets, _) = cfg.get
           // bounded by the bucket count by construction — a batch
@@ -144,21 +181,34 @@ object IdLedger {
     * store batches' ids, at a bucket count re-derived from the id
     * count. Invoked by [[CorpusIngest.compactStore]] BEFORE the
     * store's own fold — the ordering behind the coverage invariant: a
-    * crash after this swap but before the store records its merged
+    * crash after this commit but before the store records its merged
     * ids leaves those batches BOTH in the ledger base and live as
     * store partitions, a harmless superset on the anti-join's right
     * side, repaired (dedup-on-fold) by the re-run.
     *
-    * The whole ledger dir (base + merged sidecar + config) is written
-    * to a sibling and swapped in retire-then-rename, so bucket count
-    * and layout change atomically together.
+    * Commit is GENERATIONAL (the `Lsm.foldBatchesGen` discipline): the
+    * new base buckets, the config, and the merged-ids sidecar are all
+    * written into a fresh `_graft_basegen/gen=<N+1>` directory — the
+    * parquet job's own `_SUCCESS` suppressed so nothing marks the
+    * generation early — and the explicitly-touched marker is the LAST
+    * write. Bucket count, layout, and coverage record change
+    * atomically together, the commit path performs ZERO renames, and
+    * a per-trigger probe racing the fold on a copy-semantics store
+    * either cannot see the new generation (no marker yet) or sees it
+    * complete. Crash windows: before the marker → an unmarked partial
+    * generation, invisible, clobbered by the next fold; after the
+    * marker, before GC → stale legacy/previous-generation state on
+    * disk, shadowed by newest-generation resolution ([[liveDir]]).
+    * Legacy (pre-generational) ledgers migrate on their first fold:
+    * the old `batch_id=-1` base is read as the base source and the
+    * legacy layout is GC'd once the first generation commits.
     */
   def foldFromStore(spark: SparkSession, storeDir: String, idCol: String,
       toMerge: Seq[Long]): Unit = {
     if (toMerge.isEmpty) return
     val ldir = dir(storeDir)
     val fs = Lsm.fileSystem(spark, storeDir)
-    val mergedPrev = CorpusIngest.mergedBatchIds(spark, ldir)
+    val mergedPrev = mergedIds(spark, storeDir)
     val storeMerged = CorpusIngest.mergedBatchIds(spark, storeDir)
     val covered = config(spark, storeDir).isDefined &&
       storeMerged.subsetOf(mergedPrev)
@@ -180,7 +230,7 @@ object IdLedger {
     val baseSrc =
       if (covered)
         Some(spark.read.schema(idSchema)
-          .parquet(s"$ldir/batch_id=${Lsm.BaseBatch}")
+          .parquet(basePath(spark, storeDir))
           .select(col(idCol)))
       else if (CorpusIngest.listedBatchIds(spark, storeDir)
           .contains(Lsm.BaseBatch))
@@ -198,27 +248,33 @@ object IdLedger {
       .dropDuplicates().persist()
     try {
       val buckets = NearDupIngest.bucketCountFor(all.count())
-      val tmp = s"$ldir.fold-tmp"
-      Lsm.delete(fs, new Path(tmp))
+      val gens = Lsm.committedGens(fs, ldir)
+      val next = gens.lastOption.getOrElse(-1L) + 1
+      val target = Lsm.genPath(ldir, next)
+      Lsm.delete(fs, target) // clobber an unmarked partial from a crash
       all.withColumn("bkt", bucketOf(col(idCol), buckets))
-        .withColumn("batch_id", lit(Lsm.BaseBatch))
         .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("batch_id", "bkt")
-        .parquet(tmp)
-      CorpusIngest.markCommitted(spark,
-        s"$tmp/batch_id=${Lsm.BaseBatch}")
-      CorpusIngest.recordMergedBatchIds(spark, tmp,
-        mergedPrev ++ storeMerged ++ toMerge)
-      Lsm.writeSidecar(spark, tmp, ConfigFile,
+        .write.mode("overwrite")
+        // hold the commit: the generation must not look committed
+        // until its sidecars are in place, so the parquet job's own
+        // root marker is suppressed and [[markCommitted]] goes last
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy("bkt")
+        .parquet(target.toString)
+      val allMerged = (mergedPrev ++ storeMerged ++ toMerge).toSeq.sorted
+      Lsm.createFile(fs, new Path(target, CorpusIngest.MergedBatchesFile),
+        s"""{"merged": [${allMerged.mkString(", ")}]}""")
+      Lsm.createFile(fs, new Path(target, ConfigFile),
         s"""{"buckets": $buckets, "idCol": "$idCol"}""")
-      val retired = s"$ldir.retired"
-      Lsm.delete(fs, new Path(retired))
-      if (fs.exists(new Path(ldir)))
-        Lsm.renameStrict(fs, new Path(ldir), new Path(retired),
-          s"rebuilt ledger intact at $tmp")
-      Lsm.renameStrict(fs, new Path(tmp), new Path(ldir),
-        s"rebuilt ledger complete at $tmp, previous at $retired")
-      Lsm.delete(fs, new Path(retired))
+      CorpusIngest.markCommitted(spark, target.toString) // THE commit
+      // GC superseded state: the legacy layout (in-table base + root
+      // sidecars) and all generations but the new one and its
+      // predecessor (retained one fold for in-flight readers)
+      Lsm.delete(fs, new Path(ldir, s"batch_id=${Lsm.BaseBatch}"))
+      Lsm.delete(fs, new Path(ldir, ConfigFile))
+      Lsm.delete(fs, new Path(ldir, CorpusIngest.MergedBatchesFile))
+      (gens :+ next).dropRight(2).foreach(g =>
+        Lsm.delete(fs, Lsm.genPath(ldir, g)))
     } finally { all.unpersist(blocking = false); () }
   }
 }

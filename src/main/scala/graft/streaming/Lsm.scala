@@ -18,19 +18,25 @@ import org.apache.spark.sql.functions._
   * atomicity is the filesystem's own contract: atomic on HDFS and
   * local, a non-atomic copy on stores without native rename.
   *
-  * Two fold disciplines coexist (round 17): the INDEX folds through
-  * [[foldBatchesGen]] — marker-committed immutable base GENERATIONS,
-  * zero reader-visible renames in the commit path, so a concurrent
-  * reader on a copy-semantics store resolves a complete base at every
-  * instant (the catalog-pointer commit the round-16 doc recommended,
-  * pinned by NonLocalFsMaintenanceSpec's copy-semantics case). The
-  * store and ledger folds keep the retire-then-rename discipline
-  * ([[foldBatches]]), which never LOSES rows (every crash window
-  * keeps both copies on disk under recoverable names) but exposes the
-  * in-between listing to concurrent readers on stores without native
-  * rename — their migration to the proven generational mechanism is
-  * the follow-up; until then quiesce readers for store/ledger
-  * maintenance on such stores.
+  * Two fold disciplines coexist, split by WHO reads the table. Every
+  * graft-internal structure a running stream probes per trigger — the
+  * banded INDEX ([[foldBatchesGen]]) and the id LEDGER
+  * ([[IdLedger.foldFromStore]]) — commits through marker-committed
+  * immutable base GENERATIONS: zero reader-visible renames in the
+  * commit path, so a concurrent reader on a copy-semantics store
+  * resolves a complete base at every instant (the catalog-pointer
+  * commit the round-16 doc recommended, pinned by
+  * NonLocalFsMaintenanceSpec's copy-semantics cases). The landed
+  * STORE keeps the retire-then-rename [[foldBatches]] — deliberately:
+  * its contract is "one plain parquet table" (`spark.read.parquet
+  * (storeDir)` is the user API), so its base must stay INSIDE the
+  * partition layout where an underscore-prefixed generation root
+  * cannot live. That fold never LOSES rows (every crash window keeps
+  * both copies on disk under recoverable names), and the readers it
+  * can race are ad-hoc whole-store batch jobs — maintenance on a
+  * no-native-rename store runs under the documented quiesce contract,
+  * while the per-trigger probes race nothing: both structures they
+  * touch are generational.
   */
 private[streaming] object Lsm {
 
@@ -87,6 +93,20 @@ private[streaming] object Lsm {
   /** Recursive delete; no-op when the path is absent. */
   def delete(fs: FileSystem, p: Path): Unit = {
     if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Direct small-file create (overwrite), NO tmp+rename: for writes
+    * into a directory no reader can resolve yet (an uncommitted base
+    * generation — invisible until its marker exists), where the
+    * torn-write crash window is already covered by the next fold's
+    * clobber and keeping the commit path rename-free is the contract
+    * the copy-semantics specs machine-check. Live sidecars that a
+    * reader CAN be holding go through [[writeSidecar]] instead.
+    */
+  def createFile(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     ()
   }
 

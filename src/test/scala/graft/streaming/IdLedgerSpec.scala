@@ -81,7 +81,7 @@ class IdLedgerSpec extends AnyFunSuite {
     // the ledger base was built FIRST and covers the folded batches
     assert(IdLedger.config(spark, store).isDefined)
     assert(CorpusIngest.mergedBatchIds(spark, store)
-      .subsetOf(CorpusIngest.mergedBatchIds(spark, IdLedger.dir(store))))
+      .subsetOf(IdLedger.mergedIds(spark, store)))
     // a checkpoint replay of a folded batch is a no-op everywhere
     val storeRows = landedIds(store)
     val idxRows = spark.read.parquet(idx).count()
@@ -119,7 +119,7 @@ class IdLedgerSpec extends AnyFunSuite {
     CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
     assert(IdLedger.config(spark, store).isDefined)
     assert(CorpusIngest.mergedBatchIds(spark, store)
-      .subsetOf(CorpusIngest.mergedBatchIds(spark, IdLedger.dir(store))))
+      .subsetOf(IdLedger.mergedIds(spark, store)))
     assert(survivors(batch, store, exclude = 9L) == Set(5L))
   }
 
@@ -180,5 +180,119 @@ class IdLedgerSpec extends AnyFunSuite {
     assert(IdLedger.config(spark, store).map(_._1).contains(128))
     assert(survivors(Seq(900001L, 5555555L).toDF("doc_id"), store, 99L)
       == Set(5555555L))
+  }
+
+  test("fold commits a marker-committed generation: base, config, coverage atomic") {
+    import org.apache.hadoop.fs.Path
+    val (_, store) = ws("ldg_gen")
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), 0L, store, "doc_id")
+    CorpusIngest.ingestBatch(
+      Seq((3L, "three")).toDF("doc_id", "text"), 1L, store, "doc_id")
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    val ldir = IdLedger.dir(store)
+    val fs = Lsm.fileSystem(spark, ldir)
+    assert(Lsm.committedGens(fs, ldir) == Seq(0L))
+    val gen = Lsm.genPath(ldir, 0L)
+    // everything a probe resolves travels INSIDE the committed
+    // generation — bucket count, coverage record, and the base they
+    // describe can never disagree
+    assert(fs.exists(new Path(gen, "_SUCCESS")))
+    assert(fs.exists(new Path(gen, IdLedger.ConfigFile)))
+    assert(fs.exists(new Path(gen, CorpusIngest.MergedBatchesFile)))
+    // the legacy layout never materializes for a ledger born generational
+    assert(!fs.exists(new Path(ldir, s"batch_id=${Lsm.BaseBatch}")))
+    assert(!fs.exists(new Path(ldir, IdLedger.ConfigFile)))
+    assert(!fs.exists(new Path(ldir, CorpusIngest.MergedBatchesFile)))
+    assert(IdLedger.mergedIds(spark, store) == Set(0L, 1L))
+    // second fold: gen 1 commits, gen 0 retained for in-flight readers
+    CorpusIngest.ingestBatch(
+      Seq((4L, "four")).toDF("doc_id", "text"), 2L, store, "doc_id")
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    assert(Lsm.committedGens(fs, ldir) == Seq(0L, 1L))
+    // third fold: gen 2 commits, gen 0 is GC'd
+    CorpusIngest.ingestBatch(
+      Seq((5L, "five")).toDF("doc_id", "text"), 3L, store, "doc_id")
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    assert(Lsm.committedGens(fs, ldir) == Seq(1L, 2L))
+    assert(survivors(Seq(1L, 4L, 5L, 77L).toDF("doc_id"), store, 99L)
+      == Set(77L))
+  }
+
+  test("the fold's parquet job cannot commit a generation early") {
+    // the generational commit's ordering (base files, then sidecars,
+    // then marker) depends on the writer option suppressing the
+    // parquet job's own _SUCCESS — pin that the option propagates
+    val dir = graft.TestSpark.scratchPath("ldg_nomark").toString
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(dir)
+    val fs = Lsm.fileSystem(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")),
+      "marksuccessfuljobs=false must reach the write job's committer")
+  }
+
+  test("legacy (pre-generational) ledger migrates on its first fold") {
+    import org.apache.hadoop.fs.Path
+    val (_, store) = ws("ldg_legacy")
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), 0L, store, "doc_id")
+    CorpusIngest.ingestBatch(
+      Seq((3L, "three")).toDF("doc_id", "text"), 1L, store, "doc_id")
+    // store compacted under pre-round-17 code: base partition in the
+    // table, batch 0 recorded merged
+    Lsm.foldBatches(spark, store, Seq(0L),
+      _.dropDuplicates(Seq("doc_id")), Seq("batch_id"), mergeSchema = true)
+    CorpusIngest.recordMergedBatchIds(spark, store, Set(0L))
+    Lsm.dropBatches(spark, store, Seq(0L))
+    // hand-build the matching pre-round-17 LEDGER layout: bucketed
+    // base at batch_id=-1, config + merged sidecars at the root
+    val ldir = IdLedger.dir(store)
+    val fs = Lsm.fileSystem(spark, ldir)
+    Seq(1L, 2L).toDF("doc_id")
+      .withColumn("bkt", IdLedger.bucketOf(col("doc_id"), 8))
+      .withColumn("batch_id", lit(Lsm.BaseBatch))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("batch_id", "bkt").parquet(ldir)
+    CorpusIngest.markCommitted(spark, s"$ldir/batch_id=${Lsm.BaseBatch}")
+    Lsm.writeSidecar(spark, ldir, IdLedger.ConfigFile,
+      """{"buckets": 8, "idCol": "doc_id"}""")
+    Lsm.writeSidecar(spark, ldir, CorpusIngest.MergedBatchesFile,
+      """{"merged": [0]}""")
+    // legacy resolution answers before any generational fold runs
+    assert(IdLedger.config(spark, store).contains((8, "doc_id")))
+    assert(IdLedger.mergedIds(spark, store) == Set(0L))
+    assert(survivors(Seq(1L, 3L, 55L).toDF("doc_id"), store, 99L)
+      == Set(55L))
+    // first fold migrates: legacy base read as the base source, gen 0
+    // committed, the old layout GC'd
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    assert(Lsm.committedGens(fs, ldir) == Seq(0L))
+    assert(!fs.exists(new Path(ldir, s"batch_id=${Lsm.BaseBatch}")))
+    assert(!fs.exists(new Path(ldir, IdLedger.ConfigFile)))
+    assert(IdLedger.mergedIds(spark, store) == Set(0L, 1L))
+    assert(survivors(Seq(1L, 2L, 3L, 55L).toDF("doc_id"), store, 99L)
+      == Set(55L))
+  }
+
+  test("stale legacy state left by a crashed GC is shadowed, never trusted") {
+    val (_, store) = ws("ldg_shadow")
+    CorpusIngest.ingestBatch(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), 0L, store, "doc_id")
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    val ldir = IdLedger.dir(store)
+    // the crash window: generation committed, GC never ran — stale
+    // root sidecars sit alongside the live generation
+    Lsm.writeSidecar(spark, ldir, IdLedger.ConfigFile,
+      """{"buckets": 1, "idCol": "doc_id"}""")
+    Lsm.writeSidecar(spark, ldir, CorpusIngest.MergedBatchesFile,
+      """{"merged": [777]}""")
+    // resolution goes through the newest generation only: probing at
+    // the stale bucket count would prune away landed ids
+    assert(IdLedger.config(spark, store).exists(_._1 != 1))
+    assert(!IdLedger.mergedIds(spark, store).contains(777L))
+    assert(survivors(Seq(1L, 2L, 55L).toDF("doc_id"), store, 99L)
+      == Set(55L))
   }
 }

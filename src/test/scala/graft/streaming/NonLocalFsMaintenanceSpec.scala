@@ -93,7 +93,7 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
       "store contents must survive a non-local-FS compaction")
     assert(CorpusIngest.listedBatchIds(spark, store) == Set(-1L, 2L))
     assert(CorpusIngest.mergedBatchIds(spark, store)
-      .subsetOf(CorpusIngest.mergedBatchIds(spark, IdLedger.dir(store))),
+      .subsetOf(IdLedger.mergedIds(spark, store)),
       "the ledger coverage invariant must hold on the non-local scheme")
     // a re-delivered FOLDED id still dedups through the ledger base
     ingest(Seq((1L, "changed text sharing nothing with anything prior"),
@@ -212,5 +212,59 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
     NearDupIngest.compactIndex(spark, idx, keepRecentBatches = 0)
     assert(Lsm.committedGens(fs, idx).lastOption.contains(1L))
     assert(probeSet() == before)
+  }
+
+  test("copy-semantics rename: ledger fold is rename-free, mid-fold probe resolves") {
+    // the round-17 ledger counterpart of the index case above: the id
+    // ledger commits through the same marker-committed generations, so
+    // on a store whose rename is a non-atomic copy (GraftCopyFs) a
+    // per-trigger id probe racing the fold either cannot see the new
+    // generation or sees it complete — and NOTHING under the ledger is
+    // ever renamed on the commit path
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcopyfs.impl", classOf[GraftCopyFs].getName)
+    val base = graft.TestSpark.scratchPath("graftcopyfs_ldg")
+    val (idx, store) = (s"graftcopyfs://$base/idx", s"graftcopyfs://$base/store")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    ingest(Seq((1L, B)), 0L, idx, store)
+    ingest(Seq((2L, C)), 1L, idx, store)
+    ingest(Seq((3L, "completely different novel words appear here again ok")),
+      2L, idx, store)
+    GraftCopyFs.renames.clear()
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1)
+    // the only renames under the ledger are the parquet committer's
+    // own _temporary promotions, landing inside a generation no reader
+    // can resolve until its marker exists
+    val visible = GraftCopyFs.renamesUnder("_graft_ids")
+      .filterNot(_.contains("_temporary"))
+    assert(visible.isEmpty,
+      s"the ledger commit renamed a reader-visible path: $visible")
+    val ldir = IdLedger.dir(store)
+    val fs = Lsm.fileSystem(spark, ldir)
+    assert(Lsm.committedGens(fs, ldir) == Seq(0L))
+    assert(CorpusIngest.mergedBatchIds(spark, store)
+      .subsetOf(IdLedger.mergedIds(spark, store)),
+      "the coverage invariant must hold through the generational fold")
+    // a re-delivered FOLDED id still dedups through the ledger base
+    ingest(Seq((1L, "changed text sharing nothing with anything prior"),
+      (9L, "more novel words that match nothing else anywhere today")),
+      3L, idx, store)
+    assert(landedIds(store) == Seq(1L, 2L, 3L, 9L))
+    // mid-fold state: the next generation half-written (part files
+    // landing, no marker). A probe must resolve gen 0 and dedup
+    // against the complete old base.
+    val gen1 = Lsm.genPath(ldir, 1L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(gen1, "bkt=0"))
+    val half = fs.create(
+      new org.apache.hadoop.fs.Path(gen1, "bkt=0/part-00000.parquet"), true)
+    half.write(Array[Byte](80, 65, 82, 49)) // "PAR1" — a torn file
+    half.close()
+    ingest(Seq((2L, "changed once more sharing nothing with any prior row"),
+      (10L, "entirely fresh content that overlaps with nothing at all")),
+      4L, idx, store)
+    assert(landedIds(store) == Seq(1L, 2L, 3L, 9L, 10L),
+      "a mid-fold probe must dedup against the previous committed generation")
   }
 }
