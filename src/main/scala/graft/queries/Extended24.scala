@@ -61,18 +61,21 @@ object Extended24 {
 
   private val WidthGrid = SimHash64.DefaultWidthGrid
 
-  /** DuckDB expression reproducing [[SimHash64.simhashAgg]] over a
-    * token column — the Extended16.simhashSql construction at 16
-    * nibbles, CAST back to BIGINT because the `1<<63` term promotes
-    * the sum to HUGEINT (the cast is what keeps the oracle's
-    * shift/xor/bit_count arithmetic in 64-bit two's complement,
-    * matching Spark's long exactly).
+  /** DuckDB expression reproducing [[SimHash64.simhashAggFromHash]]
+    * over a PRE-COMPUTED 16-hex-char hash column (the oracle's twin
+    * of Spark's hash-long: hex prefix ↔ long is a bijection, so
+    * deduping and aggregating on it matches the impl exactly) — the
+    * Extended16.simhashSql construction at 16 nibbles, CAST back to
+    * BIGINT because the `1<<63` term promotes the sum to HUGEINT
+    * (the cast is what keeps the oracle's shift/xor/bit_count
+    * arithmetic in 64-bit two's complement, matching Spark's long
+    * exactly).
     */
-  private[queries] def simhash64Sql(tok: String): String = {
+  private[queries] def simhash64SqlFromHex(hex: String): String = {
     val terms = (0 until SimHash64.bits).map { b =>
       val hexPos = SimHash64.bits / 4 - b / 4
       val pw = 1 << (b % 4)
-      val nib = s"(instr('0123456789abcdef', substr(md5($tok), $hexPos, 1)) - 1)"
+      val nib = s"(instr('0123456789abcdef', substr($hex, $hexPos, 1)) - 1)"
       s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
     s"CAST($terms AS BIGINT)"
@@ -85,11 +88,18 @@ object Extended24 {
           .withColumn("t", TextFns.tokens(col("text")))
           .select(col("doc_id"),
             explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sg"))
-          .distinct()
           // hash assembled ONCE per shingle row, pre-aggregation: the
           // 64 conditional sums then reduce over shift/mask terms of one
-          // long — no md5 fan, no JIT-cliff surface (SimHashFamily note)
+          // long — no md5 fan, no JIT-cliff surface (SimHashFamily note).
+          // The per-doc shingle dedup runs on the 8-byte HASH, not the
+          // shingle string: the aggregate depends only on the hash, so
+          // the semantics are identical (hash↔hex-prefix is a bijection
+          // the oracle mirrors) and the distinct — the family's
+          // heaviest shuffle, ~30 shingle rows per doc — moves 16-byte
+          // keys instead of ~50-byte strings (fourth-decade lesson:
+          // the string dedup was the disk-spill cliff at 50M docs)
           .select(col("doc_id"), SimHash64.tokenHash(col("sg")).as("h"))
+          .distinct()
           .groupBy("doc_id")
           .agg(SimHash64.simhashAggFromHash(col("h")).as("sh"))
           .persist() // sweep + selected-config join read it
@@ -139,11 +149,12 @@ object Extended24 {
         idx AS (SELECT doc_id, t,
                        unnest(range(1, greatest(len(t) - 1, 1))) AS i
                 FROM toks),
-        sg AS (SELECT DISTINCT doc_id,
-                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+        hx AS (SELECT DISTINCT doc_id,
+                      substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                             1, ${SimHash64.bits / 4}) AS hx
                FROM idx WHERE i + 2 <= len(t)),
-        sig AS (SELECT doc_id, ${simhash64Sql("sg")} AS sh
-                FROM sg GROUP BY doc_id),$perConfig,
+        sig AS (SELECT doc_id, ${simhash64SqlFromHex("hx")} AS sh
+                FROM hx GROUP BY doc_id),$perConfig,
         allstats AS ($unioned),
         wsel AS (
           SELECT coalesce(

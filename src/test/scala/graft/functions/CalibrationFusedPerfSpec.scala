@@ -161,9 +161,13 @@ class CalibrationFusedPerfSpec extends AnyFunSuite {
     info(s"5M-doc selection: $sel bands")
     assert(sel == 4, s"the third decade's selection shift (6->4 bands," +
       s" ScaleCalibrationSpec) must reproduce here, got $sel")
-    // 3 reps: each side costs tens of seconds at 5M docs; the A/B is
-    // interleaved so a load wave hits both sides equally
-    val (mp, mf) = abOverSigs(spark, sigsPath, "5M:", reps = 3)
+    // 5 reps: each side costs tens of seconds at 5M docs, but a
+    // 3-sample median proved flippable by ONE load-wave outlier on a
+    // box still draining a full-suite run (quiet-box medians: probing
+    // 32.1 s with an 81 s outlier in-sample, fused 25.5 s — see
+    // STABILITY round 17); the interleaving spreads the wave, the
+    // extra samples keep one outlier from deciding the median
+    val (mp, mf) = abOverSigs(spark, sigsPath, "5M:", reps = 5)
     assert(mf <= mp,
       f"fused path ($mf%.2f s) must be at or under probing ($mp%.2f s)" +
         " at the decade where the selection shifts")
