@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   * ever required.)
   *
   * LSH: the k signature components are cut into `bands` groups of
-  * k/bands rows; band key = md5 of the '|'-joined components.
-  * Documents sharing any band key become candidate pairs. The band
-  * join is a pure equi-join on (band index, band key) — at 100 TB this
-  * is one shuffle on a short string key. Moderate key-skew from
+  * k/bands rows; band key = the first 60 bits (15 hex chars) of the
+  * md5 of the '|'-joined components, as a LONG. Documents sharing any
+  * band key become candidate pairs. The band join is a pure equi-join
+  * on (band index, band key) — at 100 TB this is one shuffle on an
+  * 8-byte numeric key. (Round 17's fourth-decade post-mortem: the
+  * same join keyed by the full 32-hex md5 STRING was a ~40+ GB sort
+  * spill at 50 M docs — 15 band rows/doc × ~40-byte keys; the 60-bit
+  * truncation cuts banded shuffle and index-leaf bytes ~4× and is
+  * mirrored exactly by every oracle, so a ~2⁻⁶⁰-per-pair truncation
+  * collision produces the identical extra candidate on both sides —
+  * and candidates are verified against the full signature downstream
+  * anyway.) Moderate key-skew from
   * near-duplicate clusters is re-balanced by AQE's skew-join
   * splitting; *degenerate* buckets (beyond [[LshGuard.DefaultMaxBucket]]
   * rows behind one key, e.g. millions of empty docs) are capped by the
@@ -35,6 +43,28 @@ object MinHashLsh {
 
   /** Largest prime below 2^28. */
   val P = 268435399L
+
+  /** md5 hex chars kept in the numeric band key: 15 chars = 60 bits,
+    * exact and non-negative in a signed 64-bit long (Spark LongType,
+    * DuckDB BIGINT). The q84/q192 hex-prefix↔long bijection at the
+    * widest width a BIGINT carries without sign trouble.
+    */
+  val BandKeyHexChars = 15
+
+  /** DuckDB SQL twin of the [[bandKeys]] key derivation over a
+    * '|'-joined component expression — every banded-family oracle
+    * builds its band CTE through this so the impl and the oracle can
+    * never disagree on the key representation.
+    */
+  def bandKeySql(joined: String): String =
+    s"CAST('0x' || substr(md5($joined), 1, $BandKeyHexChars) AS BIGINT)"
+
+  /** The band-key column from pre-projected signature component
+    * columns (the Spark twin of [[bandKeySql]]).
+    */
+  def bandKeyCol(components: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", components: _*)), 1, BandKeyHexChars),
+      16, 10).cast("long")
 
   private def md5PrefixLong(s: String, hexChars: Int): Long =
     java.lang.Long.parseLong(
@@ -146,7 +176,8 @@ object MinHashLsh {
     *         signature components (MinHash Jaccard estimate).
     */
   /** Banded LSH keys from a signature table: one row per (id, band)
-    * with the band's md5 key plus the full signature columns carried
+    * with the band's 60-bit numeric key ([[bandKeyCol]]) plus the
+    * full signature columns carried
     * through (so a downstream join can compute the component-match
     * estimate without a second signature lookup). This IS the "LSH
     * index" layout: persisted (or written out) once, an incremental
@@ -169,8 +200,7 @@ object MinHashLsh {
     val r = k / bands
     val keys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|",
-          (b * r until (b + 1) * r).map(i => col(s"s$i")): _*)).as("key"))
+        bandKeyCol((b * r until (b + 1) * r).map(i => col(s"s$i"))).as("key"))
     }
     val bandedCols = Seq(col(idCol), col("__bk.band").as("band"),
       col("__bk.key").as("key")) ++ (0 until k).map(i => col(s"s$i"))

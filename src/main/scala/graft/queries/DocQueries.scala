@@ -173,7 +173,7 @@ object DocQueries {
         val bandRows = (0 until Bands).map { b =>
           val key = (b * r until (b + 1) * r).map(i => s"s$i")
             .mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+          s"SELECT doc_id, $b AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
             (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
         }.mkString("\n UNION ALL\n ")
         val matches = (0 until MinhashK)
@@ -294,7 +294,7 @@ object DocQueries {
         val bandRows = (0 until Bands).map { b =>
           val key = (b * r until (b + 1) * r).map(i => s"s$i")
             .mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+          s"SELECT doc_id, $b AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
             (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
         }.mkString("\n UNION ALL\n ")
         val matches = (0 until MinhashK)

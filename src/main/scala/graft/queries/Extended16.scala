@@ -43,7 +43,7 @@ object Extended16 {
     val r = MinhashK / Bands
     val bandRows = (0 until Bands).map { b =>
       val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sig"
+      s"SELECT doc_id, $b AS band, ${MinHashLsh.bandKeySql(key)} AS key FROM sig"
     }.mkString("\n UNION ALL\n ")
     s"""
         WITH $prefixCtes
@@ -408,7 +408,7 @@ object Extended16 {
         val r = MinhashK / Bands
         val bandRows = (0 until Bands).map { b =>
           val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+          s"SELECT doc_id, $b AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
             (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
         }.mkString("\n UNION ALL\n ")
         val m = (0 until MinhashK)

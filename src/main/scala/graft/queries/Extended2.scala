@@ -51,7 +51,7 @@ object Extended2 {
           s" % ${MinHashLsh.P}) AS s$i").mkString(", ")
     val bandRows = (0 until Bands).map { b =>
       val key = (b * r until (b + 1) * r).map(i => s"s$i").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+      s"SELECT doc_id, $b AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
         (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
     }.mkString("\n UNION ALL\n ")
     val matches = (0 until MinhashK)

@@ -217,7 +217,7 @@ object Extended22 {
           val bandRows = (0 until b).map { bi =>
             val key = (bi * r until (bi + 1) * r)
               .map(i => s"s$i").mkString(" || '|' || ")
-            s"SELECT doc_id, $bi AS band, md5($key) AS key FROM sig"
+            s"SELECT doc_id, $bi AS band, ${MinHashLsh.bandKeySql(key)} AS key FROM sig"
           }.mkString("\n UNION ALL\n ")
           s"""
         band$b AS ($bandRows),

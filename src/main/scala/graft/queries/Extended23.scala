@@ -82,7 +82,7 @@ object Extended23 {
           val bandRows = (0 until b).map { bi =>
             val key = (bi * r until (bi + 1) * r)
               .map(i => s"s$i").mkString(" || '|' || ")
-            s"SELECT doc_id, $bi AS band, md5($key) AS key, " +
+            s"SELECT doc_id, $bi AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
               (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
           }.mkString("\n UNION ALL\n ")
           s"""
@@ -266,7 +266,7 @@ object Extended23 {
         val bandRows = (0 until 4).map { b =>
           val key = (b * r until (b + 1) * r)
             .map(i => s"s$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($key) AS key, " +
+          s"SELECT doc_id, $b AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
             (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
         }.mkString("\n UNION ALL\n ")
         val m = (0 until MinhashK)
@@ -442,7 +442,7 @@ object Extended23 {
           val bandRows = (0 until b).map { bi =>
             val key = (bi * r until (bi + 1) * r)
               .map(i => s"s$i").mkString(" || '|' || ")
-            s"SELECT doc_id, $bi AS band, md5($key) AS key, " +
+            s"SELECT doc_id, $bi AS band, ${MinHashLsh.bandKeySql(key)} AS key, " +
               (0 until MinhashK).map(i => s"s$i").mkString(", ") + " FROM sig"
           }.mkString("\n UNION ALL\n ")
           s"""

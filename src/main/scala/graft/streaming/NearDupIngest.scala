@@ -158,12 +158,17 @@ object NearDupIngest {
     b
   }
 
-  /** Hash bucket of a band key (md5 hex): first 24 bits (so the cap
+  /** Hash bucket of a numeric band key: its top 24 bits (so the cap
     * of 2^20 buckets stays uniform) mod the index's bucket count —
     * computable on both the write and probe side from the key alone.
+    * The top 24 bits of the 60-bit key ARE the md5's first 6 hex
+    * chars, so bucket assignment is bit-identical to the pre-numeric
+    * layout's `conv(substr(key, 1, 6), 16, 10)` — only the key
+    * column's representation changed, never the bucketing.
     */
   def bucketOf(key: Column, buckets: Int): Column =
-    pmod(conv(substring(key, 1, 6), 16, 10).cast("long"),
+    pmod(shiftright(key,
+        (graft.functions.MinHashLsh.BandKeyHexChars - 6) * 4),
       lit(buckets.toLong)).cast("int")
 
   /** Occupancy sidecar location: per-(band, key) counts for the BASE
@@ -238,6 +243,33 @@ object NearDupIngest {
     * at calibration time — [[maybeRecalibrate]]'s drift baseline.
     */
   val ConfigFile = "_graft_lsh_config.json"
+
+  /** On-disk band-key representation this engine writes and probes:
+    * 2 = 60-bit numeric keys ([[graft.functions.MinHashLsh.bandKeyCol]]).
+    * Version 1 (or a sidecar predating the field) is the legacy
+    * 32-hex md5 STRING layout — a probe or append against it with
+    * numeric keys would silently match nothing (every true collision
+    * missed, every duplicate re-landed), so version-mismatched
+    * indexes FAIL FAST ([[requireKeySchema]]) instead.
+    */
+  val BandKeySchemaVersion = 2L
+
+  /** Fail fast when `indexDir`'s sidecar records a band-key layout
+    * other than [[BandKeySchemaVersion]]. Called on every entry point
+    * that joins against or appends to the index's key column; a
+    * missing sidecar is handled by the callers' own absent-config
+    * paths (fixed-geometry indexes predating the calibrated sidecar).
+    */
+  private def requireKeySchema(spark: SparkSession, indexDir: String): Unit =
+    readConfig(spark, indexDir).foreach { cfg =>
+      val v = fieldOpt(cfg, "keySchema").getOrElse(1L)
+      if (v != BandKeySchemaVersion) sys.error(
+        s"index at $indexDir was built with band-key schema v$v " +
+          s"(32-hex md5 string keys); this engine reads/writes " +
+          s"v$BandKeySchemaVersion (60-bit numeric keys). Probing it " +
+          "would silently miss every collision — rebuild the index " +
+          "with writeIndex/writeIndexCalibrated before ingesting.")
+    }
 
   /** [[writeIndex]] with the band count CALIBRATED from the corpus
     * itself ([[MinHashLsh.calibrateBands]] — most bands within
@@ -319,7 +351,7 @@ object NearDupIngest {
       nDocs: Option[Long]): Unit =
     Lsm.writeSidecar(spark, indexDir, ConfigFile,
       s"""{"k": $k, "bands": $bands, "shingleWidth": $shingleWidth,""" +
-        s""" "buckets": $buckets""" +
+        s""" "buckets": $buckets, "keySchema": $BandKeySchemaVersion""" +
         nDocs.map(n => s""", "nDocs": $n""").getOrElse("") + "}")
 
   /** [[start]] probing with the geometry recorded in the index's
@@ -461,6 +493,9 @@ object NearDupIngest {
       storeDir: String, idCol: String, textCol: String, threshold: Double,
       shingleWidth: Int, k: Int, bands: Int, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
+    // probe AND append both touch the key column — reject a
+    // pre-migration (string-keyed) index before either runs
+    requireKeySchema(spark, indexDir)
     // per-destination idempotence: store landing and index append are
     // two non-atomic writes, each guarded by its OWN batch_id
     // partition — a crash between them leaves one destination behind,
@@ -779,6 +814,7 @@ object NearDupIngest {
       targetBytes: Long = 128L * 1024 * 1024)
       : Seq[graft.operators.Compact.LeafStats] = {
     require(keepRecentBatches >= 0, "keepRecentBatches must be >= 0")
+    requireKeySchema(spark, indexDir)
     val fs = Lsm.fileSystem(spark, indexDir)
     val merged0 = CorpusIngest.mergedBatchIds(spark, indexDir)
     val listedAll = CorpusIngest.listedBatchIds(spark, indexDir) -
@@ -906,6 +942,7 @@ object NearDupIngest {
       growthFactor: Double = 2.0, bandGrid: Seq[Int] = Seq(2, 3, 4, 6),
       pairsPerDocBudget: Long = 20L): Option[Int] = {
     require(growthFactor > 1.0, "growthFactor must exceed 1")
+    requireKeySchema(spark, indexDir)
     val (k, bands, shingleWidth) = indexConfig(spark, indexDir).getOrElse(
       sys.error(s"no $ConfigFile under $indexDir — the drift policy" +
         " needs a calibrated index (writeIndexCalibrated)"))

@@ -359,4 +359,42 @@ class NearDupIngestSpec extends AnyFunSuite {
     ingest(Seq((3L, B)), 1L, idx, store)
     assert(landedIds(store) == Seq(1L, 2L))
   }
+
+  test("band-key schema version: written by builds, legacy layouts fail fast") {
+    val (idx, store) = ws("ndi_keyschema")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    // every build path records the current key representation
+    val cfg = Lsm.readSidecar(spark, idx, NearDupIngest.ConfigFile).get
+    assert(Lsm.jsonLong(cfg, "keySchema")
+      .contains(NearDupIngest.BandKeySchemaVersion))
+    // and the index key column really is the 60-bit numeric form
+    assert(spark.read.parquet(idx).schema("key").dataType
+      === org.apache.spark.sql.types.LongType)
+    ingest(Seq((1L, B)), 0L, idx, store)
+    assert(landedIds(store) == Seq(1L))
+    // a pre-migration sidecar (no keySchema field — every v1 index)
+    // must be REJECTED by probe/append, compaction, and recalibration:
+    // numeric probes against string keys silently match nothing, so
+    // failing fast is the only safe read of such a layout
+    Lsm.writeSidecar(spark, idx, NearDupIngest.ConfigFile,
+      """{"k": 12, "bands": 4, "shingleWidth": 3, "buckets": 64}""")
+    for (op <- Seq[() => Any](
+        () => ingest(Seq((2L, B)), 1L, idx, store),
+        () => NearDupIngest.compactIndex(spark, idx),
+        () => NearDupIngest.maybeRecalibrate(spark, idx))) {
+      val e = intercept[RuntimeException](op())
+      assert(e.getMessage.contains("band-key schema"),
+        s"expected the key-schema fail-fast, got: ${e.getMessage}")
+    }
+    // an explicit v1 stamp is equally rejected
+    Lsm.writeSidecar(spark, idx, NearDupIngest.ConfigFile,
+      """{"k": 12, "bands": 4, "shingleWidth": 3, "buckets": 64,""" +
+        """ "keySchema": 1}""")
+    val e = intercept[RuntimeException](ingest(Seq((3L, B)), 2L, idx, store))
+    assert(e.getMessage.contains("band-key schema"))
+    // nothing landed through any rejected path
+    assert(landedIds(store) == Seq(1L))
+  }
 }
