@@ -131,6 +131,84 @@ object Curation {
     * shape), choosing by `preferenceAsc` ascending (e.g.
     * `struct(-n_chars, doc_id)`).
     */
+  /** Winnowing (MOSS) fingerprints computed inside ONE pass over the
+    * corpus — bit-equal to the declarative q84 construction (12-hex
+    * md5-prefix gram hashes, per-window min of (h, −pos) over full
+    * windows only, distinct per doc) with the window run locally in a
+    * typed `mapPartitions`: the selection is doc-local, so the
+    * doc_id-partitioned window shuffle — which moved the FULL gram
+    * stream (one row per token) before winnowing's ~w× thinning ever
+    * applied — is unnecessary. At 100 TB this makes fingerprint
+    * selection a map-only stage; the first shuffle in a winnowing
+    * pipeline is then the (already thinned) fingerprint-value
+    * aggregation. Parity pinned by WinnowOnePassSpec.
+    *
+    * @return (idCol, fp) — each doc's distinct selected fingerprint
+    *         values; docs with fewer than k+w−1 tokens yield no rows
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "t", k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    val rows = df
+      .select(col(idCol).cast("string"), col(tokensCol).cast("array<string>"))
+      .as[(String, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
+        val fps = new java.util.HashSet[java.lang.Long]
+        it.flatMap { case (id, t) =>
+          val nGrams = if (t == null) 0 else t.length - k + 1
+          if (nGrams < w) Iterator.empty
+          else {
+            // gram hashes: first 12 hex chars of md5 == first 6
+            // digest bytes, big-endian — the declarative conv value
+            val hs = new Array[Long](nGrams)
+            var p = 0
+            while (p < nGrams) {
+              sb.setLength(0)
+              var o = 0
+              while (o < k) {
+                if (o > 0) sb.append(' ')
+                sb.append(t(p + o))
+                o += 1
+              }
+              md.reset()
+              val dg = md.digest(sb.toString.getBytes("UTF-8"))
+              var h = 0L
+              var y = 0
+              while (y < 6) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
+              hs(p) = h
+              p += 1
+            }
+            // per full window: min h, ties to the RIGHTMOST position
+            // (min (h, −pos)); w is small, a plain O(w) scan per
+            // window beats deque bookkeeping
+            fps.clear()
+            p = 0
+            while (p <= nGrams - w) {
+              var best = hs(p)
+              var j = p + 1
+              while (j < p + w) {
+                if (hs(j) <= best) best = hs(j)
+                j += 1
+              }
+              fps.add(best): Unit
+              p += 1
+            }
+            val out = new Array[(String, Long)](fps.size)
+            val fit = fps.iterator()
+            var i = 0
+            while (fit.hasNext) { out(i) = (id, fit.next()); i += 1 }
+            out.iterator
+          }
+        }
+      }
+    rows.select(col("_1").cast(idType).as(idCol), col("_2").as("fp"))
+  }
+
   /** Span-level dedup stage (VERDICT r16 #6 — the public form of the
     * q84/q165 routing contract in ARCHITECTURE): drop documents that
     * share verbatim token spans with other documents.
@@ -161,24 +239,11 @@ object Curation {
     require(k >= 1 && w >= 1 && minSharedFps >= 1 && spanK >= 1)
     val dropIds =
       if (!exact) {
-        // q84's exact construction (Extended3): 12-hex md5 prefix gram
-        // hashes, windowed (h, -pos) min, full windows only
-        val grams = df
-          .select(col(idCol), posexplode(
-            TextFns.wordShinglesFromTokens(col(tokensCol), k)))
-          .select(col(idCol), col("pos"),
-            conv(substring(md5(col("col")), 1, 12), 16, 10)
-              .cast("long").as("h"))
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
-        val fps = grams
-          .withColumn("wmin",
-            min(struct(col("h"), (-col("pos")).as("np"))).over(win))
-          .withColumn("n_grams", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
-          .filter(col("pos") <= col("n_grams") - w)
-          .select(col(idCol), col("wmin.h").as("fp"))
-          .distinct()
+        // q84's exact construction (12-hex md5 prefix gram hashes,
+        // windowed (h, -pos) min, full windows only), computed
+        // map-only by [[winnowFingerprints]] — the per-doc rows are
+        // already distinct by construction
+        val fps = winnowFingerprints(df, idCol, tokensCol, k, w)
         val shared = fps.groupBy("fp")
           .agg(count_distinct(col(idCol)).as("nd"))
           .filter(col("nd") >= 2)

@@ -97,6 +97,95 @@ sealed abstract class SimHashFamily(val bits: Int) {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Per-document fingerprint over n-token shingles computed inside
+    * ONE pass over the corpus — bit-equal to the declarative
+    * explode → distinct-hash → [[simhashAggFromHash]] chain (the q191
+    * construction), with the per-doc shingle dedup and the
+    * majority-vote fold run locally in a typed `mapPartitions`: a
+    * document's fingerprint depends only on its own shingles, so the
+    * explode (one row copy per shingle), the corpus-wide DISTINCT
+    * shuffle, and the (doc → 64 bit-sums) aggregation shuffle are all
+    * unnecessary. The `MinHashLsh.signaturesFromTokens` move applied
+    * to SimHash — and at the fourth decade it is the difference
+    * between a map-only stage and ~1.45 B shingle rows through two
+    * corpus-wide shuffles whose retained files exceeded a 252 GB
+    * box's free disk (the round-17 sf1000 post-mortem). The hash is
+    * the identical md5-prefix value ([[tokenHash]]'s first `bits`
+    * digest bits, taken from the raw bytes rather than through a
+    * hex-string round-trip), so fingerprints stay bit-equal to the
+    * declarative form and to the SQL oracle.
+    *
+    * @param docs      one row per document
+    * @param tokensCol materialized array<string> token column
+    * @param n         shingle width (tokens per shingle)
+    * @return one row per id that has ≥ 1 shingle: idCol, sh
+    */
+  def fingerprintsFromTokens(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, tokensCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBits = bits
+    val nBytes = bits / 8
+    // id rides through as a string and is cast back on the way out —
+    // the signaturesFromTokens any-id-type contract
+    val idType = docs.schema(idCol).dataType
+    val rows = docs
+      .select(col(idCol).cast("string"), col(tokensCol).cast("array<string>"))
+      .as[(String, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
+        val seen = new java.util.HashSet[java.lang.Long]
+        val cnt = new Array[Int](nBits)
+        it.flatMap { case (id, t) =>
+          if (t == null || t.length < n) Iterator.empty
+          else {
+            seen.clear()
+            java.util.Arrays.fill(cnt, 0)
+            var tot = 0
+            var i = 0
+            while (i + n <= t.length) {
+              sb.setLength(0)
+              var o = 0
+              while (o < n) {
+                if (o > 0) sb.append(' ')
+                sb.append(t(i + o))
+                o += 1
+              }
+              md.reset()
+              val dg = md.digest(sb.toString.getBytes("UTF-8"))
+              // first bits/4 hex chars == first bits/8 digest bytes,
+              // big-endian — the tokenHash limb assembly's value
+              var h = 0L
+              var y = 0
+              while (y < nBytes) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
+              if (seen.add(h)) {
+                tot += 1
+                var b = 0
+                while (b < nBits) {
+                  cnt(b) += ((h >>> b) & 1L).toInt
+                  b += 1
+                }
+              }
+              i += 1
+            }
+            if (tot == 0) Iterator.empty
+            else {
+              var sh = 0L
+              var b = 0
+              while (b < nBits) {
+                if (2L * cnt(b) > tot) sh |= (1L << b)
+                b += 1
+              }
+              Iterator.single((id, sh))
+            }
+          }
+        }
+      }
+    rows.select(col("_1").cast(idType).as(idCol), col("_2").as("sh"))
+  }
+
   /** Default bits-per-band grid for [[calibrateWidth]] (divisors of
     * [[bits]], narrowest first — fewer bits per band → more bands and
     * more collisions → higher recall, more candidate pairs). The

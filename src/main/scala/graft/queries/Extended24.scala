@@ -84,24 +84,21 @@ object Extended24 {
   val queries: Map[String, Q] = Map(
     "q191_calibrated_simhash64" -> Q(
       impl = (s, d) => {
-        val sigs = Tables.docsParallel(s, d)
-          .withColumn("t", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sg"))
-          // hash assembled ONCE per shingle row, pre-aggregation: the
-          // 64 conditional sums then reduce over shift/mask terms of one
-          // long — no md5 fan, no JIT-cliff surface (SimHashFamily note).
-          // The per-doc shingle dedup runs on the 8-byte HASH, not the
-          // shingle string: the aggregate depends only on the hash, so
-          // the semantics are identical (hash↔hex-prefix is a bijection
-          // the oracle mirrors) and the distinct — the family's
-          // heaviest shuffle, ~30 shingle rows per doc — moves 16-byte
-          // keys instead of ~50-byte strings (fourth-decade lesson:
-          // the string dedup was the disk-spill cliff at 50M docs)
-          .select(col("doc_id"), SimHash64.tokenHash(col("sg")).as("h"))
-          .distinct()
-          .groupBy("doc_id")
-          .agg(SimHash64.simhashAggFromHash(col("h")).as("sh"))
+        // one-pass fingerprints (round 18): the per-doc shingle dedup
+        // and the 64-bit majority vote run locally in mapPartitions
+        // (SimHashFamily.fingerprintsFromTokens) — zero shuffle until
+        // the band join, where round 17's hash-keyed declarative form
+        // still pushed ~1.45 B shingle rows through two corpus-wide
+        // shuffles at 50 M docs. Bit-equal to that form (and so to
+        // the oracle) because both dedup on the 64-bit md5-prefix
+        // hash; strictly, two distinct shingles colliding in the
+        // 64-bit prefix collapse to one vote on BOTH sides (~2^-64
+        // per pair — the oracle's hex-prefix dedup mirrors it
+        // exactly). Parity pinned by SimHashOnePassSpec.
+        val sigs = SimHash64.fingerprintsFromTokens(
+          Tables.docsParallel(s, d)
+            .withColumn("t", TextFns.tokens(col("text"))),
+          "doc_id", "t", 3)
           .persist() // sweep + selected-config join read it
         val (selected, pairs) = SimHash64.calibratedPairs(sigs, "doc_id",
           "sh", WidthGrid, PairsPerDocBudget)

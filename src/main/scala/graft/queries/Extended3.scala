@@ -191,30 +191,22 @@ object Extended3 {
     // per doc. Robust local fingerprints for plagiarism/overlap
     // detection — selection is a windowed min, one shuffle on doc_id -
     "q84_winnowing" -> Q(
-      impl = (s, d) => {
-        val W = 5
-        val grams = Tables.docsParallel(s, d)
-          .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
-          .select(col("doc_id"), posexplode(
-            graft.functions.TextFns.wordShinglesFromTokens(col("t"), 4)))
-          .select(col("doc_id"), col("pos"),
-            conv(substring(md5(col("col")), 1, 12), 16, 10)
-              .cast("long").as("h"))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(0, W - 1)
-        grams
-          .withColumn("wmin", min(struct(col("h"), (-col("pos")).as("np")))
-            .over(w))
-          .withColumn("n_grams", count(lit(1)).over(
-            Window.partitionBy("doc_id")))
-          .filter(col("pos") <= col("n_grams") - W) // full windows only
-          .select(col("doc_id"), col("wmin.h").as("fp"))
-          .distinct()
+      impl = (s, d) =>
+        // one-pass winnowing (round 18): gram hashes, full-window
+        // (h, -pos) min, and the per-doc distinct all run locally in
+        // Curation.winnowFingerprints — map-only where the windowed
+        // form shuffled the full gram stream by doc_id first (parity
+        // pinned by WinnowOnePassSpec; the oracle replays the
+        // declarative construction unchanged)
+        graft.corpus.Curation.winnowFingerprints(
+          Tables.docsParallel(s, d)
+            .select(col("doc_id"),
+              graft.functions.TextFns.tokens(col("text")).as("t")),
+          "doc_id", "t", 4, 5)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
             max("fp").as("max_fp"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       oracle = Some("""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1))) AS i

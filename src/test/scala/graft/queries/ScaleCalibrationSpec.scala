@@ -32,18 +32,31 @@ class ScaleCalibrationSpec extends AnyFunSuite {
       .withColumn("t", TextFns.tokens(col("text")))
     val sigs = MinHashLsh
       .signaturesFromTokens(docs, "doc_id", "t", 3, K).persist()
-    // the q185 sweep, from the shared signature pass
-    val keyed = BandGrid.map { b =>
-      MinHashLsh.bandKeys(sigs, "doc_id", K, b)
-        .select(lit(b).as("bands"), col("band"), col("key"))
-    }.reduce(_ unionByName _)
-    val stats = keyed.groupBy("bands", "band", "key")
-      .agg(count(lit(1)).as("m"))
-      .groupBy("bands")
-      .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
-        sum(col("m")).as("tot"))
-      .withColumn("n_docs", expr("tot div bands"))
-      .collect()
+    // the q185 sweep, from the shared signature pass — scoped inside
+    // its own def so that after the |grid|-row collect nothing
+    // references the grid frames and the sweep's shuffle (the
+    // decade chains' biggest: 15 band rows/doc) is reclaimable
+    // BEFORE the band join adds its own (the round-17 retained-
+    // shuffle post-mortem; ShuffleHygiene)
+    def sweep(): Array[org.apache.spark.sql.Row] = {
+      val keyed = BandGrid.map { b =>
+        MinHashLsh.bandKeys(sigs, "doc_id", K, b)
+          .select(lit(b).as("bands"), col("band"), col("key"))
+      }.reduce(_ unionByName _)
+      keyed.groupBy("bands", "band", "key")
+        .agg(count(lit(1)).as("m"))
+        .groupBy("bands")
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
+          sum(col("m")).as("tot"))
+        .withColumn("n_docs", expr("tot div bands"))
+        .collect()
+    }
+    val stats = sweep()
+    val retainedPeak = graft.operators.ShuffleHygiene.retainedShuffleBytes(spark)
+    graft.operators.ShuffleHygiene.reclaim(spark)
+    info(s"retained shuffle bytes: $retainedPeak after sweep, " +
+      s"${graft.operators.ShuffleHygiene.retainedShuffleBytes(spark)}" +
+      " after reclaim")
     val nDocs = stats.head.getAs[Long]("n_docs")
     val fitting = stats.filter(r =>
       r.getAs[Long]("cand_pairs") <= r.getAs[Long]("n_docs") * Budget)
@@ -332,14 +345,16 @@ class ScaleCalibrationSpec extends AnyFunSuite {
     */
   private def sigs64At(dir: String) = {
     import graft.functions.SimHash64
-    spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("t", TextFns.tokens(col("text")))
-      .select(col("doc_id"),
-        explode(TextFns.wordShinglesFromTokens(col("t"), 3)).as("sg"))
-      .select(col("doc_id"), SimHash64.tokenHash(col("sg")).as("h"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(SimHash64.simhashAggFromHash(col("h")).as("sh"))
+    // one-pass map-only fingerprints (the q191 production path since
+    // round 18, parity pinned by SimHashOnePassSpec): at 50 M docs
+    // the declarative distinct→group chain retained two corpus-wide
+    // shuffles (~1.45 B shingle rows) that exceeded this box's disk
+    // no repartition: the decade dirs are multi-file parquet, and the
+    // whole point of the one-pass path is a map-only stage
+    SimHash64.fingerprintsFromTokens(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("t", TextFns.tokens(col("text"))),
+      "doc_id", "t", 3)
   }
 
   /** The SimHash64 fitting-selection audit at a decade dir: the grid
@@ -354,6 +369,14 @@ class ScaleCalibrationSpec extends AnyFunSuite {
     import graft.functions.SimHash64
     val sigs = sigs64At(dir).persist()
     val stats = SimHash64.widthSweep(sigs, "sh").collect()
+    // the stats frame is collected — its sweep shuffle is dead; free
+    // it before calibratedPairs runs its own sweep + band join (the
+    // two sweeps coexisting was half the round-17 disk post-mortem)
+    val retainedPeak = graft.operators.ShuffleHygiene.retainedShuffleBytes(spark)
+    graft.operators.ShuffleHygiene.reclaim(spark)
+    info(s"retained shuffle bytes: $retainedPeak after sweep, " +
+      s"${graft.operators.ShuffleHygiene.retainedShuffleBytes(spark)}" +
+      " after reclaim")
     for (r <- stats.sortBy(_.getAs[Int]("w")))
       info(s"w=${r.getAs[Int]("w")}: cand_pairs=${r.getAs[Long]("cand_pairs")}" +
         s" budget=${Budget * r.getAs[Long]("n_docs")}")
@@ -384,47 +407,36 @@ class ScaleCalibrationSpec extends AnyFunSuite {
     audit64At("bench/sfgen/sf100")
   }
 
-  test("sf1000-docs (50M): MinHash audit — single-box disk ceiling, adjudicated") {
-    // FOURTH docs decade (round 17). The full audit was attempted
-    // twice and died identically at the sweep's occupancy shuffle:
-    // SPILL_OUT_OF_MEMORY / "No space left on device" — 50M docs x 15
-    // band-rows keyed by 32-hex-char md5 STRINGS is a ~40+ GB shuffle
-    // whose sort spill exceeds this box's free disk. On a cluster the
-    // spill divides by the executor count (the shape is one exact
-    // groupBy — no skew, no cartesian); on one 252 GB box it does
-    // not. The named fix is representational, not structural: band
-    // keys as 60-bit longs (conv of the md5 prefix — the q84/q192
-    // 12-hex trick at 15 hex chars) would cut the shuffle ~4x, but it
-    // changes the on-disk index key column and every banded-family
-    // oracle, so it is next-round work, not a round-end patch. This
-    // row pins what IS provable here: the sweep's per-width pricing
-    // formula over the published fingerprint stats, extrapolated from
-    // the three measured decades, and the box-limit adjudication
-    // itself (gated to skip unless explicitly asked for, so suites
-    // stay green while the evidence stays in the file).
+  test("sf1000-docs (50M): MinHash audit at numeric band keys") {
+    // FOURTH docs decade. Round 17's two attempts died at the sweep's
+    // occupancy shuffle (SPILL_OUT_OF_MEMORY / no space left): 50M
+    // docs x 15 band-rows keyed by 32-hex md5 STRINGS was a ~40+ GB
+    // sort spill. Round 18 removed both named causes: band keys are
+    // 60-bit LONGS (the ~4x byte cut, BandKeyShuffleAbSpec measures
+    // it) and the sweep is scoped + reclaimed (ShuffleHygiene) so its
+    // shuffle files free before the band join adds its own. Still
+    // volume-gated — ~30+ min of md5 work and tens of GB of transient
+    // disk is not a default-suite cost. NOTE: the shared auditAt
+    // helper also requires GRAFT_PERF=1 — set BOTH flags.
     assume(sys.env.contains("GRAFT_SF1000_MINHASH"),
-      "set GRAFT_SF1000_MINHASH=1 to re-attempt the full audit " +
-        "(needs ~100+ GB free disk for the occupancy shuffle spill)")
+      "set GRAFT_SF1000_MINHASH=1 AND GRAFT_PERF=1 to run the full " +
+        "fourth-decade audit (long; needs tens of GB free disk)")
     auditAt("bench/sfgen/sf1000")
   }
 
-  test("sf1000-docs (50M): 64-bit SimHash audit — single-box disk ceiling, adjudicated") {
+  test("sf1000-docs (50M): 64-bit SimHash audit at one-pass fingerprints") {
     // the keyspace-headroom claim behind SimHash64 one decade past
-    // its introduction. The first attempt exposed a REAL fix — the
-    // per-doc shingle dedup shuffled ~50-byte strings; it now runs on
-    // the 8-byte hash (impl + oracle in tandem, parity re-proven) —
-    // but even at 16-byte keys the attempt died on disk: ~1.45 B
-    // shingle rows through distinct -> doc-group -> sweep is a
-    // multi-stage shuffle chain whose RETAINED shuffle files
-    // (cumulative until JVM exit) exceed this box's free disk. Same
-    // adjudication as the MinHash row: per-executor spill divides by
-    // the cluster size; the keyspace argument itself is arithmetic
-    // (w=32's load is ~(64/32)·N/2^33 ≈ 0.01 pairs/doc at 50 M — two
-    // orders under budget) and the measured anchor is the green sf100
-    // row above. Gated for a bigger box.
+    // its introduction. Round 17's attempt died on retained shuffle:
+    // ~1.45 B shingle rows through distinct -> doc-group -> sweep,
+    // all held until JVM exit. Round 18 removed the chain itself —
+    // fingerprintsFromTokens computes the per-doc dedup + majority
+    // vote locally (map-only, zero shuffle until the sweep;
+    // SimHashOnePassSpec pins bit-parity) — and the audit reclaims
+    // the sweep's shuffle before the band join. NOTE: the shared
+    // audit64At helper also requires GRAFT_PERF=1 — set BOTH flags.
     assume(sys.env.contains("GRAFT_SF1000_SIMHASH"),
-      "set GRAFT_SF1000_SIMHASH=1 to re-attempt the full audit " +
-        "(needs ~100+ GB free disk for the retained shuffle chain)")
+      "set GRAFT_SF1000_SIMHASH=1 AND GRAFT_PERF=1 to run the full " +
+        "fourth-decade audit (long; needs tens of GB free disk)")
     audit64At("bench/sfgen/sf1000")
   }
 
