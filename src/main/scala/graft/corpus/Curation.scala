@@ -242,13 +242,15 @@ object Curation {
         // q84's exact construction (12-hex md5 prefix gram hashes,
         // windowed (h, -pos) min, full windows only), computed
         // map-only by [[winnowFingerprints]] — the per-doc rows are
-        // already distinct by construction
-        val fps = winnowFingerprints(df, idCol, tokensCol, k, w)
-        val shared = fps.groupBy("fp")
-          .agg(count_distinct(col(idCol)).as("nd"))
+        // already distinct by construction, so the per-fingerprint
+        // doc count is a plain count(*) window over fp and the
+        // fingerprint pass runs ONCE (the aggregate-then-semi-join
+        // form referenced the fps subplan twice, doubling the gram
+        // hashing; one fp-partitioned window replaces both)
+        winnowFingerprints(df, idCol, tokensCol, k, w)
+          .withColumn("nd", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
           .filter(col("nd") >= 2)
-          .select("fp")
-        fps.join(shared, Seq("fp"), "left_semi")
           .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= minSharedFps)
           .select(idCol)

@@ -104,7 +104,16 @@ object IdLedger {
     * ledger base exists (a store that was never compacted).
     */
   def config(spark: SparkSession, storeDir: String): Option[(Int, String)] =
-    Lsm.readSidecar(spark, liveDir(spark, storeDir), ConfigFile).map { s =>
+    configAt(spark, liveDir(spark, storeDir))
+
+  /** [[config]] read from a PRE-RESOLVED live path — the probe-side
+    * form: a probe pins one committed generation and reads config,
+    * coverage, and bucket leaves all from it, so a concurrent fold
+    * committing a new generation mid-probe cannot mix layouts.
+    */
+  private def configAt(spark: SparkSession, livePath: String)
+      : Option[(Int, String)] =
+    Lsm.readSidecar(spark, livePath, ConfigFile).map { s =>
       (Lsm.jsonLong(s, "buckets").getOrElse(sys.error(
         s"$ConfigFile missing 'buckets': $s")).toInt,
         Lsm.jsonStr(s, "idCol").getOrElse(sys.error(
@@ -147,22 +156,50 @@ object IdLedger {
     val baseIds =
       if (!live.contains(Lsm.BaseBatch)) None
       else {
-        // each sidecar read once per trigger (they are filesystem
-        // round-trips — remote calls on an object store)
-        val cfg = config(spark, storeDir)
+        // pin ONE committed generation for the whole probe: config,
+        // coverage, and bucket leaves all resolve from this single
+        // path. Resolving each independently (the pre-round-18 shape)
+        // raced a concurrent foldFromStore: a generation with a
+        // RE-DERIVED bucket count committing between the config read
+        // and the leaf listing made the probe prune with the stale
+        // count against the new layout — missed landed ids, re-landed
+        // duplicates. Pinned, the fold's one-generation retention
+        // guarantees every path below stays readable for the probe's
+        // lifetime even on a copy-semantics store.
+        val livePath = liveDir(spark, storeDir)
+        val cfg = configAt(spark, livePath)
         val covered = cfg.isDefined &&
           CorpusIngest.mergedBatchIds(spark, storeDir)
-            .subsetOf(mergedIds(spark, storeDir))
+            .subsetOf(CorpusIngest.mergedBatchIds(spark, livePath))
         if (covered) {
           val (buckets, _) = cfg.get
           // bounded by the bucket count by construction — a batch
           // touching t buckets probes t leaf dirs of ~1000 ids each
           val touched = batch
             .select(bucketOf(col(idCol), buckets).as("bkt")).distinct()
-            .collect().map(_.getInt(0)).toSeq
-          NearDupIngest.readTouchedBuckets(spark, dir(storeDir),
-            touched, excludeBatch = Long.MinValue)
-            .map(_.select(col(idCol)))
+            .collect().map(_.getInt(0)).toSet
+          // the pinned generation's bucket-leaf parent (legacy layout:
+          // the root's batch_id=-1 partition); one listing, filtered
+          // to the touched leaves — never a re-resolution
+          val base =
+            if (livePath == dir(storeDir))
+              s"$livePath/batch_id=${Lsm.BaseBatch}"
+            else livePath
+          val fs = Lsm.fileSystem(spark, base)
+          val basePath = new Path(base)
+          val leaves =
+            if (!fs.exists(basePath)) Seq.empty[String]
+            else fs.listStatus(basePath).toSeq
+              .filter { s =>
+                val n = s.getPath.getName
+                s.isDirectory && n.startsWith("bkt=") &&
+                  scala.util.Try(n.drop(4).toInt).toOption
+                    .exists(touched.contains)
+              }
+              .map(_.getPath.toString)
+          if (leaves.isEmpty) None
+          else Some(spark.read.option("basePath", base)
+            .parquet(leaves: _*).select(col(idCol)))
         } else
           // foreign compaction left the base uncovered: correct but
           // linear over the base; the next compactStore folds the
@@ -267,12 +304,19 @@ object IdLedger {
       Lsm.createFile(fs, new Path(target, ConfigFile),
         s"""{"buckets": $buckets, "idCol": "$idCol"}""")
       CorpusIngest.markCommitted(spark, target.toString) // THE commit
-      // GC superseded state: the legacy layout (in-table base + root
-      // sidecars) and all generations but the new one and its
-      // predecessor (retained one fold for in-flight readers)
-      Lsm.delete(fs, new Path(ldir, s"batch_id=${Lsm.BaseBatch}"))
-      Lsm.delete(fs, new Path(ldir, ConfigFile))
-      Lsm.delete(fs, new Path(ldir, CorpusIngest.MergedBatchesFile))
+      // GC superseded state: all generations but the new one and its
+      // predecessor (retained one fold for in-flight readers), and —
+      // only from the SECOND generational fold on — the legacy layout
+      // (in-table base + root sidecars). Deferring legacy GC by one
+      // fold mirrors that retention: a probe that resolved the legacy
+      // layout just before gen 0's marker landed may still be
+      // scanning those files on a copy-semantics store (the one-time
+      // migration window), and gen 0 shadows them either way.
+      if (next >= 1) {
+        Lsm.delete(fs, new Path(ldir, s"batch_id=${Lsm.BaseBatch}"))
+        Lsm.delete(fs, new Path(ldir, ConfigFile))
+        Lsm.delete(fs, new Path(ldir, CorpusIngest.MergedBatchesFile))
+      }
       (gens :+ next).dropRight(2).foreach(g =>
         Lsm.delete(fs, Lsm.genPath(ldir, g)))
     } finally { all.unpersist(blocking = false); () }

@@ -77,7 +77,34 @@ class GoldenPlanSpec extends AnyFunSuite {
       "BroadcastHashJoin" -> (1, 2), "SortMergeJoin" -> (0, 1),
       "TakeOrderedAndProject" -> (3, 3)),
     "q186_calibrated_neardup" -> Map("BroadcastHashJoin" -> (1, 1),
-      "SortMergeJoin" -> (0, 1), "MapPartitions" -> (2, 2)))
+      "SortMergeJoin" -> (0, 1), "MapPartitions" -> (2, 2)),
+    // round-18 additions (VERDICT r17 #4): the calibrated family and
+    // the round's reshaped queries — multi-stage plans where a silent
+    // AQE flip or a lost one-pass operator would hide longest
+    "q58_corpus_pipeline" -> Map("BroadcastHashJoin" -> (3, 3),
+      "SortMergeJoin" -> (0, 1), "MapPartitions" -> (2, 2),
+      "Generate" -> (2, 2), "Exchange" -> (0, 9)),
+    // one-pass winnowing: exactly one MapPartitions, no joins, the
+    // partial+final aggregate pair — the q84/q192 map-only contract
+    "q84_winnowing" -> Map("MapPartitions" -> (1, 1),
+      "HashAggregate" -> (2, 2), "BroadcastHashJoin" -> (0, 0),
+      "SortMergeJoin" -> (0, 0), "Exchange" -> (0, 3)),
+    "q187_calibrated_embed_neardup" -> Map("BroadcastHashJoin" -> (1, 1),
+      "SortMergeJoin" -> (0, 0), "Generate" -> (2, 2),
+      "HashAggregate" -> (2, 2), "Exchange" -> (0, 4)),
+    // one MapPartitions = the one-pass fingerprint stage (the second
+    // is the verify-side re-read of the same cached frame); the band
+    // join stays a broadcast over the guarded split
+    "q191_calibrated_simhash64" -> Map("BroadcastHashJoin" -> (1, 1),
+      "SortMergeJoin" -> (0, 0), "MapPartitions" -> (2, 2),
+      "Generate" -> (2, 2), "Exchange" -> (0, 4)),
+    // span-dedup stage: ONE fingerprint pass (the window-count form —
+    // a second MapPartitions here means the fps subplan duplicated
+    // again), one fp-partitioned window, anti-join broadcast
+    "q192_span_dedup_stage" -> Map("MapPartitions" -> (1, 1),
+      "Window" -> (1, 1), "BroadcastHashJoin" -> (1, 1),
+      "SortMergeJoin" -> (0, 0), "HashAggregate" -> (4, 4),
+      "Exchange" -> (0, 6)))
 
   test("headline plans hold their pinned invariants") {
     val failures = collection.mutable.ArrayBuffer[String]()

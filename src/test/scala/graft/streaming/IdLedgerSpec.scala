@@ -266,13 +266,27 @@ class IdLedgerSpec extends AnyFunSuite {
     assert(survivors(Seq(1L, 3L, 55L).toDF("doc_id"), store, 99L)
       == Set(55L))
     // first fold migrates: legacy base read as the base source, gen 0
-    // committed, the old layout GC'd
+    // committed. The legacy layout is NOT GC'd yet — it gets the same
+    // one-fold retention grace as a superseded generation, because a
+    // probe that resolved it just before gen 0's marker landed may
+    // still be scanning those files on a copy-semantics store. It is
+    // shadowed (never consulted) the moment gen 0 exists.
     CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
     assert(Lsm.committedGens(fs, ldir) == Seq(0L))
-    assert(!fs.exists(new Path(ldir, s"batch_id=${Lsm.BaseBatch}")))
-    assert(!fs.exists(new Path(ldir, IdLedger.ConfigFile)))
+    assert(fs.exists(new Path(ldir, s"batch_id=${Lsm.BaseBatch}")),
+      "legacy base must survive the migration fold (one-fold GC grace)")
+    assert(fs.exists(new Path(ldir, IdLedger.ConfigFile)))
     assert(IdLedger.mergedIds(spark, store) == Set(0L, 1L))
     assert(survivors(Seq(1L, 2L, 3L, 55L).toDF("doc_id"), store, 99L)
+      == Set(55L))
+    // the NEXT fold retires it (mirroring predecessor-generation GC)
+    CorpusIngest.ingestBatch(
+      Seq((4L, "four")).toDF("doc_id", "text"), 2L, store, "doc_id")
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    assert(Lsm.committedGens(fs, ldir) == Seq(0L, 1L))
+    assert(!fs.exists(new Path(ldir, s"batch_id=${Lsm.BaseBatch}")))
+    assert(!fs.exists(new Path(ldir, IdLedger.ConfigFile)))
+    assert(survivors(Seq(1L, 2L, 3L, 4L, 55L).toDF("doc_id"), store, 99L)
       == Set(55L))
   }
 
