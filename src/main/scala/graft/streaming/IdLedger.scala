@@ -198,8 +198,20 @@ object IdLedger {
               }
               .map(_.getPath.toString)
           if (leaves.isEmpty) None
-          else Some(spark.read.option("basePath", base)
-            .parquet(leaves: _*).select(col(idCol)))
+          else {
+            // the leaf set is already pruned and small (≤ bucket
+            // count) — list on the driver instead of paying a
+            // distributed listing job per trigger (the
+            // readTouchedBuckets discipline; default threshold is 32
+            // paths, and a batch can touch all 64 default buckets)
+            val tKey =
+              "spark.sql.sources.parallelPartitionDiscovery.threshold"
+            val prev = spark.conf.get(tKey)
+            spark.conf.set(tKey, "100000")
+            try Some(spark.read.option("basePath", base)
+              .parquet(leaves: _*).select(col(idCol)))
+            finally spark.conf.set(tKey, prev)
+          }
         } else
           // foreign compaction left the base uncovered: correct but
           // linear over the base; the next compactStore folds the
