@@ -115,13 +115,25 @@ sealed abstract class SimHashFamily(val bits: Int) {
     * hex-string round-trip), so fingerprints stay bit-equal to the
     * declarative form and to the SQL oracle.
     *
+    * Two dedup modes, matching the two committed oracle families:
+    * `dedupOnHash = true` (default) dedups per-doc shingles on the
+    * `bits`-bit HASH itself — the q191 construction, where two
+    * distinct shingles colliding in the prefix collapse to one vote
+    * on both sides. `dedupOnHash = false` dedups on the shingle
+    * STRING — the 16-bit family's committed construction
+    * (q29/q60/q160/q189: `DISTINCT (doc, tok)` over raw tokens), in
+    * which hash-colliding distinct tokens legitimately vote twice.
+    * The modes differ only on hash collisions; pick the one the
+    * consuming oracle replays.
+    *
     * @param docs      one row per document
     * @param tokensCol materialized array<string> token column
     * @param n         shingle width (tokens per shingle)
     * @return one row per id that has ≥ 1 shingle: idCol, sh
     */
   def fingerprintsFromTokens(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, tokensCol: String, n: Int)
+      idCol: String, tokensCol: String, n: Int,
+      dedupOnHash: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -137,11 +149,13 @@ sealed abstract class SimHashFamily(val bits: Int) {
         val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder
         val seen = new java.util.HashSet[java.lang.Long]
+        val seenStr = new java.util.HashSet[String]
         val cnt = new Array[Int](nBits)
         it.flatMap { case (id, t) =>
           if (t == null || t.length < n) Iterator.empty
           else {
             seen.clear()
+            seenStr.clear()
             java.util.Arrays.fill(cnt, 0)
             var tot = 0
             var i = 0
@@ -153,19 +167,23 @@ sealed abstract class SimHashFamily(val bits: Int) {
                 sb.append(t(i + o))
                 o += 1
               }
-              md.reset()
-              val dg = md.digest(sb.toString.getBytes("UTF-8"))
-              // first bits/4 hex chars == first bits/8 digest bytes,
-              // big-endian — the tokenHash limb assembly's value
-              var h = 0L
-              var y = 0
-              while (y < nBytes) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
-              if (seen.add(h)) {
-                tot += 1
-                var b = 0
-                while (b < nBits) {
-                  cnt(b) += ((h >>> b) & 1L).toInt
-                  b += 1
+              val s = sb.toString
+              val fresh = if (dedupOnHash) true else seenStr.add(s)
+              if (fresh) {
+                md.reset()
+                val dg = md.digest(s.getBytes("UTF-8"))
+                // first bits/4 hex chars == first bits/8 digest bytes,
+                // big-endian — the tokenHash limb assembly's value
+                var h = 0L
+                var y = 0
+                while (y < nBytes) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
+                if (if (dedupOnHash) seen.add(h) else true) {
+                  tot += 1
+                  var b = 0
+                  while (b < nBits) {
+                    cnt(b) += ((h >>> b) & 1L).toInt
+                    b += 1
+                  }
                 }
               }
               i += 1

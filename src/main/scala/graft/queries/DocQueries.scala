@@ -240,11 +240,13 @@ object DocQueries {
     // ---- SimHash fingerprints --------------------------------------
     "q29_simhash" -> Q(
       impl = (s, d) =>
-        Tables.docsParallel(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .distinct()
-          .groupBy("doc_id")
-          .agg(SimHash.simhashAgg(col("tok")).as("simhash"))
+        // one-pass string-dedup fingerprints (round 18) — bit-equal
+        // to the oracle's DISTINCT (doc, tok) chain
+        SimHash.fingerprintsFromTokens(
+          Tables.docsParallel(s, d)
+            .withColumn("t", split(col("text"), " ")),
+          "doc_id", "t", 1, dedupOnHash = false)
+          .select(col("doc_id"), col("sh").as("simhash"))
           .orderBy("doc_id"),
       oracle = Some {
         val bitSums = (0 until SimHash.bits).map { b =>

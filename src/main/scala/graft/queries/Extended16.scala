@@ -317,11 +317,12 @@ object Extended16 {
     // engines compute the identical md5-nibble fingerprint ------------
     "q160_simhash_hamming" -> Q(
       impl = (s, d) => {
-        val sigs = Tables.docsParallel(s, d)
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-          .distinct()
-          .groupBy("doc_id")
-          .agg(SimHash.simhashAgg(col("tok")).as("sh"))
+        // one-pass string-dedup fingerprints (round 18) — bit-equal to
+        // the oracle's DISTINCT (doc, tok) chain (SimHashOnePassSpec)
+        val sigs = SimHash.fingerprintsFromTokens(
+          Tables.docsParallel(s, d)
+            .withColumn("t", TextFns.tokens(col("text"))),
+          "doc_id", "t", 1, dedupOnHash = false)
         val banded = sigs.select(col("doc_id"), col("sh"),
             explode(array((0 until 4).map(lit(_)): _*)).as("band"))
           .withColumn("key",

@@ -20,11 +20,13 @@ object Extended2 {
 
   /** Shared doc→distinct-token→simhash pipeline (same as q29). */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.docsParallel(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(SimHash.simhashAgg(col("tok")).as("simhash"))
+    // one-pass string-dedup fingerprints (round 18) — bit-equal to
+    // the oracle's DISTINCT (doc, tok) chain (SimHashOnePassSpec)
+    SimHash.fingerprintsFromTokens(
+      Tables.docsParallel(s, d)
+        .withColumn("t", split(col("text"), " ")),
+      "doc_id", "t", 1, dedupOnHash = false)
+      .select(col("doc_id"), col("sh").as("simhash"))
 
   /** DuckDB CTE: 16-bit simhash per doc (identical to q29's oracle). */
   private def simhashCte: String = {

@@ -339,11 +339,14 @@ object Extended23 {
     // guard's own semantics) ------------------------------------------
     "q189_calibrated_simhash" -> Q(
       impl = (s, d) => {
-        val sigs = Tables.docsParallel(s, d)
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-          .distinct()
-          .groupBy("doc_id")
-          .agg(SimHash.simhashAgg(col("tok")).as("sh"))
+        // one-pass fingerprints in STRING-dedup mode (round 18): the
+        // per-doc distinct-token set and the 16-bit vote run locally,
+        // bit-equal to the oracle's DISTINCT (doc, tok) construction
+        // (SimHashOnePassSpec pins the mode)
+        val sigs = SimHash.fingerprintsFromTokens(
+          Tables.docsParallel(s, d)
+            .withColumn("t", TextFns.tokens(col("text"))),
+          "doc_id", "t", 1, dedupOnHash = false)
           .persist() // sweep + selected-config join read it
         // fused calibrate-then-execute: the 16-bit keyspace bounds the
         // grid occupancy at 608 rows at any corpus size, so ONE

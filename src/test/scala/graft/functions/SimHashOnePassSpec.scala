@@ -75,6 +75,66 @@ class SimHashOnePassSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == 2L || r._1 == 3L))
   }
 
+  test("16-bit STRING-dedup mode == declarative distinct-(doc,tok) chain") {
+    // the q29/q60/q160/q189 construction: DISTINCT on the raw token
+    // string, then the vote — hash-colliding distinct tokens vote
+    // twice, unlike the hash-dedup mode
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val want = docs
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(SimHash.simhashAgg(col("tok")).as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val got = SimHash
+      .fingerprintsFromTokens(docs, "doc_id", "t", 1, dedupOnHash = false)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("dedup modes differ exactly on a 16-bit hash collision") {
+    // find two distinct tokens colliding in the 16-bit md5 prefix
+    // (deterministic: first birthday collision over t0, t1, ...)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(s: String): Int = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    val seen = scala.collection.mutable.Map[Int, String]()
+    val (ta, tb) = Iterator.from(0).map(i => s"t$i")
+      .flatMap(t => seen.put(h16(t), t).map(prev => (prev, t)))
+      .next()
+    assert(ta != tb && h16(ta) == h16(tb))
+    // a doc holding the colliding pair plus one spoiler token: in
+    // string mode the pair votes twice (2 of 3 → majority on the
+    // shared hash's bits), in hash mode once (1 of 2 → tie, no bit)
+    val docs = Seq((1L, s"$ta $tb zzz")).toDF("doc_id", "text")
+      .withColumn("t", TextFns.tokens(col("text")))
+    val strMode = SimHash
+      .fingerprintsFromTokens(docs, "doc_id", "t", 1, dedupOnHash = false)
+      .as[(Long, Long)].collect().head._2
+    val hashMode = SimHash
+      .fingerprintsFromTokens(docs, "doc_id", "t", 1)
+      .as[(Long, Long)].collect().head._2
+    assert(strMode != hashMode,
+      s"modes must diverge on the collision pair ($ta, $tb)")
+    // and each mode matches ITS declarative twin
+    val strWant = docs
+      .select(col("doc_id"), explode(col("t")).as("tok")).distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
+      .as[(Long, Long)].collect().head._2
+    val hashWant = docs
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .select(col("doc_id"), SimHash.tokenHash(col("tok")).as("h"))
+      .distinct()
+      .groupBy("doc_id").agg(SimHash.simhashAggFromHash(col("h")).as("sh"))
+      .as[(Long, Long)].collect().head._2
+    assert(strMode === strWant && hashMode === hashWant)
+  }
+
   test("string ids round-trip through the one-pass encoder") {
     val docs = Seq(("alpha", "a b c d"), ("beta", "b c d e"))
       .toDF("doc_id", "text")
