@@ -242,10 +242,15 @@ private[streaming] object Lsm {
     // the parquet job's own _SUCCESS at the gen root IS the commit;
     // touch it explicitly for marker-disabled committers
     CorpusIngest.markCommitted(spark, target.toString)
-    // GC superseded bases: the legacy in-table partition (now shadowed
-    // by the generation) and all generations but the new one and its
-    // predecessor (retained one fold for in-flight readers)
-    delete(fs, legacy)
+    // GC superseded bases: all generations but the new one and its
+    // predecessor (retained one fold for in-flight readers), and —
+    // only from the SECOND generational fold on — the legacy in-table
+    // partition. The deferred legacy GC mirrors that retention (the
+    // IdLedger.foldFromStore rationale): a reader that resolved the
+    // legacy base just before gen 0's marker landed may still be
+    // scanning it on a copy-semantics store, and every resolution
+    // path shadows it the moment a generation exists.
+    if (next >= 1) delete(fs, legacy)
     (gens :+ next).dropRight(2).foreach(g => delete(fs, genPath(dir, g)))
   }
 

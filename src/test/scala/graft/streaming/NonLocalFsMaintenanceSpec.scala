@@ -189,6 +189,13 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
     assert(Lsm.committedGens(fs, idx) == Seq(0L))
     assert(CorpusIngest.listedBatchIds(spark, idx) == Set(-1L, 2L),
       "the logical base partition survives the generational layout")
+    // the legacy in-table base gets a one-fold GC grace (a reader that
+    // resolved it just before gen 0's marker landed may still be
+    // scanning it on this copy-semantics store); it is shadowed, and
+    // the second fold below retires it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx,
+        s"batch_id=${Lsm.BaseBatch}")),
+      "legacy index base must survive the migration fold (GC grace)")
     // (1) probe identical through the copy-semantics compaction
     assert(probeSet() == before)
     // (3) the mid-fold state: the next generation half-written (part
@@ -211,6 +218,9 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
       3L, idx, store)
     NearDupIngest.compactIndex(spark, idx, keepRecentBatches = 0)
     assert(Lsm.committedGens(fs, idx).lastOption.contains(1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx,
+        s"batch_id=${Lsm.BaseBatch}")),
+      "the second generational fold retires the legacy base")
     assert(probeSet() == before)
   }
 
