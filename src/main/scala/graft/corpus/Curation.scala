@@ -105,8 +105,14 @@ object Curation {
       bandGrid: Seq[Int] = Seq(2, 3, 4, 6), shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): (Int, DataFrame, () => Unit) = {
+    // persist the INPUT corpus too: it feeds both the signature pass
+    // and the survivors anti-join, and in a composed pipeline (q190:
+    // quality filter → exact dedup → here) the upstream chain carries
+    // its own shuffles — uncached, the whole prefix would execute
+    // twice
+    val src = df.persist()
     val sigs = MinHashLsh
-      .signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
+      .signaturesFromTokens(src, idCol, tokensCol, shingleWidth, k)
       .persist()
     // fused calibrate-then-execute: the sweep's persisted occupancy
     // yields the selected config's over-cap buckets, so the executing
@@ -122,8 +128,12 @@ object Curation {
     val drop = pairs
       .filter(col("est") >= threshold)
       .select(col("b").as(idCol)).distinct()
-    (selected, df.join(drop, Seq(idCol), "left_anti"),
-      () => { sigs.unpersist(blocking = false); () })
+    (selected, src.join(drop, Seq(idCol), "left_anti"),
+      () => {
+        sigs.unpersist(blocking = false)
+        src.unpersist(blocking = false)
+        ()
+      })
   }
 
   /** Near-dup clustering variant: keep ONE canonical doc per
