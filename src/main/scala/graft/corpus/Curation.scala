@@ -56,12 +56,29 @@ object Curation {
   def nearDupFilter(threshold: Double = 0.5, k: Int = 12, bands: Int = 4,
       shingleWidth: Int = 3, idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): DataFrame = {
+    // the input feeds both the signature pass and the survivors
+    // anti-join; uncached, a composed pipeline's whole upstream chain
+    // executes twice (the calibratedNearDup rationale). Released with
+    // the session's lease drain.
+    val src = leasedPersist(df)
     val sigs =
-      MinHashLsh.signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
+      MinHashLsh.signaturesFromTokens(src, idCol, tokensCol, shingleWidth, k)
     val drop = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
       .filter(col("est") >= threshold)
       .select(col("b").as(idCol)).distinct()
-    df.join(drop, Seq(idCol), "left_anti")
+    src.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Persist with the unpersist handle registered on
+    * [[graft.functions.PersistLeases]] — the stage-input caching
+    * pattern for `DataFrame => DataFrame` stages that consume their
+    * input more than once but have no cleanup handle to return.
+    */
+  private def leasedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    graft.functions.PersistLeases.register(
+      () => { p.unpersist(blocking = false); () })
+    p
   }
 
   /** Calibrate-then-execute near-dup removal — the operator that
@@ -247,6 +264,8 @@ object Curation {
       idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): DataFrame = {
     require(k >= 1 && w >= 1 && minSharedFps >= 1 && spanK >= 1)
+    // consumed twice (fingerprints + anti-join) — see nearDupFilter
+    val src = leasedPersist(df)
     val dropIds =
       if (!exact) {
         // q84's exact construction (12-hex md5 prefix gram hashes,
@@ -257,7 +276,7 @@ object Curation {
         // fingerprint pass runs ONCE (the aggregate-then-semi-join
         // form referenced the fps subplan twice, doubling the gram
         // hashing; one fp-partitioned window replaces both)
-        winnowFingerprints(df, idCol, tokensCol, k, w)
+        winnowFingerprints(src, idCol, tokensCol, k, w)
           .withColumn("nd", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("fp")))
           .filter(col("nd") >= 2)
@@ -267,7 +286,7 @@ object Curation {
       } else {
         // q165's exact accounting (Extended17): duplicated-window
         // region merge, threshold on the duplicated-token fraction
-        val docs = df
+        val docs = src
           .select(col(idCol), col(tokensCol).as("__t"))
           .withColumn("n_tok", size(col("__t")))
           .filter(col("n_tok") >= spanK)
@@ -300,26 +319,29 @@ object Curation {
           .filter(col("dup_frac") >= maxDupFrac)
           .select(idCol)
       }
-    df.join(dropIds, Seq(idCol), "left_anti")
+    src.join(dropIds, Seq(idCol), "left_anti")
   }
 
   def nearDupCanonical(preferenceAsc: Column, threshold: Double = 0.5,
       k: Int = 12, bands: Int = 4, shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(
       df: DataFrame): DataFrame = {
+    // consumed three times (signatures, canonical-pick join, final
+    // semi-join) — see the nearDupFilter caching note
+    val src = leasedPersist(df)
     val sigs =
-      MinHashLsh.signaturesFromTokens(df, idCol, tokensCol, shingleWidth, k)
+      MinHashLsh.signaturesFromTokens(src, idCol, tokensCol, shingleWidth, k)
     val pairs = MinHashLsh.candidatePairs(sigs, idCol, k, bands)
       .filter(col("est") >= threshold)
     val comp = Components.connectedComponents(pairs, "a", "b")
       .withColumnRenamed("node", idCol)
-    val keep = df.join(comp, Seq(idCol), "left")
+    val keep = src.join(comp, Seq(idCol), "left")
       .withColumn("__comp", coalesce(col("component"), col(idCol)))
       .groupBy("__comp")
       .agg(min(struct(preferenceAsc.as("__pref"), col(idCol).as("__id")))
         .getField("__id").as(idCol))
       .select(idCol)
-    df.join(keep, Seq(idCol), "left_semi")
+    src.join(keep, Seq(idCol), "left_semi")
   }
 
   /** LSH recall audit (the q162 dataflow): exact-Jaccard ground-truth
