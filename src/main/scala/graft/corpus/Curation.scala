@@ -153,11 +153,6 @@ object Curation {
       })
   }
 
-  /** Near-dup clustering variant: keep ONE canonical doc per
-    * connected component of the candidate-pair graph (the q102
-    * shape), choosing by `preferenceAsc` ascending (e.g.
-    * `struct(-n_chars, doc_id)`).
-    */
   /** Winnowing (MOSS) fingerprints computed inside ONE pass over the
     * corpus — bit-equal to the declarative q84 construction (12-hex
     * md5-prefix gram hashes, per-window min of (h, −pos) over full
@@ -196,10 +191,17 @@ object Curation {
             var p = 0
             while (p < nGrams) {
               sb.setLength(0)
+              // null elements skipped, separator and all — concat_ws
+              // semantics, matching the declarative q84 twin (the
+              // SimHash.fingerprintsFromTokens ADVICE-r18 note;
+              // unreachable from split() arrays, pinned anyway)
               var o = 0
               while (o < k) {
-                if (o > 0) sb.append(' ')
-                sb.append(t(p + o))
+                val tok = t(p + o)
+                if (tok != null) {
+                  if (sb.length > 0) sb.append(' ')
+                  sb.append(tok)
+                }
                 o += 1
               }
               md.reset()
@@ -322,6 +324,11 @@ object Curation {
     src.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup clustering variant: keep ONE canonical doc per
+    * connected component of the candidate-pair graph (the q102
+    * shape), choosing by `preferenceAsc` ascending (e.g.
+    * `struct(-n_chars, doc_id)`).
+    */
   def nearDupCanonical(preferenceAsc: Column, threshold: Double = 0.5,
       k: Int = 12, bands: Int = 4, shingleWidth: Int = 3,
       idCol: String = "doc_id", tokensCol: String = "t")(

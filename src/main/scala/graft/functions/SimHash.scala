@@ -115,16 +115,17 @@ sealed abstract class SimHashFamily(val bits: Int) {
     * hex-string round-trip), so fingerprints stay bit-equal to the
     * declarative form and to the SQL oracle.
     *
-    * Two dedup modes, matching the two committed oracle families:
-    * `dedupOnHash = true` (default) dedups per-doc shingles on the
-    * `bits`-bit HASH itself — the q191 construction, where two
-    * distinct shingles colliding in the prefix collapse to one vote
-    * on both sides. `dedupOnHash = false` dedups on the shingle
-    * STRING — the 16-bit family's committed construction
-    * (q29/q60/q160/q189: `DISTINCT (doc, tok)` over raw tokens), in
-    * which hash-colliding distinct tokens legitimately vote twice.
-    * The modes differ only on hash collisions; pick the one the
-    * consuming oracle replays.
+    * DEDUP SEMANTICS (one mode — round 19 retired the string-dedup
+    * compatibility branch): per-doc shingles dedup on the `bits`-bit
+    * HASH itself. The oracle twin is `SELECT DISTINCT doc_id,
+    * substr(md5(shingle), 1, bits/4)` — hex prefix ↔ hash long is a
+    * BIJECTION, so deduping on either side of it selects the same
+    * set and the SQL replay stays exact (SimHashOnePassSpec pins the
+    * bijection). Two distinct shingles colliding in the prefix
+    * collapse to one vote on BOTH sides (probability 2^-bits per
+    * pair; at 16 bits this is observable on real corpora, which is
+    * why the oracles replay the same dedup rather than pretending
+    * collisions away).
     *
     * @param docs      one row per document
     * @param tokensCol materialized array<string> token column
@@ -132,8 +133,7 @@ sealed abstract class SimHashFamily(val bits: Int) {
     * @return one row per id that has ≥ 1 shingle: idCol, sh
     */
   def fingerprintsFromTokens(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, tokensCol: String, n: Int,
-      dedupOnHash: Boolean = true)
+      idCol: String, tokensCol: String, n: Int)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -149,41 +149,44 @@ sealed abstract class SimHashFamily(val bits: Int) {
         val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder
         val seen = new java.util.HashSet[java.lang.Long]
-        val seenStr = new java.util.HashSet[String]
         val cnt = new Array[Int](nBits)
         it.flatMap { case (id, t) =>
           if (t == null || t.length < n) Iterator.empty
           else {
             seen.clear()
-            seenStr.clear()
             java.util.Arrays.fill(cnt, 0)
             var tot = 0
             var i = 0
             while (i + n <= t.length) {
               sb.setLength(0)
+              // null elements are SKIPPED, separator and all — the
+              // declarative twin's concat_ws semantics (ADVICE r18:
+              // StringBuilder.append(null) would render the literal
+              // "null", a latent bit-parity divergence; unreachable
+              // from split()-produced arrays, pinned here anyway)
               var o = 0
               while (o < n) {
-                if (o > 0) sb.append(' ')
-                sb.append(t(i + o))
+                val tok = t(i + o)
+                if (tok != null) {
+                  if (sb.length > 0) sb.append(' ')
+                  sb.append(tok)
+                }
                 o += 1
               }
               val s = sb.toString
-              val fresh = if (dedupOnHash) true else seenStr.add(s)
-              if (fresh) {
-                md.reset()
-                val dg = md.digest(s.getBytes("UTF-8"))
-                // first bits/4 hex chars == first bits/8 digest bytes,
-                // big-endian — the tokenHash limb assembly's value
-                var h = 0L
-                var y = 0
-                while (y < nBytes) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
-                if (if (dedupOnHash) seen.add(h) else true) {
-                  tot += 1
-                  var b = 0
-                  while (b < nBits) {
-                    cnt(b) += ((h >>> b) & 1L).toInt
-                    b += 1
-                  }
+              md.reset()
+              val dg = md.digest(s.getBytes("UTF-8"))
+              // first bits/4 hex chars == first bits/8 digest bytes,
+              // big-endian — the tokenHash limb assembly's value
+              var h = 0L
+              var y = 0
+              while (y < nBytes) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
+              if (seen.add(h)) {
+                tot += 1
+                var b = 0
+                while (b < nBits) {
+                  cnt(b) += ((h >>> b) & 1L).toInt
+                  b += 1
                 }
               }
               i += 1
@@ -426,8 +429,10 @@ sealed abstract class SimHashFamily(val bits: Int) {
 }
 
 /** The original 16-bit family — every committed SimHash oracle
-  * (q29/q60/q160/q176/q189) replays this construction; values are
-  * bit-identical to the pre-family implementation.
+  * (q29/q60/q160/q176/q189) replays this construction. Since round 19
+  * the family dedups per-doc shingles on the 16-bit hash (the oracles
+  * on its hex-prefix bijection) — the q191 semantics, uniform across
+  * widths.
   */
 object SimHash extends SimHashFamily(16)
 

@@ -240,26 +240,30 @@ object DocQueries {
     // ---- SimHash fingerprints --------------------------------------
     "q29_simhash" -> Q(
       impl = (s, d) =>
-        // one-pass string-dedup fingerprints (round 18) — bit-equal
-        // to the oracle's DISTINCT (doc, tok) chain
+        // one-pass hash-dedup fingerprints (round 19 retired the
+        // string-dedup compatibility mode): per-doc tokens dedup on
+        // the 16-bit md5 prefix, the oracle on its hex form — a
+        // bijection, so both sides select the same vote set
+        // (SimHashOnePassSpec pins it)
         SimHash.fingerprintsFromTokens(
           Tables.docsParallel(s, d)
             .withColumn("t", split(col("text"), " ")),
-          "doc_id", "t", 1, dedupOnHash = false)
+          "doc_id", "t", 1)
           .select(col("doc_id"), col("sh").as("simhash"))
           .orderBy("doc_id"),
       oracle = Some {
         val bitSums = (0 until SimHash.bits).map { b =>
           val hexPos = 4 - b / 4
           val pw = 1 << (b % 4)
-          val nib = s"(instr('0123456789abcdef', substr(md5(tok), $hexPos, 1)) - 1)"
+          val nib = s"(instr('0123456789abcdef', substr(hx, $hexPos, 1)) - 1)"
           s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
         }.mkString(" + ")
         s"""
-        WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                    FROM documents)
+        WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        hx AS (SELECT DISTINCT doc_id, substr(md5(tok), 1, 4) AS hx FROM tk)
         SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash
-        FROM tk GROUP BY doc_id ORDER BY doc_id"""
+        FROM hx GROUP BY doc_id ORDER BY doc_id"""
       }),
 
     // ---- end-to-end corpus cleaning: the composed training-data

@@ -81,15 +81,19 @@ object Extended16 {
         GROUP BY 1 ORDER BY bucket"""
   }
 
-  /** DuckDB expression reproducing [[SimHash.simhashAgg]] over a
-    * token column — same construction as the q29 oracle. Shared with
-    * the q189 calibration oracle (Extended23).
+  /** DuckDB expression reproducing the 16-bit simhash vote over a
+    * PRE-COMPUTED 4-hex-char hash-prefix column (the q29 oracle's
+    * construction after the round-19 hash-dedup migration: dedup and
+    * aggregate on `substr(md5(tok), 1, 4)`, a bijection of the
+    * 16-bit hash long — the Extended24.simhash64SqlFromHex pattern
+    * at 4 nibbles). Shared with the q189 calibration oracle
+    * (Extended23).
     */
-  private[queries] def simhashSql(tok: String): String =
+  private[queries] def simhashSqlFromHex(hex: String): String =
     (0 until SimHash.bits).map { b =>
       val hexPos = 4 - b / 4
       val pw = 1 << (b % 4)
-      val nib = s"(instr('0123456789abcdef', substr(md5($tok), $hexPos, 1)) - 1)"
+      val nib = s"(instr('0123456789abcdef', substr($hex, $hexPos, 1)) - 1)"
       s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
 
@@ -317,12 +321,13 @@ object Extended16 {
     // engines compute the identical md5-nibble fingerprint ------------
     "q160_simhash_hamming" -> Q(
       impl = (s, d) => {
-        // one-pass string-dedup fingerprints (round 18) — bit-equal to
-        // the oracle's DISTINCT (doc, tok) chain (SimHashOnePassSpec)
+        // one-pass hash-dedup fingerprints (round 19 retired the
+        // string-dedup mode) — the oracle dedups on the hex prefix,
+        // a bijection of the 16-bit hash (SimHashOnePassSpec)
         val sigs = SimHash.fingerprintsFromTokens(
           Tables.docsParallel(s, d)
             .withColumn("t", TextFns.tokens(col("text"))),
-          "doc_id", "t", 1, dedupOnHash = false)
+          "doc_id", "t", 1)
         val banded = sigs.select(col("doc_id"), col("sh"),
             explode(array((0 until 4).map(lit(_)): _*)).as("band"))
           .withColumn("key",
@@ -343,10 +348,11 @@ object Extended16 {
           .orderBy("a", "b")
       },
       oracle = Some(s"""
-        WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),
-        sig AS (SELECT doc_id, ${simhashSql("tok")} AS sh
-                FROM tk GROUP BY doc_id),
+        hx AS (SELECT DISTINCT doc_id, substr(md5(tok), 1, 4) AS hx FROM tk),
+        sig AS (SELECT doc_id, ${simhashSqlFromHex("hx")} AS sh
+                FROM hx GROUP BY doc_id),
         b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sig),
         bk AS (SELECT doc_id, sh, band, (sh >> (band * 4)) & 15 AS key FROM b),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,

@@ -18,14 +18,16 @@ object Extended2 {
   private[queries] val MinhashK = 12
   private[queries] val Bands = 4
 
-  /** Shared doc→distinct-token→simhash pipeline (same as q29). */
+  /** Shared doc→distinct-token→simhash pipeline (same as q29):
+    * one-pass hash-dedup fingerprints (round 19 retired the
+    * string-dedup mode) — the oracle dedups on the hex prefix, a
+    * bijection of the 16-bit hash (SimHashOnePassSpec).
+    */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) =
-    // one-pass string-dedup fingerprints (round 18) — bit-equal to
-    // the oracle's DISTINCT (doc, tok) chain (SimHashOnePassSpec)
     SimHash.fingerprintsFromTokens(
       Tables.docsParallel(s, d)
         .withColumn("t", split(col("text"), " ")),
-      "doc_id", "t", 1, dedupOnHash = false)
+      "doc_id", "t", 1)
       .select(col("doc_id"), col("sh").as("simhash"))
 
   /** DuckDB CTE: 16-bit simhash per doc (identical to q29's oracle). */
@@ -33,13 +35,14 @@ object Extended2 {
     val bitSums = (0 until SimHash.bits).map { b =>
       val hexPos = 4 - b / 4
       val pw = 1 << (b % 4)
-      val nib = s"(instr('0123456789abcdef', substr(md5(tok), $hexPos, 1)) - 1)"
+      val nib = s"(instr('0123456789abcdef', substr(hx, $hexPos, 1)) - 1)"
       s"CASE WHEN 2 * sum(($nib // $pw) % 2) > count(*) THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
-    s"""tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM documents),
+        hx AS (SELECT DISTINCT doc_id, substr(md5(tok), 1, 4) AS hx FROM tk),
         sig AS (SELECT doc_id, CAST($bitSums AS BIGINT) AS simhash
-                FROM tk GROUP BY doc_id)"""
+                FROM hx GROUP BY doc_id)"""
   }
 
   /** DuckDB CTEs: word-3-gram MinHash signatures + banded LSH pairs

@@ -339,14 +339,15 @@ object Extended23 {
     // guard's own semantics) ------------------------------------------
     "q189_calibrated_simhash" -> Q(
       impl = (s, d) => {
-        // one-pass fingerprints in STRING-dedup mode (round 18): the
-        // per-doc distinct-token set and the 16-bit vote run locally,
-        // bit-equal to the oracle's DISTINCT (doc, tok) construction
-        // (SimHashOnePassSpec pins the mode)
+        // one-pass hash-dedup fingerprints (round 19 retired the
+        // string-dedup mode): the per-doc distinct-hash set and the
+        // 16-bit vote run locally, bit-equal to the oracle's DISTINCT
+        // (doc, hex-prefix) construction — a bijection of the hash
+        // (SimHashOnePassSpec pins it)
         val sigs = SimHash.fingerprintsFromTokens(
           Tables.docsParallel(s, d)
             .withColumn("t", TextFns.tokens(col("text"))),
-          "doc_id", "t", 1, dedupOnHash = false)
+          "doc_id", "t", 1)
           .persist() // sweep + selected-config join read it
         // fused calibrate-then-execute: the 16-bit keyspace bounds the
         // grid occupancy at 608 rows at any corpus size, so ONE
@@ -393,11 +394,12 @@ object Extended23 {
           s"SELECT a, b, sa, sb FROM pairs$w WHERE (SELECT ws FROM wsel) = $w")
           .mkString(" UNION ALL ")
         s"""
-        WITH tk AS (SELECT DISTINCT doc_id,
+        WITH tk AS (SELECT doc_id,
                            unnest(string_split(text, ' ')) AS tok
                     FROM documents),
-        sig AS (SELECT doc_id, ${Extended16.simhashSql("tok")} AS sh
-                FROM tk GROUP BY doc_id),$perConfig,
+        hx AS (SELECT DISTINCT doc_id, substr(md5(tok), 1, 4) AS hx FROM tk),
+        sig AS (SELECT doc_id, ${Extended16.simhashSqlFromHex("hx")} AS sh
+                FROM hx GROUP BY doc_id),$perConfig,
         allstats AS ($unioned),
         wsel AS (
           SELECT coalesce(

@@ -10,10 +10,10 @@ import graft.TestSpark
   * simhashAggFromHash. Both constructions dedup on the `bits`-bit
   * md5-prefix hash itself, so they agree exactly — including on the
   * ~2^-bits prefix-collision collapse, which both apply identically.
-  * (The 16-bit family's committed oracles dedup on token STRINGS, a
-  * different — collision-double-counting — construction; they keep
-  * the declarative form, and this spec's 16-bit case deliberately
-  * exercises the hash-distinct form only.)
+  * Round 19 retired the string-dedup compatibility mode (VERDICT r18
+  * #3): every family now dedups on the hash, and the oracles dedup on
+  * its HEX-PREFIX form — the bijection test below is what makes that
+  * oracle replay exact even on a real collision.
   */
 class SimHashOnePassSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -75,28 +75,14 @@ class SimHashOnePassSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == 2L || r._1 == 3L))
   }
 
-  test("16-bit STRING-dedup mode == declarative distinct-(doc,tok) chain") {
-    // the q29/q60/q160/q189 construction: DISTINCT on the raw token
-    // string, then the vote — hash-colliding distinct tokens vote
-    // twice, unlike the hash-dedup mode
-    val docs = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
-      .withColumn("t", TextFns.tokens(col("text")))
-    val want = docs
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(SimHash.simhashAgg(col("tok")).as("sh"))
-      .as[(Long, Long)].collect().sortBy(_._1).toSeq
-    val got = SimHash
-      .fingerprintsFromTokens(docs, "doc_id", "t", 1, dedupOnHash = false)
-      .as[(Long, Long)].collect().sortBy(_._1).toSeq
-    assert(want.nonEmpty && got === want)
-  }
-
-  test("dedup modes differ exactly on a 16-bit hash collision") {
-    // find two distinct tokens colliding in the 16-bit md5 prefix
-    // (deterministic: first birthday collision over t0, t1, ...)
+  test("hex-prefix dedup is a bijection of hash dedup, pinned on a real collision") {
+    // the oracle-migration contract (round 19): the SQL oracles dedup
+    // per doc on `substr(md5(tok), 1, 4)` — a STRING — while the
+    // engine dedups on the 16-bit hash LONG. hex prefix ↔ hash long
+    // is a bijection, so the two selections are the same set. This
+    // test pins that where it could actually break: a document
+    // holding two DISTINCT tokens whose md5 prefixes collide.
+    // Deterministic collision: first birthday collision over t0, t1...
     val md = java.security.MessageDigest.getInstance("MD5")
     def h16(s: String): Int = {
       md.reset()
@@ -108,31 +94,43 @@ class SimHashOnePassSpec extends AnyFunSuite {
       .flatMap(t => seen.put(h16(t), t).map(prev => (prev, t)))
       .next()
     assert(ta != tb && h16(ta) == h16(tb))
-    // a doc holding the colliding pair plus one spoiler token: in
-    // string mode the pair votes twice (2 of 3 → majority on the
-    // shared hash's bits), in hash mode once (1 of 2 → tie, no bit)
+    // the colliding pair plus one spoiler token: under hash dedup the
+    // pair collapses to ONE vote (1 of 2 → tie, bit unset) — the
+    // double-counting string-dedup answer would differ, so the
+    // equalities below are non-vacuous
     val docs = Seq((1L, s"$ta $tb zzz")).toDF("doc_id", "text")
       .withColumn("t", TextFns.tokens(col("text")))
-    val strMode = SimHash
-      .fingerprintsFromTokens(docs, "doc_id", "t", 1, dedupOnHash = false)
-      .as[(Long, Long)].collect().head._2
-    val hashMode = SimHash
+    val onePass = SimHash
       .fingerprintsFromTokens(docs, "doc_id", "t", 1)
       .as[(Long, Long)].collect().head._2
-    assert(strMode != hashMode,
-      s"modes must diverge on the collision pair ($ta, $tb)")
-    // and each mode matches ITS declarative twin
-    val strWant = docs
-      .select(col("doc_id"), explode(col("t")).as("tok")).distinct()
-      .groupBy("doc_id").agg(SimHash.simhashAgg(col("tok")).as("sh"))
-      .as[(Long, Long)].collect().head._2
+    // declarative twin 1: DISTINCT on the hash LONG (the engine form)
     val hashWant = docs
       .select(col("doc_id"), explode(col("t")).as("tok"))
       .select(col("doc_id"), SimHash.tokenHash(col("tok")).as("h"))
       .distinct()
       .groupBy("doc_id").agg(SimHash.simhashAggFromHash(col("h")).as("sh"))
       .as[(Long, Long)].collect().head._2
-    assert(strMode === strWant && hashMode === hashWant)
+    // declarative twin 2: DISTINCT on the 4-hex-char PREFIX STRING
+    // (the oracle form) — the bijection under test
+    val hexWant = docs
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 4).as("hx"))
+      .distinct()
+      .select(col("doc_id"),
+        conv(col("hx"), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id").agg(SimHash.simhashAggFromHash(col("h")).as("sh"))
+      .as[(Long, Long)].collect().head._2
+    assert(onePass === hashWant,
+      "one-pass must match the declarative hash-distinct chain")
+    assert(onePass === hexWant,
+      s"hex-prefix dedup diverged from hash dedup on collision ($ta, $tb)" +
+        " — the oracle replay would be wrong")
+    // the collision really collapsed: the distinct-token count is 3,
+    // the distinct-hash count 2
+    val nHashes = docs
+      .select(explode(col("t")).as("tok"))
+      .select(SimHash.tokenHash(col("tok")).as("h")).distinct().count()
+    assert(nHashes === 2L, "fixture must contain a real 16-bit collision")
   }
 
   test("string ids round-trip through the one-pass encoder") {

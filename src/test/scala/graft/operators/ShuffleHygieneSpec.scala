@@ -15,7 +15,26 @@ class ShuffleHygieneSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** reclaim's documented JVM/cleaner preconditions (its scaladoc):
+    * under -XX:+DisableExplicitGC the System.gc() hint is a no-op,
+    * and with spark.cleaner.referenceTracking off nothing deletes
+    * shuffle files at all — in either environment the reclaim
+    * assertions below are vacuous, so they are assume-gated instead
+    * of flaking (ADVICE r18).
+    */
+  private def reclaimPreconditionsHold: Boolean = {
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val explicitGcOk = !jvmArgs.contains("-XX:+DisableExplicitGC")
+    val trackingOk = spark.sparkContext.getConf
+      .getBoolean("spark.cleaner.referenceTracking", defaultValue = true)
+    explicitGcOk && trackingOk
+  }
+
   test("reclaim frees a dead shuffle's files; live shuffles survive") {
+    assume(reclaimPreconditionsHold,
+      "explicit GC disabled or ContextCleaner off — reclaim is " +
+        "documented as inert here")
     // quiesce other suites' dead references first so the measured
     // delta below is this test's own shuffle
     ShuffleHygiene.reclaim(spark)
@@ -40,6 +59,37 @@ class ShuffleHygieneSpec extends AnyFunSuite {
     assert(dropped,
       s"reclaim must free the dead chain's shuffle files " +
         s"(before=$before during=$during, no drop after 5 attempts)")
+  }
+
+  test("reclaim is a measured fixpoint: returns reclaimed bytes, stops only flat") {
+    assume(reclaimPreconditionsHold,
+      "explicit GC disabled or ContextCleaner off — reclaim is " +
+        "documented as inert here")
+    ShuffleHygiene.reclaim(spark) // drain other suites' dead refs
+    def runChain(): Long =
+      (1L to 300000L).toDF("x")
+        .repartition(8, col("x"))
+        .groupBy(col("x") % 500).agg(count(lit(1)))
+        .count()
+    assert(runChain() === 500L)
+    val during = ShuffleHygiene.retainedShuffleBytes(spark)
+    // the deterministic contract (VERDICT r18 #2): the call returns
+    // only once two consecutive polls free nothing more (or the round
+    // bound is hit), and reports what it actually freed — so a caller
+    // on a loaded box observes partial reclaim instead of assuming
+    // a fixed sleep sufficed
+    val freed = (1 to 5).iterator
+      .map(_ => ShuffleHygiene.reclaim(spark)).find(_ > 0L)
+    assert(freed.exists(_ > 0L),
+      s"fixpoint reclaim must report the dead chain's bytes as freed" +
+        s" (retained during=$during)")
+    // after the fixpoint, an immediate re-poll has nothing to free:
+    // a second reclaim reports (close to) zero — the fixpoint was real.
+    // Tolerance: parallel suites may drop their own refs in between.
+    val second = ShuffleHygiene.reclaim(spark)
+    assert(second <= during,
+      s"second reclaim freed $second > the chain's own footprint — " +
+        "the first call returned before its fixpoint")
   }
 
   test("parquetBarrier preserves rows and cuts lineage") {
