@@ -52,6 +52,15 @@ object Curation {
   /** MinHash/LSH near-dup removal: drop the higher id of every
     * candidate pair at or above `threshold`. Banded equi-join —
     * never all-pairs.
+    *
+    * CACHING CONTRACT (ADVICE r18): the input frame is persisted and
+    * its unpersist handle registered on
+    * [[graft.functions.PersistLeases]] — released by the session's
+    * `releaseAll()` drain (harness loops call it between queries) or,
+    * in long-lived sessions composing many pipelines, by wrapping the
+    * pipeline in `PersistLeases.scoped { ... }` and releasing the
+    * returned scope once the result is consumed. Callers needing an
+    * explicit handle should use [[calibratedNearDupWithCleanup]].
     */
   def nearDupFilter(threshold: Double = 0.5, k: Int = 12, bands: Int = 4,
       shingleWidth: Int = 3, idCol: String = "doc_id", tokensCol: String = "t")(
@@ -72,7 +81,10 @@ object Curation {
   /** Persist with the unpersist handle registered on
     * [[graft.functions.PersistLeases]] — the stage-input caching
     * pattern for `DataFrame => DataFrame` stages that consume their
-    * input more than once but have no cleanup handle to return.
+    * input more than once but have no cleanup handle to return. The
+    * lease lands on the caller's active `PersistLeases.scoped { }`
+    * scope when one is open (per-pipeline lifetime), else on the
+    * session queue drained by `releaseAll()`.
     */
   private def leasedPersist(df: DataFrame): DataFrame = {
     val p = df.persist()
@@ -260,6 +272,9 @@ object Curation {
     * measurement/forensics tool, not the corpus-scale default
     * (SpanDedupContractSpec measured winnowing doc-level recall
     * 1.0000 against it at sf0.01).
+    *
+    * Caching contract: input persisted under a
+    * [[graft.functions.PersistLeases]] lease — see [[nearDupFilter]].
     */
   def spanDedup(k: Int = 4, w: Int = 5, minSharedFps: Long = 1L,
       exact: Boolean = false, spanK: Int = 6, maxDupFrac: Double = 0.5,
@@ -328,6 +343,9 @@ object Curation {
     * connected component of the candidate-pair graph (the q102
     * shape), choosing by `preferenceAsc` ascending (e.g.
     * `struct(-n_chars, doc_id)`).
+    *
+    * Caching contract: input persisted under a
+    * [[graft.functions.PersistLeases]] lease — see [[nearDupFilter]].
     */
   def nearDupCanonical(preferenceAsc: Column, threshold: Double = 0.5,
       k: Int = 12, bands: Int = 4, shingleWidth: Int = 3,

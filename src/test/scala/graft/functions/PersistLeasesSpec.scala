@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.TestSpark
+
+/** Pins the [[PersistLeases]] lifetimes (VERDICT r18 #6): session
+  * leases drain at `releaseAll()`, and a pipeline wrapped in
+  * `scoped { }` drains its OWN leases on `scope.release()` without
+  * touching another pipeline's — the contract that lets a long-lived
+  * session compose many Curation pipelines without accumulating
+  * pinned frames it cannot release.
+  */
+class PersistLeasesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(ids: Range, text: String) =
+    ids.map(i => (i.toLong, s"$text $i")).toDF("doc_id", "text")
+      .withColumn("t", split(col("text"), " "))
+
+  test("scoped leases drain on their own release; session queue untouched") {
+    // quiesce: drain whatever earlier suites left on the session queue
+    PersistLeases.releaseAll()
+    val sessionBefore = PersistLeases.pending
+    var ran = Seq.empty[String]
+    val ((), s1) = PersistLeases.scoped {
+      PersistLeases.register(() => ran :+= "a1")
+      PersistLeases.register(() => ran :+= "a2")
+    }
+    val ((), s2) = PersistLeases.scoped {
+      PersistLeases.register(() => ran :+= "b1")
+    }
+    // scoped registration never lands on the session queue
+    assert(PersistLeases.pending === sessionBefore)
+    assert(s1.pending === 2 && s2.pending === 1)
+    // a global drain does not steal scoped leases
+    PersistLeases.releaseAll()
+    assert(ran.isEmpty && s1.pending === 2 && s2.pending === 1)
+    // one pipeline's release leaves the other's leases pending
+    s1.release()
+    assert(ran === Seq("a1", "a2") && s2.pending === 1)
+    // release is idempotent
+    s1.release()
+    assert(ran === Seq("a1", "a2"))
+    s2.release()
+    assert(ran === Seq("a1", "a2", "b1") && s2.pending === 0)
+  }
+
+  test("nesting restores the enclosing scope; unscoped goes to the session queue") {
+    PersistLeases.releaseAll()
+    val (_, outer) = PersistLeases.scoped {
+      PersistLeases.register(() => ())
+      val (_, inner) = PersistLeases.scoped {
+        PersistLeases.register(() => ())
+        PersistLeases.register(() => ())
+      }
+      assert(inner.pending === 2)
+      inner.release()
+      // after the inner scope exits, registration lands on the OUTER
+      PersistLeases.register(() => ())
+    }
+    assert(outer.pending === 2)
+    outer.release()
+    // outside any scope: the session queue takes it
+    val before = PersistLeases.pending
+    PersistLeases.register(() => ())
+    assert(PersistLeases.pending === before + 1)
+    PersistLeases.releaseAll()
+  }
+
+  test("one Curation pipeline's release frees its cache, not another's") {
+    import graft.corpus.Curation
+    PersistLeases.releaseAll()
+    val docsA = corpus(0 until 40, "alpha beta gamma delta shared words")
+    val docsB = corpus(0 until 40, "one two three four five six seven")
+    // spanDedup persists its INPUT via leasedPersist — persist()
+    // returns the same Dataset, so the input frames' storage levels
+    // are the observable
+    val (keptA, sA) = PersistLeases.scoped(Curation.spanDedup()(docsA))
+    val (keptB, sB) = PersistLeases.scoped(Curation.spanDedup()(docsB))
+    assert(keptA.count() >= 0 && keptB.count() >= 0)
+    assert(docsA.storageLevel != StorageLevel.NONE,
+      "pipeline A's input must be lease-persisted")
+    assert(docsB.storageLevel != StorageLevel.NONE,
+      "pipeline B's input must be lease-persisted")
+    assert(sA.pending === 1 && sB.pending === 1)
+    sA.release()
+    assert(docsA.storageLevel == StorageLevel.NONE,
+      "releasing pipeline A's scope must unpersist ITS input")
+    assert(docsB.storageLevel != StorageLevel.NONE,
+      "pipeline B's cache must survive pipeline A's release")
+    // B still computes correctly after A's drain
+    assert(keptB.count() >= 0)
+    sB.release()
+    assert(docsB.storageLevel == StorageLevel.NONE)
+  }
+}
