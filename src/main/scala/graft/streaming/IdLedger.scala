@@ -215,10 +215,12 @@ object IdLedger {
         } else
           // foreign compaction left the base uncovered: correct but
           // linear over the base; the next compactStore folds the
-          // ledger and restores the sublinear path
-          Some(spark.read.schema(idSchema)
-            .parquet(s"$storeDir/batch_id=${Lsm.BaseBatch}")
-            .select(col(idCol)))
+          // ledger and restores the sublinear path. The store base is
+          // RESOLVED (generational layout or legacy batch_id=-1) —
+          // the storeFrame discipline.
+          Lsm.resolveBase(Lsm.fileSystem(spark, storeDir), storeDir)
+            .map(p => spark.read.schema(idSchema)
+              .parquet(p.toString).select(col(idCol)))
       }
     (liveIds, baseIds) match {
       case (Some(l), Some(b)) => Some(l.union(b))
@@ -269,24 +271,22 @@ object IdLedger {
     // write.
     val idSchema = org.apache.spark.sql.types.StructType(Seq(
       scala.util.Try(
-        spark.read.option("mergeSchema", "true").parquet(storeDir)
-          .schema(idCol))
+        CorpusIngest.storeFrame(spark, storeDir).schema(idCol))
         .getOrElse(org.apache.spark.sql.types.StructField(
           idCol, org.apache.spark.sql.types.LongType))))
     // sources: the existing base's ids (from the ledger when covered,
-    // else the store base — the foreign-compaction migration) plus
-    // the outgoing batches' id columns
+    // else the RESOLVED store base — the foreign-compaction
+    // migration; generational layout or legacy batch_id=-1) plus the
+    // outgoing batches' id columns
     val baseSrc =
       if (covered)
         Some(spark.read.schema(idSchema)
           .parquet(basePath(spark, storeDir))
           .select(col(idCol)))
-      else if (CorpusIngest.listedBatchIds(spark, storeDir)
-          .contains(Lsm.BaseBatch))
-        Some(spark.read.schema(idSchema)
-          .parquet(s"$storeDir/batch_id=${Lsm.BaseBatch}")
-          .select(col(idCol)))
-      else None
+      else
+        Lsm.resolveBase(fs, storeDir).map(p =>
+          spark.read.schema(idSchema)
+            .parquet(p.toString).select(col(idCol)))
     val outgoing = spark.read.schema(idSchema)
       .parquet(toMerge.map(b => s"$storeDir/batch_id=$b"): _*)
       .select(col(idCol))

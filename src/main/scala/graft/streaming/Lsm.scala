@@ -18,25 +18,23 @@ import org.apache.spark.sql.functions._
   * atomicity is the filesystem's own contract: atomic on HDFS and
   * local, a non-atomic copy on stores without native rename.
   *
-  * Two fold disciplines coexist, split by WHO reads the table. Every
-  * graft-internal structure a running stream probes per trigger — the
-  * banded INDEX ([[foldBatchesGen]]) and the id LEDGER
-  * ([[IdLedger.foldFromStore]]) — commits through marker-committed
-  * immutable base GENERATIONS: zero reader-visible renames in the
-  * commit path, so a concurrent reader on a copy-semantics store
-  * resolves a complete base at every instant (the catalog-pointer
-  * commit the round-16 doc recommended, pinned by
-  * NonLocalFsMaintenanceSpec's copy-semantics cases). The landed
-  * STORE keeps the retire-then-rename [[foldBatches]] — deliberately:
-  * its contract is "one plain parquet table" (`spark.read.parquet
-  * (storeDir)` is the user API), so its base must stay INSIDE the
-  * partition layout where an underscore-prefixed generation root
-  * cannot live. That fold never LOSES rows (every crash window keeps
-  * both copies on disk under recoverable names), and the readers it
-  * can race are ad-hoc whole-store batch jobs — maintenance on a
-  * no-native-rename store runs under the documented quiesce contract,
-  * while the per-trigger probes race nothing: both structures they
-  * touch are generational.
+  * Every LSM-shaped table now commits its fold through
+  * marker-committed immutable base GENERATIONS ([[foldBatchesGen]];
+  * VERDICT r18 #1 extended it to the landed store): zero
+  * reader-visible renames in the commit path, so a concurrent reader
+  * on a copy-semantics store resolves a complete base at every
+  * instant (the catalog-pointer commit the round-16 doc recommended,
+  * pinned by NonLocalFsMaintenanceSpec's copy-semantics cases). The
+  * per-trigger probes (index + ledger) race nothing, and a
+  * whole-store reader through `CorpusIngest.storeFrame` — the
+  * resolved-path accessor — races nothing either. The
+  * retire-then-rename [[foldBatches]] remains available behind
+  * `compactStore(generational = false)` for stores whose contract
+  * must stay "one plain parquet table" (`spark.read.parquet
+  * (storeDir)` the complete user API, base inside the partition
+  * layout): that fold never LOSES rows (every crash window keeps
+  * both copies on disk under recoverable names) but its swap has the
+  * documented reader-quiesce window on no-native-rename stores.
   */
 private[streaming] object Lsm {
 
@@ -207,11 +205,17 @@ private[streaming] object Lsm {
     * their ids in the merged-ids sidecar, then [[dropBatches]].
     *
     * `subPartitionCols` are the layout's columns BELOW batch_id (the
-    * index passes `Seq("bkt")`); `batch_id` itself does not exist in
-    * the generational layout — readers re-attach it as a literal.
+    * index passes `Seq("bkt")`; the landed store passes none);
+    * `batch_id` itself does not exist in the generational layout —
+    * readers re-attach it as a literal. Tables whose batches may have
+    * EVOLVED schemas (the corpus store) pass `mergeSchema = true`:
+    * the L0 read merges file schemas and the base union tolerates
+    * missing columns on either side (old rows take nulls in newer
+    * columns — the foldBatches contract).
     */
   def foldBatchesGen(spark: SparkSession, dir: String, toMerge: Seq[Long],
-      reAgg: DataFrame => DataFrame, subPartitionCols: Seq[String]): Unit = {
+      reAgg: DataFrame => DataFrame, subPartitionCols: Seq[String],
+      mergeSchema: Boolean = false): Unit = {
     val fs = fileSystem(spark, dir)
     // migration preamble: restore a pre-generational crash state (live
     // base retired under the old rename discipline, never renamed back)
@@ -221,16 +225,19 @@ private[streaming] object Lsm {
         fs.exists(retired))
       renameStrict(fs, retired, legacy, "base recovery (legacy layout)")
     val l0 = spark.read.option("basePath", dir)
+      .option("mergeSchema", mergeSchema.toString)
       .parquet(toMerge.map(b => s"$dir/batch_id=$b"): _*)
       .drop("batch_id")
     val combined = resolveBase(fs, dir) match {
       case None => l0
       case Some(p) =>
         val base = spark.read.option("basePath", p.toString)
+          .option("mergeSchema", mergeSchema.toString)
           .parquet(p.toString).drop("batch_id") // legacy carries none of
         // the gen layout's columns beyond data + subPartitionCols; the
         // drop is a no-op there and strips the partition col on legacy
-        l0.unionByName(base.select(l0.columns.map(col): _*))
+        if (mergeSchema) l0.unionByName(base, allowMissingColumns = true)
+        else l0.unionByName(base.select(l0.columns.map(col): _*))
     }
     val gens = committedGens(fs, dir)
     val next = gens.lastOption.getOrElse(-1L) + 1

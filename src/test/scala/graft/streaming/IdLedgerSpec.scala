@@ -30,8 +30,12 @@ class IdLedgerSpec extends AnyFunSuite {
     NearDupIngest.ingestBatch(batch.toDF("doc_id", "text"), id, idx, store,
       "doc_id", "text", 0.5, 3, 12, 4, 1000)
 
+  // reads through the resolved-path accessor: compactStore folds
+  // generationally by default since round 19, so the base lives under
+  // the marker-committed generation root a plain table scan skips
   private def landedIds(store: String): Seq[Long] =
-    spark.read.parquet(store).select("doc_id").as[Long].collect().sorted.toSeq
+    CorpusIngest.storeFrame(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
 
   private def seedIndex(idx: String): Unit =
     NearDupIngest.writeIndex(
@@ -70,11 +74,11 @@ class IdLedgerSpec extends AnyFunSuite {
     ingest(Seq((2L, C)), 1L, idx, store)
     ingest(Seq((3L, "completely different novel words appear here again ok")),
       2L, idx, store)
-    val before = spark.read.parquet(store)
+    val before = CorpusIngest.storeFrame(spark, store)
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
     CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1)
     // landed CONTENTS identical; lineage collapsed into the base
-    assert(spark.read.parquet(store).select("doc_id", "text")
+    assert(CorpusIngest.storeFrame(spark, store).select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq == before)
     assert(CorpusIngest.listedBatchIds(spark, store) == Set(-1L, 2L))
     assert(CorpusIngest.mergedBatchIds(spark, store) == Set(0L, 1L))
@@ -131,7 +135,7 @@ class IdLedgerSpec extends AnyFunSuite {
       Seq((2L, "two", 0.9)).toDF("doc_id", "text", "score"),
       1L, store, "doc_id")
     CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
-    val folded = spark.read.option("mergeSchema", "true").parquet(store)
+    val folded = CorpusIngest.storeFrame(spark, store)
     assert(folded.columns.toSet == Set("doc_id", "text", "score", "batch_id"))
     assert(folded.filter(col("doc_id") === 2).select("score")
       .as[Double].head() == 0.9)

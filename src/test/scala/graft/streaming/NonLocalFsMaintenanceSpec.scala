@@ -37,8 +37,12 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
     NearDupIngest.ingestBatch(batch.toDF("doc_id", "text"), id, idx, store,
       "doc_id", "text", 0.5, 3, 12, bands, 1000)
 
+  // the resolved-path accessor (generational stores put their folded
+  // base under a root a plain table scan skips); on a never-folded or
+  // legacy-layout store it reads the same rows a plain scan would
   private def landedIds(store: String): Seq[Long] =
-    spark.read.parquet(store).select("doc_id").as[Long].collect().sorted.toSeq
+    CorpusIngest.storeFrame(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
 
   test("build + ingest + compactIndex on a graftfs:// index") {
     val (idx, store) = ws("graftfs_compact")
@@ -278,13 +282,15 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
       "a mid-fold probe must dedup against the previous committed generation")
   }
 
-  test("copy-semantics rename: landed-store fold loses no row; quiesce window pinned") {
-    // VERDICT r17 #5: the landed store DELIBERATELY keeps the
-    // retire-then-rename fold — its contract is "one plain parquet
-    // table" (spark.read.parquet(storeDir) is the user API), so its
-    // base must stay inside the partition layout where a generational
-    // root cannot live. This case pins what that costs and what it
-    // guarantees on a store whose rename is a non-atomic copy:
+  test("copy-semantics rename: LEGACY landed-store fold loses no row; quiesce window pinned") {
+    // The retire-then-rename fold remains available behind
+    // compactStore(generational = false) for stores whose contract
+    // must stay "one plain parquet table" (spark.read.parquet(storeDir)
+    // the complete user API, base inside the partition layout). Since
+    // round 19 it is no longer the default — the generational case
+    // below is — but its guarantees stay pinned. This case pins what
+    // the legacy mode costs and what it guarantees on a store whose
+    // rename is a non-atomic copy:
     //  (1) NO-LOSS ordering, machine-checked from the FS's own rename
     //      log: the merged base is fully staged (every committer
     //      promotion inside .merge-tmp) BEFORE the live base retires,
@@ -312,12 +318,14 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
     // first fold CREATES the base (nothing to retire); the retire path
     // under scrutiny needs an existing base, so fold once, add a
     // batch, then log the second fold
-    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1)
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1,
+      generational = false)
     ingest(Seq((4L, "wholly distinct vocabulary occupying this final row")),
       3L, idx, store)
     val before = landedIds(store)
     GraftCopyFs.renames.clear()
-    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1)
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1,
+      generational = false)
     assert(landedIds(store) == before)
     // (1) rename-order no-loss proof from the log (store table only;
     // the ledger's generational commit is rename-free and pinned by
@@ -361,8 +369,77 @@ class NonLocalFsMaintenanceSpec extends AnyFunSuite {
     // (3) recovery: the next fold's preamble restores the base first
     ingest(Seq((7L, "brand new words never seen in any earlier document")),
       4L, idx, store)
-    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0,
+      generational = false)
     assert(landedIds(store) == (before :+ 7L).sorted,
       "the recovery preamble must restore the stranded base before folding")
+  }
+
+  test("copy-semantics rename: GENERATIONAL landed-store fold; mid-fold reader complete") {
+    // VERDICT r18 #1 done-criterion: the landed store folds through
+    // marker-committed generations by default (the index/ledger
+    // discipline), behind the resolved-path accessor
+    // CorpusIngest.storeFrame. On a store whose rename is a
+    // NON-ATOMIC copy this removes the legacy fold's reader-quiesce
+    // window: a whole-store reader racing the fold resolves either
+    // the previous complete base or the new complete one — never the
+    // partial snapshot the legacy case above demonstrates.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcopyfs.impl", classOf[GraftCopyFs].getName)
+    val base = graft.TestSpark.scratchPath("graftcopyfs_genstore")
+    val (idx, store) =
+      (s"graftcopyfs://$base/idx", s"graftcopyfs://$base/store")
+    NearDupIngest.writeIndex(
+      Seq((100L, A)).toDF("doc_id", "text")
+        .withColumn("t", TextFns.tokens(col("text"))), idx)
+    ingest(Seq((1L, B)), 0L, idx, store)
+    ingest(Seq((2L, C)), 1L, idx, store)
+    ingest(Seq((3L, "totally different unrelated words all around here")),
+      2L, idx, store)
+    val before = landedIds(store)
+    GraftCopyFs.renames.clear()
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 1)
+    // the commit path is rename-free under the store's generation
+    // root: the only renames are the parquet committer's _temporary
+    // promotions, landing inside a generation no reader can resolve
+    // until its marker exists
+    val visible = GraftCopyFs.renamesUnder(s"/store/${Lsm.GenRootName}")
+      .filterNot(_.contains("_temporary"))
+    assert(visible.isEmpty,
+      s"the store's generational commit renamed a reader-visible path: $visible")
+    assert(GraftCopyFs.renamesUnder(s"/store/batch_id=${Lsm.BaseBatch}").isEmpty,
+      "no legacy base swap may ride a copy-semantics rename")
+    val fs = Lsm.fileSystem(spark, store)
+    assert(Lsm.committedGens(fs, store) == Seq(0L))
+    // the accessor reads a complete post-fold snapshot; the logical
+    // base partition survives for lineage consumers
+    assert(landedIds(store) == before)
+    assert(CorpusIngest.listedBatchIds(spark, store) == Set(-1L, 2L))
+    // THE done-criterion: mid-fold state — the next generation
+    // half-written (part files landing, marker absent; exactly what a
+    // lister racing the fold observes). A whole-store reader through
+    // the accessor resolves gen 0 and reads the complete previous
+    // snapshot: no missing base rows, no torn files.
+    val gen1 = Lsm.genPath(store, 1L)
+    fs.mkdirs(gen1)
+    val half = fs.create(
+      new org.apache.hadoop.fs.Path(gen1, "part-00000.parquet"), true)
+    half.write(Array[Byte](80, 65, 82, 49)) // "PAR1" — a torn file
+    half.close()
+    assert(Lsm.resolveBase(fs, store).map(_.toString)
+      .contains(Lsm.genPath(store, 0L).toString),
+      "mid-fold, the accessor must resolve the previous committed generation")
+    assert(landedIds(store) == before,
+      "a mid-fold whole-store reader must see a complete snapshot")
+    // ingest races the (frozen) fold: a re-delivered FOLDED id still
+    // dedups through the ledger, a novel doc lands exactly-once
+    ingest(Seq((1L, "changed text sharing nothing with anything prior"),
+      (9L, "more novel words that match nothing else anywhere today")),
+      3L, idx, store)
+    assert(landedIds(store) == (before :+ 9L).sorted)
+    // the next real fold clobbers the torn generation, commits past it
+    CorpusIngest.compactStore(spark, store, "doc_id", keepRecentBatches = 0)
+    assert(Lsm.committedGens(fs, store).lastOption.contains(1L))
+    assert(landedIds(store) == (before :+ 9L).sorted)
   }
 }
