@@ -100,6 +100,17 @@ object IdLedger {
   def bucketOf(id: Column, buckets: Int): Column =
     pmod(hash(id), lit(buckets)).cast("int")
 
+  /** TEST SEAM (IdLedgerRaceSpec): invoked by [[priorIds]] after the
+    * probe has PINNED its generation — config and coverage resolved
+    * from one committed path — and before it lists that generation's
+    * bucket leaves. This is exactly the window the pre-round-18
+    * triple-resolution race lived in (a fold committing a
+    * re-derived-bucket-count generation here made the probe prune
+    * with the stale count against the new layout). Production: a
+    * no-op.
+    */
+  private[streaming] var midProbeHook: () => Unit = () => ()
+
   /** The ledger's recorded bucket count and id column; None when no
     * ledger base exists (a store that was never compacted).
     */
@@ -171,6 +182,8 @@ object IdLedger {
         val covered = cfg.isDefined &&
           CorpusIngest.mergedBatchIds(spark, storeDir)
             .subsetOf(CorpusIngest.mergedBatchIds(spark, livePath))
+        // the generation is pinned; everything below reads from it
+        midProbeHook()
         if (covered) {
           val (buckets, _) = cfg.get
           // bounded by the bucket count by construction — a batch
