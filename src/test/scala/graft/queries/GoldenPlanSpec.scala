@@ -76,8 +76,21 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q176_rrf_fusion" -> Map("BroadcastNestedLoopJoin" -> (0, 2),
       "BroadcastHashJoin" -> (1, 2), "SortMergeJoin" -> (0, 1),
       "TakeOrderedAndProject" -> (3, 3)),
+    // round-19 cache pins (VERDICT r18 #8): 5 InMemoryTableScans =
+    // the lease-persisted input corpus (2 references: signature pass
+    // + survivors anti-join) and the persisted signature/banded
+    // frames; a lost persist re-executes the upstream chain per
+    // consumer and the count drops (sensitivity-tested below)
     "q186_calibrated_neardup" -> Map("BroadcastHashJoin" -> (1, 1),
-      "SortMergeJoin" -> (0, 1), "MapPartitions" -> (2, 2)),
+      "SortMergeJoin" -> (0, 1), "MapPartitions" -> (2, 2),
+      "InMemoryTableScan" -> (5, 5)),
+    // the flagship composed pipeline (quality -> exact dedup ->
+    // calibrated near-dup): its stage inputs are lease-persisted
+    // (round 18's q190 win) — the cache pin makes losing one loud
+    "q190_selftuning_pipeline" -> Map("BroadcastHashJoin" -> (3, 3),
+      "SortMergeJoin" -> (0, 1), "MapPartitions" -> (2, 2),
+      "Generate" -> (2, 2), "InMemoryTableScan" -> (5, 5),
+      "Exchange" -> (0, 9)),
     // round-18 additions (VERDICT r17 #4): the calibrated family and
     // the round's reshaped queries — multi-stage plans where a silent
     // AQE flip or a lost one-pass operator would hide longest
@@ -141,5 +154,24 @@ class GoldenPlanSpec extends AnyFunSuite {
       graft.functions.PersistLeases.releaseAll()
       spark.catalog.clearCache()
     }
+  }
+
+  test("cache pins are sensitive: dropping the persists trips the q190 pin") {
+    graft.functions.PersistLeases.releaseAll()
+    spark.catalog.clearCache()
+    val df = Registry.all("q190_selftuning_pipeline").impl(spark, dir)
+    // simulate the lost-persist regression: the stage-input caches
+    // are dropped before the plan is first materialized (the frame's
+    // queryExecution is lazy, so planning below sees no cache entries
+    // — exactly what a silently-removed persist() would produce)
+    graft.functions.PersistLeases.releaseAll()
+    spark.catalog.clearCache()
+    val s = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val imts = OpRe.findAllMatchIn(s).map(_.group(1)).toSeq
+      .count(_ == "InMemoryTableScan")
+    assert(imts < 5,
+      s"clearing the caches left $imts InMemoryTableScans — the (5,5)" +
+        " pin could never trip and must be re-derived")
   }
 }
