@@ -28,7 +28,7 @@ object ScaleGen extends Serializable {
   /** Deterministic per-(id, tag) PRNG — mixes bits well enough that
     * adjacent ids do not correlate (splitmix64 finalizer).
     */
-  private def rng(id: Long, tag: Long): java.util.Random = {
+  private[tools] def rng(id: Long, tag: Long): java.util.Random = {
     var z = id * 0x9e3779b97f4a7c15L + tag * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -41,28 +41,43 @@ object ScaleGen extends Serializable {
     Array.fill(40 + r.nextInt(40))(vocab(r.nextInt(vocab.length)))
   }
 
-  private def unitGaussian(id: Long): Array[Double] = {
+  private[tools] def unitGaussian(id: Long): Array[Double] = {
     val r = rng(id, 4)
     val v = Array.fill(64)(r.nextGaussian())
     val n = math.sqrt(v.map(x => x * x).sum)
     v.map(_ / n)
   }
 
-  /** Document text generator: ~0.2% exact copies of an earlier doc and
-    * ~0.5% near-copies (every 17th token substituted) mirror the
-    * harness tables' duplicate sprinkle, scaled with N.
+  /** Document token generator: ~0.2% exact copies of an earlier doc
+    * and ~0.5% near-copies (every 17th token substituted) mirror the
+    * harness tables' duplicate sprinkle, scaled with N. Exposed
+    * tokenized so [[SketchGen]] can compute sketches over the
+    * identical virtual corpus without materializing text.
     */
-  private def docText(id: Long, vocab: Array[String]): String = {
-    val toks =
-      if (id % 500 == 7 && id >= 250) baseTokens(id - 250, vocab)
-      else if (id % 200 == 13 && id >= 100) {
-        val t = baseTokens(id - 100, vocab)
-        val r = rng(id, 2)
-        t.indices.foreach { j =>
-          if (j % 17 == 0) t(j) = vocab(r.nextInt(vocab.length)) }
-        t
-      } else baseTokens(id, vocab)
-    toks.mkString(" ")
+  private[tools] def docTokens(id: Long, vocab: Array[String]): Array[String] =
+    if (id % 500 == 7 && id >= 250) baseTokens(id - 250, vocab)
+    else if (id % 200 == 13 && id >= 100) {
+      val t = baseTokens(id - 100, vocab)
+      val r = rng(id, 2)
+      t.indices.foreach { j =>
+        if (j % 17 == 0) t(j) = vocab(r.nextInt(vocab.length)) }
+      t
+    } else baseTokens(id, vocab)
+
+  private def docText(id: Long, vocab: Array[String]): String =
+    docTokens(id, vocab).mkString(" ")
+
+  /** The decade corpora's shared vocabulary: the harness corpus's own
+    * distinct token set (sorted, so the array is deterministic).
+    */
+  private[tools] def vocabFrom(spark: SparkSession,
+      srcDir: String): Array[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("t"))
+      .distinct().as[String].collect().sorted
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,11 +96,7 @@ object ScaleGen extends Serializable {
 
     // Vocabulary = the harness corpus's own token set, so text-quality
     // heuristics (stopword ratios, langid n-grams) see familiar input.
-    val vocab = spark.read.parquet(s"$srcDir/documents.parquet")
-      .select(org.apache.spark.sql.functions.explode(
-        org.apache.spark.sql.functions.split(
-          org.apache.spark.sql.functions.col("text"), " ")).as("t"))
-      .distinct().as[String].collect().sorted
+    val vocab = vocabFrom(spark, srcDir)
 
     val docs = spark.range(nDocs).map { id =>
       val r = rng(id, 0)
