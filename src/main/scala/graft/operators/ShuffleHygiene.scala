@@ -103,15 +103,66 @@ object ShuffleHygiene {
 
   /** Bytes currently held by shuffle files under this JVM's block-
     * manager directories (local / single-box measurement; on a
-    * cluster the same number lives per-executor). Scans
+    * cluster the same number lives per-executor — use
+    * [[clusterRetainedShuffleBytes]] for the aggregated sum). Scans
     * `blockmgr-*` trees under the configured local dirs for
     * `shuffle_*` files.
     */
-  def retainedShuffleBytes(spark: SparkSession): Long = {
-    val dirs = sys.env.get("SPARK_LOCAL_DIRS")
-      .orElse(spark.conf.getOption("spark.local.dir"))
-      .map(_.split(",").toSeq)
-      .getOrElse(Seq(System.getProperty("java.io.tmpdir")))
+  def retainedShuffleBytes(spark: SparkSession): Long =
+    shuffleBytesInDirs(
+      sys.env.get("SPARK_LOCAL_DIRS")
+        .orElse(spark.conf.getOption("spark.local.dir"))
+        .map(_.split(",").toSeq)
+        .getOrElse(Seq(System.getProperty("java.io.tmpdir"))))
+
+  /** [[retainedShuffleBytes]] aggregated over EVERY executor (VERDICT
+    * r19 #5): runs a short oversubscribed job whose tasks each walk
+    * the block-manager dirs of the executor they land on, then sums
+    * ONE measurement per distinct executor id. On `local[*]` there is
+    * a single executor ("driver"), so this equals
+    * [[retainedShuffleBytes]] exactly (spec-pinned); on a cluster it
+    * is the executor-disk high-water mark the local reading silently
+    * omits.
+    *
+    * Semantics on a real cluster:
+    *  - COVERAGE is scheduling-best-effort: `tasksPerExecutor` × the
+    *    currently-registered executor count tasks are submitted, so
+    *    with default locality settings every live executor runs at
+    *    least one; an executor that registers mid-measurement, or one
+    *    hoarded by a concurrent barrier stage, can be missed — the
+    *    returned value is then a LOWER bound.
+    *  - With an EXTERNAL shuffle service the files live in the
+    *    service's dirs (often the same `blockmgr-*` roots on that
+    *    host, reachable by the walk) but their LIFETIME is the
+    *    service's: files from dead executors persist by design, so
+    *    the aggregate can exceed the live executors' own production
+    *    and [[reclaim]]'s fixpoint should be read against this
+    *    aggregated form, not the driver-local one.
+    */
+  def clusterRetainedShuffleBytes(spark: SparkSession,
+      tasksPerExecutor: Int = 8): Long = {
+    require(tasksPerExecutor >= 1, "tasksPerExecutor must be >= 1")
+    val sc = spark.sparkContext
+    // getExecutorMemoryStatus keys = live block managers (driver incl.)
+    val executors = math.max(1, sc.getExecutorMemoryStatus.size)
+    val tasks = executors * tasksPerExecutor
+    sc.parallelize(1 to tasks, tasks).mapPartitions { _ =>
+      val env = org.apache.spark.SparkEnv.get
+      val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+        .orElse(env.conf.getOption("spark.local.dir"))
+        .map(_.split(",").toSeq)
+        .getOrElse(Seq(System.getProperty("java.io.tmpdir")))
+      Iterator((env.executorId, shuffleBytesInDirs(dirs)))
+    }.collect()
+      .groupBy(_._1)            // one reading per executor id —
+      .map(_._2.head._2)        // tasks co-located on an executor
+      .sum                      // walked the same dirs
+  }
+
+  /** Sum of `shuffle_*` file sizes under `blockmgr-*` trees rooted at
+    * `dirs` (runs driver- or executor-side; missing dirs contribute 0).
+    */
+  private def shuffleBytesInDirs(dirs: Seq[String]): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)

@@ -85,7 +85,20 @@ object CorpusIngest {
     * generation (the half-written next one has no marker) or the new
     * complete one, NEVER a partial base — on any filesystem, including
     * copy-semantics object stores (NonLocalFsMaintenanceSpec pins the
-    * mid-fold case). On a legacy-layout store (never folded, or folded
+    * mid-fold case).
+    *
+    * Snapshot ordering (round 20 — ADVICE r19): the live `batch_id=`
+    * partitions are LISTED BEFORE the generation is resolved. With the
+    * reverse order, a fold that commits gen N+1 and then drops its
+    * folded batches between the two steps yields a snapshot holding
+    * the folded rows NOWHERE — gen N lacks them and their partitions
+    * are gone: silent row loss. List-first degrades that race to
+    * harmless duplicates (a folded batch read alongside the new base
+    * that contains it — collapsed by every id-keyed consumer; the
+    * ingest probe only anti-joins on the id column) or a loud
+    * FileNotFound on a dir dropped under the scan — never silent
+    * loss, so an ad-hoc whole-store read still needs no maintenance
+    * quiesce. On a legacy-layout store (never folded, or folded
     * with `generational = false`) the base sits in the partition
     * layout at `batch_id=-1` and plain `spark.read.parquet(storeDir)`
     * remains equivalent — the documented legacy path, whose
@@ -98,19 +111,23 @@ object CorpusIngest {
     */
   def storeFrame(spark: SparkSession, storeDir: String): DataFrame = {
     val fs = Lsm.fileSystem(spark, storeDir)
-    val genBase = Lsm.committedGens(fs, storeDir).lastOption
-      .map(g => Lsm.genPath(storeDir, g))
     val root = new org.apache.hadoop.fs.Path(storeDir)
-    val batchDirs =
-      if (!fs.exists(root)) Seq.empty[String]
+    // list-first, resolve-second (see the scaladoc's snapshot-ordering
+    // note): a concurrent commit-then-drop fold must degrade to
+    // duplicates-or-loud, never to a snapshot missing the folded rows
+    val listed =
+      if (!fs.exists(root)) Seq.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("batch_id="))
-        // the legacy base is shadowed once a generation exists (crash
-        // window between gen commit and legacy GC) — never read both
-        .filter(s => genBase.isEmpty ||
-          s.getPath.getName != s"batch_id=${Lsm.BaseBatch}")
-        .map(_.getPath.toString)
+    val genBase = Lsm.committedGens(fs, storeDir).lastOption
+      .map(g => Lsm.genPath(storeDir, g))
+    val batchDirs = listed
+      // the legacy base is shadowed once a generation exists (crash
+      // window between gen commit and legacy GC) — never read both
+      .filter(s => genBase.isEmpty ||
+        s.getPath.getName != s"batch_id=${Lsm.BaseBatch}")
+      .map(_.getPath.toString)
     val batches =
       if (batchDirs.isEmpty) None
       else Some(spark.read.option("basePath", storeDir)
@@ -308,13 +325,19 @@ object CorpusIngest {
     * been folded generationally (a plain whole-table parquet scan
     * skips the underscore-prefixed generation root by design).
     *
-    * `generational = false` keeps the pre-round-19 LEGACY layout —
-    * the base stays inside the partition layout at `batch_id=-1`, so
-    * plain `spark.read.parquet(storeDir)` remains the complete table;
-    * the cost is the retire-then-rename swap's documented quiesce
-    * window (a concurrent whole-store reader can observe base rows
-    * missing mid-fold, never torn — NonLocalFsMaintenanceSpec pins
-    * it). A store already folded generationally cannot fold back
+    * `generational = false` is a MIGRATION-ONLY shim (demoted round
+    * 20 — VERDICT r19 #8; no in-tree production caller remains, only
+    * its own legacy spec and layout-migration simulations): it keeps
+    * the pre-round-19 layout — base inside the partition layout at
+    * `batch_id=-1`, so plain `spark.read.parquet(storeDir)` remains
+    * the complete table — for external consumers mid-migration off a
+    * "one plain parquet table" contract. Its retire-then-rename swap
+    * carries the documented READER-quiesce window (a concurrent
+    * whole-store reader can observe base rows missing mid-fold, never
+    * torn — NonLocalFsMaintenanceSpec pins it), which is exactly the
+    * contract the generational default deletes; plan to move such
+    * consumers to [[storeFrame]] and drop the flag rather than build
+    * on it. A store already folded generationally cannot fold back
     * (fails fast: the legacy fold cannot see the generational base).
     *
     * Maintenance operation: run with the stream quiesced (the same
@@ -357,10 +380,28 @@ object CorpusIngest {
       // remove an interrupted fold's identical-row crash artifacts.
       // mergeSchema: batches may carry evolved schemas (the documented
       // store contract) — old rows take nulls in newer columns.
-      if (generational)
+      if (generational) {
+        // born packed (ADVICE r19): Compact.leaves deliberately never
+        // descends into _graft_basegen, so the gen base's file count
+        // must be set HERE — coalesce the folded frame toward
+        // targetBytes before the commit (safe pre-commit: the
+        // generation is invisible until its marker lands). Sizing is
+        // the fold INPUT's on-disk bytes (base + outgoing batches, one
+        // content-summary call each) — a slight overestimate after
+        // dedup, which only errs toward one extra file. coalesce, not
+        // repartition: it collapses the dedup's post-shuffle side with
+        // no second shuffle, and each reducer then owns ~targetBytes.
+        val inputBytes =
+          (Lsm.resolveBase(fs, storeDir).toSeq ++ toMerge.map(b =>
+            new org.apache.hadoop.fs.Path(storeDir, s"batch_id=$b")))
+            .filter(fs.exists(_))
+            .map(p => fs.getContentSummary(p).getLength).sum
+        val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes)
+          .min(Int.MaxValue.toLong).toInt
         Lsm.foldBatchesGen(spark, storeDir, toMerge,
-          _.dropDuplicates(Seq(idCol)), Seq.empty, mergeSchema = true)
-      else
+          _.dropDuplicates(Seq(idCol)).coalesce(parts), Seq.empty,
+          mergeSchema = true)
+      } else
         Lsm.foldBatches(spark, storeDir, toMerge,
           _.dropDuplicates(Seq(idCol)), Seq("batch_id"), mergeSchema = true)
       recordMergedBatchIds(spark, storeDir, toMerge.toSet)

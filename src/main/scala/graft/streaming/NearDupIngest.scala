@@ -118,23 +118,46 @@ object NearDupIngest {
     * dedup+signature+band probe / ledger id probe / store landing /
     * index append without guessing from stage names. Always on: a few
     * nanoTime pairs per trigger.
+    *
+    * Scoping (round 20 — ADVICE r19): totals are keyed by the
+    * ingest's `storeDir`, so two concurrent ingest streams in one
+    * driver (or a stream racing a referee run against a different
+    * store) accumulate independently — read/clear your own stream
+    * with [[snapshotFor]]/[[reset(key:String)*]]. The
+    * no-arg [[snapshot]]/[[reset()]] merge/clear ACROSS keys: the
+    * single-stream-harness convenience (the Q188FloorSpec shape),
+    * meaningful only when the driver runs one ingest at a time.
     */
   object PhaseTimes {
-    private val m =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.lang.Long]()
     def reset(): Unit = m.clear()
-    private[streaming] def timed[T](name: String)(body: => T): T = {
+    def reset(key: String): Unit = m.keySet.removeIf(_._1 == key): Unit
+    private[streaming] def timed[T](key: String, name: String)
+        (body: => T): T = {
       val t0 = System.nanoTime()
       try body finally {
-        m.merge(name, java.lang.Long.valueOf(System.nanoTime() - t0),
+        m.merge((key, name),
+          java.lang.Long.valueOf(System.nanoTime() - t0),
           (a, b) => java.lang.Long.valueOf(a + b))
         ()
       }
     }
-    def snapshot: Map[String, Long] = {
+    /** Phase totals for ONE stream's store (the scoped accessor). */
+    def snapshotFor(key: String): Map[String, Long] = {
       val b = Map.newBuilder[String, Long]
-      m.forEach((k, v) => b += (k -> v.longValue()))
+      m.forEach((k, v) => if (k._1 == key) b += (k._2 -> v.longValue()))
       b.result()
+    }
+    /** Phase totals merged across every store key (single-stream
+      * harness convenience — conflates concurrent streams by design).
+      */
+    def snapshot: Map[String, Long] = {
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      m.forEach { (k, v) =>
+        acc.update(k._2, acc.getOrElse(k._2, 0L) + v.longValue())
+      }
+      acc.toMap
     }
   }
 
@@ -534,7 +557,7 @@ object NearDupIngest {
     // covers only the bucketed BASE partition, and L0 runs are
     // occupancy-counted live by the probe.
     val (storeLive, storeHas, idxHas) =
-      PhaseTimes.timed("idempotence_checks") {
+      PhaseTimes.timed(storeDir, "idempotence_checks") {
         val live = CorpusIngest.batchLeafLive(spark, storeDir, batchId)
         (live,
           live || CorpusIngest.mergedBatchIds(spark, storeDir)
@@ -584,7 +607,7 @@ object NearDupIngest {
           // _SUCCESS marker and possibly zero part files, which
           // schema inference would refuse (and the id column is all
           // the completion needs anyway).
-          PhaseTimes.timed("index_append") {
+          PhaseTimes.timed(storeDir, "index_append") {
             writeL0Run(sigs,
               spark.read.schema(org.apache.spark.sql.types.StructType(
                   Seq(batch.schema(idCol))))
@@ -594,7 +617,7 @@ object NearDupIngest {
         } else {
           // the probe call's eager half: the key-collect job, which
           // doubles as the dedup window + signature materialization
-          val dupIds = PhaseTimes.timed("band_probe_eager") {
+          val dupIds = PhaseTimes.timed(storeDir, "band_probe_eager") {
             probeDupIds(sigs, batchId, indexDir, idCol,
               k, bands, threshold, maxBucket)
           }
@@ -614,7 +637,7 @@ object NearDupIngest {
           // the ledger probe's eager half: batch-leaf listing, the
           // touched-bucket collect, and the pinned generation's leaf
           // enumeration
-          val priorOpt = PhaseTimes.timed("ledger_probe_eager") {
+          val priorOpt = PhaseTimes.timed(storeDir, "ledger_probe_eager") {
             IdLedger.priorIds(deduped, idCol, storeDir,
               excludeBatch = batchId)
           }
@@ -629,11 +652,11 @@ object NearDupIngest {
             // id-deduped in-batch and against the ledger — ingestBatch
             // would re-run both with a full-store scan. This action
             // executes the whole probe/anti-join dataflow.
-            PhaseTimes.timed("store_landing") {
+            PhaseTimes.timed(storeDir, "store_landing") {
               CorpusIngest.landPrepared(freshNew, batchId, storeDir)
             }
             if (!idxHas)
-              PhaseTimes.timed("index_append") {
+              PhaseTimes.timed(storeDir, "index_append") {
                 writeL0Run(sigs, freshNew.select(col(idCol)), indexDir,
                   batchId, idCol, k, bands)
               }

@@ -19,9 +19,23 @@ import org.apache.spark.sql.SparkSession
   * row, no global RNG state), so the output is bit-identical across
   * runs and machines and the generation parallelizes embarrassingly.
   *
-  *   sbt "runMain graft.tools.ScaleGen bench/sfgen/sf1 50000 20000"
+  *   sbt "runMain graft.tools.ScaleGen bench/sfgen/sf1 50000 20000 [srcDir]"
+  *
+  * `srcDir` (vocabulary + symlink source) defaults to
+  * [[ScaleGen.DefaultSrcDir]] — the harness dir, `SPARK_GRAFT_SF_DIR`
+  * overridable.
   */
 object ScaleGen extends Serializable {
+
+  /** The one place the vocabulary SOURCE is decided (VERDICT r19 #6 /
+    * ADVICE r19): the harness corpus dir, overridable with
+    * `SPARK_GRAFT_SF_DIR` exactly like `Bench`. [[SketchGen]] shares
+    * this constant — a decade corpus generated from a non-default
+    * `srcDir` must pass the same dir to the sketch generators or the
+    * bit-identity pin (SketchGenSpec) is void.
+    */
+  val DefaultSrcDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
   private val Langs = Array("en", "de", "es", "fr", "zh")
 
@@ -84,7 +98,7 @@ object ScaleGen extends Serializable {
     val outDir = args.headOption.getOrElse("bench/sfgen/sf1")
     val nDocs = args.lift(1).map(_.toLong).getOrElse(50000L)
     val nVecs = args.lift(2).map(_.toLong).getOrElse(20000L)
-    val srcDir = "/root/testdata/sf0.1"
+    val srcDir = args.lift(3).getOrElse(DefaultSrcDir)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

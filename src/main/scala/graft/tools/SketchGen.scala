@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   * Bit-identity to the materialized corpora is pinned per-id by
   * SketchGenSpec (sampled ids against the real operators over
   * ScaleGen text) — which makes a sweep over these frames THE sweep
-  * over the corresponding decade corpus, not a model of it.
+  * over the corresponding decade corpus, not a model of it. The
+  * vocabulary source defaults to [[ScaleGen.DefaultSrcDir]] (the one
+  * shared constant — VERDICT r19 #6); a corpus generated from another
+  * `srcDir` must pass the same dir here or the pin is void.
   */
 object SketchGen {
 
@@ -46,10 +49,11 @@ object SketchGen {
     * ScaleGen corpus of `n` docs.
     */
   def minhashSignatures(spark: SparkSession, n: Long, shingleWidth: Int = 3,
-      k: Int = 12, slices: Int = DefaultSlices): DataFrame = {
+      k: Int = 12, slices: Int = DefaultSlices,
+      srcDir: String = ScaleGen.DefaultSrcDir): DataFrame = {
     import spark.implicits._
     import graft.functions.MinHashLsh.{P, aConst, bConst}
-    val vocab = ScaleGen.vocabFrom(spark, "/root/testdata/sf0.1")
+    val vocab = ScaleGen.vocabFrom(spark, srcDir)
     val as = (0 until k).map(aConst).toArray
     val bs = (0 until k).map(bConst).toArray
     val p = P
@@ -114,9 +118,10 @@ object SketchGen {
     * dedup on the 64-bit md5-prefix hash, majority vote per bit.
     */
   def simhash64Fingerprints(spark: SparkSession, n: Long,
-      shingleWidth: Int = 3, slices: Int = DefaultSlices): DataFrame = {
+      shingleWidth: Int = 3, slices: Int = DefaultSlices,
+      srcDir: String = ScaleGen.DefaultSrcDir): DataFrame = {
     import spark.implicits._
-    val vocab = ScaleGen.vocabFrom(spark, "/root/testdata/sf0.1")
+    val vocab = ScaleGen.vocabFrom(spark, srcDir)
     val w = shingleWidth
     spark.range(0L, n, 1L, slices)
       .mapPartitions { it =>

@@ -70,6 +70,57 @@ class PersistLeasesSpec extends AnyFunSuite {
     PersistLeases.releaseAll()
   }
 
+  test("a thread spawned inside scoped {} inherits the scope (VERDICT r19 #3)") {
+    PersistLeases.releaseAll()
+    val sessionBefore = PersistLeases.pending
+    val (_, s) = PersistLeases.scoped {
+      val t = new Thread(() => PersistLeases.register(() => ()))
+      t.start()
+      t.join()
+    }
+    assert(PersistLeases.pending === sessionBefore,
+      "the spawned thread's lease must not fall through to the session queue")
+    assert(s.pending === 1, "the spawned thread's lease must land on the scope")
+    s.release()
+  }
+
+  test("a pre-existing pool thread registers explicitly on a passed scope") {
+    // Threads created BEFORE the scope opened (foreachBatch executors,
+    // pooled workers) inherit nothing — the contract is Scope.register.
+    import java.util.concurrent.Executors
+    val pool = Executors.newSingleThreadExecutor()
+    try {
+      pool.submit(new Runnable { def run(): Unit = () }).get() // pre-create the thread
+      PersistLeases.releaseAll()
+      val sessionBefore = PersistLeases.pending
+      val (_, s) = PersistLeases.scoped {
+        val scope = PersistLeases.currentScope.get
+        pool.submit(new Runnable {
+          def run(): Unit = scope.register(() => ())
+        }).get()
+      }
+      assert(s.pending === 1 && PersistLeases.pending === sessionBefore)
+      s.release()
+    } finally pool.shutdown()
+  }
+
+  test("a throwing scoped body spills its leases to the session queue (ADVICE r19)") {
+    PersistLeases.releaseAll()
+    var ran = 0
+    val thrown = intercept[RuntimeException] {
+      PersistLeases.scoped {
+        PersistLeases.register(() => ran += 1)
+        PersistLeases.register(() => ran += 1)
+        throw new RuntimeException("pipeline construction failed")
+      }
+    }
+    assert(thrown.getMessage === "pipeline construction failed")
+    assert(PersistLeases.pending === 2,
+      "the dead scope's handles must be recoverable by releaseAll")
+    PersistLeases.releaseAll()
+    assert(ran === 2, "releaseAll must run the spilled handles")
+  }
+
   test("one Curation pipeline's release frees its cache, not another's") {
     import graft.corpus.Curation
     PersistLeases.releaseAll()

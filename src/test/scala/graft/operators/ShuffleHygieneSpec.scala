@@ -92,6 +92,24 @@ class ShuffleHygieneSpec extends AnyFunSuite {
         "the first call returned before its fixpoint")
   }
 
+  test("clusterRetainedShuffleBytes equals the local reading on local[*] (VERDICT r19 #5)") {
+    // materialize a shuffle so both readings are non-trivially nonzero
+    val shuffled = (1L to 20000L).toDF("x")
+      .groupBy(col("x") % 64).agg(sum("x").as("s"))
+    assert(shuffled.count() === 64)
+    val local = ShuffleHygiene.retainedShuffleBytes(spark)
+    val aggregated = ShuffleHygiene.clusterRetainedShuffleBytes(spark)
+    assert(local > 0L, "the shuffle above must leave map files behind")
+    // single executor ("driver") on local[*]: the dedup-by-executor-id
+    // sum collapses to exactly one walk of the same dirs. Concurrent
+    // suites can add/remove files between the two walks, so allow a
+    // small relative drift rather than pin equality on a live tree.
+    val drift = math.abs(aggregated - local).toDouble / local
+    assert(drift <= 0.05,
+      s"aggregated=$aggregated vs local=$local — on local[*] these " +
+        "must be the same executor's dirs")
+  }
+
   test("parquetBarrier preserves rows and cuts lineage") {
     val dir = graft.TestSpark.scratchDir("hygiene_barrier")
     val shuffled = (1L to 10000L).toDF("x")

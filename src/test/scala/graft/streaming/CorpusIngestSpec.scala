@@ -148,6 +148,46 @@ class CorpusIngestSpec extends AnyFunSuite {
       "a leaf with staging residue must stay uncommitted after migration")
   }
 
+  test("storeFrame in a fold's commit-then-drop window: duplicates, never loss (ADVICE r19)") {
+    // The race storeFrame's list-first ordering defends: a fold
+    // commits gen N+1 (containing batch B's rows) and only then drops
+    // B's partition. Freeze the store IN that window — gen 1
+    // committed, batch 2 still live, merged-ids not yet recorded —
+    // and the whole-store accessor must return every id (batch-2 rows
+    // possibly twice: live dir ∪ new base), never a snapshot missing
+    // them.
+    val dir = store()
+    CorpusIngest.ingestBatch(Seq((1L, "one"), (2L, "two"))
+      .toDF("doc_id", "text"), 0L, dir, "doc_id")
+    CorpusIngest.ingestBatch(Seq((3L, "three")).toDF("doc_id", "text"),
+      1L, dir, "doc_id")
+    CorpusIngest.ingestBatch(Seq((4L, "four")).toDF("doc_id", "text"),
+      2L, dir, "doc_id")
+    CorpusIngest.compactStore(spark, dir, "doc_id", keepRecentBatches = 1)
+    val fs = Lsm.fileSystem(spark, dir)
+    assert(Lsm.committedGens(fs, dir) == Seq(0L))
+    // manually advance the fold to its post-commit-pre-drop instant
+    Lsm.foldBatchesGen(spark, dir, Seq(2L),
+      _.dropDuplicates(Seq("doc_id")), Seq.empty, mergeSchema = true)
+    assert(Lsm.committedGens(fs, dir) == Seq(0L, 1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch_id=2")),
+      "window under test: folded batch still live")
+    val mid = CorpusIngest.storeFrame(spark, dir)
+    assert(mid.select("doc_id").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L),
+      "a reader in the commit-then-drop window must see every id")
+    // id 4 may legitimately appear twice (live batch + new base) —
+    // that is the documented harmless degradation, and the id-keyed
+    // ingest probe collapses it
+    assert(mid.filter(col("doc_id") === 4L).count() >= 1L)
+    // the fold completes; the steady-state snapshot is duplicate-free
+    CorpusIngest.recordMergedBatchIds(spark, dir, Set(2L))
+    Lsm.dropBatches(spark, dir, Seq(2L))
+    val after = CorpusIngest.storeFrame(spark, dir)
+    assert(after.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("stream end-to-end: file-source micro-batches land deduped") {
     val src = graft.TestSpark.scratchDir("ingest_src")
     val dir = store()

@@ -360,6 +360,30 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(landedIds(store) == Seq(1L, 2L))
   }
 
+  test("PhaseTimes is scoped per store: two ingests don't conflate (ADVICE r19)") {
+    val (idxA, storeA) = ws("ndi_phases_a")
+    val (idxB, storeB) = ws("ndi_phases_b")
+    NearDupIngest.PhaseTimes.reset()
+    Seq((idxA, storeA), (idxB, storeB)).foreach { case (idx, store) =>
+      NearDupIngest.writeIndex(
+        Seq((100L, A)).toDF("doc_id", "text")
+          .withColumn("t", TextFns.tokens(col("text"))), idx)
+      ingest(Seq((1L, B)), 0L, idx, store)
+    }
+    val a = NearDupIngest.PhaseTimes.snapshotFor(storeA)
+    val b = NearDupIngest.PhaseTimes.snapshotFor(storeB)
+    assert(a.getOrElse("store_landing", 0L) > 0L &&
+      b.getOrElse("store_landing", 0L) > 0L,
+      s"each store accumulates its own phases: a=$a b=$b")
+    // the merged (single-stream-harness) view sums across keys
+    assert(NearDupIngest.PhaseTimes.snapshot.getOrElse("store_landing", 0L) ===
+      a.getOrElse("store_landing", 0L) + b.getOrElse("store_landing", 0L))
+    // resetting one stream's totals leaves the other's intact
+    NearDupIngest.PhaseTimes.reset(storeA)
+    assert(NearDupIngest.PhaseTimes.snapshotFor(storeA).isEmpty)
+    assert(NearDupIngest.PhaseTimes.snapshotFor(storeB) === b)
+  }
+
   test("band-key schema version: written by builds, legacy layouts fail fast") {
     val (idx, store) = ws("ndi_keyschema")
     NearDupIngest.writeIndex(
