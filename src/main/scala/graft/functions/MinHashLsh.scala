@@ -263,6 +263,38 @@ object MinHashLsh {
     else bandGrid.min // no signed docs — any config is a no-op
   }
 
+  /** The whole pricing grid's band keys as bijectively PACKED longs —
+    * the input shape of [[OccupancySweep.exactStratified]], the
+    * bounded-peak EXACT sweep for corpora whose distinct-key count
+    * exceeds one aggregation's spill budget (VERDICT r19 #1; the
+    * in-memory [[calibrateBands]]/[[calibrateBandsFused]] stay the
+    * operational path — this is the decade-pricing path).
+    *
+    * Each (bands, band) grid pair gets a 4-bit tag above the 60-bit
+    * band key ([[BandKeyHexChars]]), so grouping by the packed long
+    * is exactly grouping by (bands, band, key); the returned decoder
+    * maps a packed value back to its `bands` config.
+    */
+  def packedGridKeys(sigs: DataFrame, k: Int,
+      grid: Seq[Int]): (DataFrame, Long => Int) = {
+    require(grid.nonEmpty && grid.forall(b => k % b == 0),
+      s"band grid $grid must be non-empty divisors of k=$k")
+    val tags = for { b <- grid; band <- 0 until b } yield (b, band)
+    require(tags.size <= 16,
+      s"grid $grid spans ${tags.size} (bands, band) pairs — " +
+        "more than the 4 tag bits above a 60-bit key carry")
+    val cols = tags.zipWithIndex.map { case ((b, band), tag) =>
+      val r = k / b
+      OccupancySweep.packTag(tag,
+        bandKeyCol((band * r until (band + 1) * r).map(i => col(s"s$i"))),
+        OccupancySweep.MinHashTagShift)
+    }
+    val cfgByTag = tags.map(_._1).toArray
+    val shift = OccupancySweep.MinHashTagShift
+    (sigs.select(explode(array(cols: _*)).as("packed")),
+      (p: Long) => cfgByTag((p >>> shift).toInt))
+  }
+
   /** [[calibrateBands]] fused with the hot-bucket discovery the
     * executing join would otherwise probe for: the sweep's per-bucket
     * occupancy intermediate (bands, band, key, m) is persisted for

@@ -45,12 +45,33 @@ object SketchGen {
     */
   val DefaultSlices = 256
 
+  /** Deterministic id-sample membership for the SIXTH-decade
+    * estimator (VERDICT r19 #7): keep id iff
+    * `splitmix64(id) mod sampleMod == 0` — a hash draw, NOT `id mod
+    * R`, because ScaleGen's planted dup partners sit at fixed id
+    * OFFSETS (id−250, id−100) and a residue-class sample would keep
+    * partners together with probability 1/R instead of the
+    * independent 1/R² every unordered pair must have for
+    * `pairs_full = R² · pairs_sampled` to be unbiased (each key's
+    * sampled occupancy is Binomial(c, 1/R), so
+    * E[C(c_s,2)] = C(c,2)/R² exactly — concentration-driven heavy
+    * keys and c=2 dup pairs alike).
+    */
+  def inSample(id: Long, sampleMod: Long): Boolean =
+    sampleMod <= 1L || {
+      var z = id * -0x61c8864680b583ebL + 0x0b5e5bab3a3c9b1dL
+      z = (z ^ (z >>> 30)) * -0x40a7b892e31b1a47L
+      z = (z ^ (z >>> 27)) * -0x6b2fb644ecceee15L
+      java.lang.Math.floorMod(z ^ (z >>> 31), sampleMod) == 0L
+    }
+
   /** MinHash signatures (idCol `doc_id`, s0..s{k-1}) of the virtual
     * ScaleGen corpus of `n` docs.
     */
   def minhashSignatures(spark: SparkSession, n: Long, shingleWidth: Int = 3,
       k: Int = 12, slices: Int = DefaultSlices,
-      srcDir: String = ScaleGen.DefaultSrcDir): DataFrame = {
+      srcDir: String = ScaleGen.DefaultSrcDir,
+      sampleMod: Long = 1L): DataFrame = {
     import spark.implicits._
     import graft.functions.MinHashLsh.{P, aConst, bConst}
     val vocab = ScaleGen.vocabFrom(spark, srcDir)
@@ -59,8 +80,10 @@ object SketchGen {
     val p = P
     val w = shingleWidth
     val kk = k
+    val sm = sampleMod
     spark.range(0L, n, 1L, slices)
-      .mapPartitions { it =>
+      .mapPartitions { it0 =>
+        val it = it0.filter(id => inSample(id, sm))
         val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder
         // shingle → its k signature components, computed once per
@@ -119,12 +142,15 @@ object SketchGen {
     */
   def simhash64Fingerprints(spark: SparkSession, n: Long,
       shingleWidth: Int = 3, slices: Int = DefaultSlices,
-      srcDir: String = ScaleGen.DefaultSrcDir): DataFrame = {
+      srcDir: String = ScaleGen.DefaultSrcDir,
+      sampleMod: Long = 1L): DataFrame = {
     import spark.implicits._
     val vocab = ScaleGen.vocabFrom(spark, srcDir)
     val w = shingleWidth
+    val sm = sampleMod
     spark.range(0L, n, 1L, slices)
-      .mapPartitions { it =>
+      .mapPartitions { it0 =>
+        val it = it0.filter(id => inSample(id, sm))
         val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder
         val cache = new java.util.HashMap[String, java.lang.Long]()

@@ -18,13 +18,16 @@ import graft.tools.SketchGen
   * (`bench/sf1000_text_audits_r18.txt`) — the anchor that makes the
   * 500 M numbers the real corpus's numbers, not a model's — then
   * prices the full grid one decade up and reports which configs fit
-  * and where the next representation ceiling sits. The SimHash64 and
-  * hyperplane rows run their fifth-decade sweeps EXACTLY (bit-key
-  * occupancies spill modestly); the MinHash row's exact 500 M sweep
-  * does not fit this box's disk (~10× its 50 M sweep's measured
-  * ~33 GB sort spill of ~unique md5 keys), so that family is priced
-  * by an exact one-decade ladder plus a measured-growth-exponent
-  * extrapolation — see the test comment.
+  * and where the next representation ceiling sits. All THREE families
+  * now sweep their fifth decade EXACTLY (round 20 — VERDICT r19 #1):
+  * SimHash64 and hyperplane spill modestly (bit-key occupancies), and
+  * the MinHash row — whose plain sweep sort-spills ~one row per
+  * distinct md5 key, past this box at 500 M — runs through
+  * [[graft.functions.OccupancySweep.exactStratified]], the
+  * bounded-peak GRACE-style exact aggregation (peak disk = one
+  * generator pass's strata + one stratum's shuffle). The one-decade
+  * ladder survives as an alpha-envelope cross-check on the exact
+  * result.
   *
   * Volume-gated (tens of minutes, tens of GB of transient shuffle):
   *
@@ -119,24 +122,50 @@ class Sf10000PricingSpec extends AnyFunSuite {
         (r.getAs[Long]("cand_pairs"), r.getAs[Long]("n_docs"))).toMap
   }
 
-  test("sf10000-docs (500M): MinHash priced by an exact ladder + extrapolation") {
+  /** The bounded-peak EXACT sweep (VERDICT r19 #1): packed grid keys
+    * through [[graft.functions.OccupancySweep.exactStratified]] —
+    * same values as [[minhashSweep]] (OccupancySweepSpec pins the
+    * equality shape; the 50M anchor below pins it at decade scale
+    * against the committed referee), with peak disk bounded by
+    * (outer, inner) instead of the distinct-key count.
+    */
+  private def minhashSweepStratified(spark: org.apache.spark.sql.SparkSession,
+      n: Long, grid: Seq[Int], outer: Int, inner: Int)
+      : Map[Int, (Long, Long)] = {
+    import graft.functions.{MinHashLsh, OccupancySweep}
+    val scratchBase = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.getFreeSpace > 80L * (1L << 30))
+        "/dev/shm/graft_occsweep"
+      else sys.props("java.io.tmpdir") + "/graft_occsweep"
+    }
+    val cfgOf = MinHashLsh.packedGridKeys(
+      SketchGen.minhashSignatures(spark, 1L), 12, grid)._2
+    val stats = OccupancySweep.exactStratified(spark,
+      () => MinHashLsh.packedGridKeys(
+        SketchGen.minhashSignatures(spark, n), 12, grid)._1,
+      cfgOf, outer, inner, s"$scratchBase/n$n")
+    // exactStratified reports totalRows per config (= n_docs × bands);
+    // normalize to the (cand_pairs, n_docs) shape of minhashSweep
+    stats.map { case (b, (p, tot)) => b -> (p, tot / b) }
+  }
+
+  test("sf10000-docs (500M): MinHash priced EXACTLY by the stratified sweep") {
     gated()
     val spark = session()
     val grid = Seq(2, 3, 4, 6)
-    // The EXACT 500M MinHash sweep does not fit this box: its md5
-    // band keys are ~unique per (doc, band) outside the collision
-    // mass, so the grid occupancy aggregation sort-spills ~watch-the-
-    // disk × 10 of the 50M sweep's measured ~33 GB — past the ~60 GB
-    // free here (the SimHash64 row below runs its 500M sweep exactly,
-    // because bit-arithmetic keys spill an order of magnitude less).
-    // So the fifth-decade MinHash row is an exact LADDER one decade
-    // deep (5M / 15M / 50M, each a real sweep over bit-identical
-    // sketches) anchored to the committed sf1000 referee, with the
-    // 500M load extrapolated from the measured per-doc growth
-    // exponent per config.
+    // Round 19 priced this row by ladder + measured-exponent
+    // extrapolation: the plain grid-occupancy aggregation sort-spills
+    // ~one row per distinct 60-bit key (~33 GB at 50M, ~10× at 500M —
+    // past this box). Round 20 (VERDICT r19 #1): the stratified exact
+    // sweep bounds peak disk by (outer × inner) strata — 2 generator
+    // passes × 8 strata keep ≤ ~30 GB of packed keys + one stratum's
+    // shuffle live at any instant — so the fifth-decade row is now
+    // EXACT on this box. The one-decade ladder below survives as the
+    // alpha-envelope cross-check on the exact result.
     def sweep(n: Long) = minhashSweep(
       SketchGen.minhashSignatures(spark, n), grid)
-    val rungs = Seq(5000000L, 15000000L, N4)
+    val rungs = Seq(5000000L, 15000000L)
     val ladder = rungs.map { n =>
       val s = sweep(n)
       graft.operators.ShuffleHygiene.reclaim(spark)
@@ -146,25 +175,50 @@ class Sf10000PricingSpec extends AnyFunSuite {
           (if (p <= Budget * nd) " FITTING" else " over"))
       n -> s
     }.toMap
-    // ANCHOR: the 50M rung must reproduce the committed measured
-    // fourth-decade referee EXACTLY (selected=4 bands FITTING,
-    // predicted<=871,427,449 pairs over 50M docs)
-    assert(ladder(N4)(4)._2 == N4)
-    assert(ladder(N4)(4)._1 == 871427449L,
-      "anchor sweep must equal the committed sf1000 measured value")
-    // EXTRAPOLATION: per-doc load ~ c·N^alpha per config (alpha from
-    // the top decade of the ladder; the md5 keyspace is 2^60, so
-    // random collisions are negligible and growth is vocabulary/dup
-    // driven)
-    for (b <- grid) {
+    // ANCHOR: the 50M rung THROUGH THE STRATIFIED MACHINERY must
+    // reproduce the committed measured fourth-decade referee EXACTLY
+    // — the same machinery then prices 500M, so the fifth-decade
+    // numbers are the real corpus's numbers
+    val anchor = minhashSweepStratified(spark, N4, grid, outer = 1,
+      inner = 4)
+    for ((b, (p, nd)) <- anchor.toSeq.sortBy(_._1))
+      info(s"anchor 50M (stratified): bands=$b cand_pairs=$p perDoc=" +
+        f"${p.toDouble / nd}%.3f")
+    assert(anchor(4)._2 == N4)
+    assert(anchor(4)._1 == 871427449L,
+      "stratified anchor must equal the committed sf1000 measured value")
+    graft.operators.ShuffleHygiene.reclaim(spark)
+    // FIFTH DECADE, EXACT: ~60 GB of packed keys split over 2
+    // generator passes × 8 strata
+    val t0 = System.nanoTime()
+    val fifth = minhashSweepStratified(spark, N5, grid, outer = 2,
+      inner = 8)
+    info(f"500M exact stratified sweep: ${(System.nanoTime() - t0) / 60e9}%.1f min")
+    val fitting = fifth.toSeq
+      .filter { case (_, (p, nd)) => p <= Budget * nd }.map(_._1)
+    for ((b, (p, nd)) <- fifth.toSeq.sortBy(_._1)) {
+      assert(nd == N5, s"bands=$b row count must cover all of N5")
+      // alpha ENVELOPE: the exact value must sit within 2× of the
+      // ladder's measured-exponent prediction (the r19 committed
+      // extrapolation methodology, now cross-checked by exactness)
       val l15 = ladder(15000000L)(b)._1.toDouble / 15000000L
-      val l50 = ladder(N4)(b)._1.toDouble / N4
+      val l50 = anchor(b)._1.toDouble / N4
       val alpha = math.log(l50 / l15) / math.log(N4 / 15000000.0)
-      val perDoc500 = l50 * math.pow(N5.toDouble / N4, alpha)
-      info(f"sf10000 500M extrapolated: bands=$b perDoc=$perDoc500%.2f " +
-        f"(alpha=$alpha%.2f) budget=${Budget}" +
-        (if (perDoc500 <= Budget) " FITTING" else " over"))
+      val predicted = l50 * math.pow(N5.toDouble / N4, alpha)
+      val measured = p.toDouble / nd
+      info(f"sf10000 500M EXACT: bands=$b cand_pairs=$p perDoc=" +
+        f"$measured%.3f (alpha-predicted $predicted%.2f, alpha=$alpha%.2f)" +
+        (if (p <= Budget * nd) " FITTING" else " over"))
+      if (predicted > 1e-3) // b=2's ~flat load is noise-dominated
+        assert(measured <= predicted * 2 && measured >= predicted / 2,
+          s"bands=$b exact 500M load $measured outside the ladder's " +
+            s"alpha envelope around $predicted")
     }
+    // the r19 finding, now exact: bands=4 prices out at the fifth
+    // decade and the selection shifts to bands=3
+    assert(fitting.nonEmpty && fitting.max == 3,
+      s"fifth-decade selection must shift to bands=3, got $fitting")
+    assert(!fitting.contains(4), "bands=4 must price out at 500M")
     spark.stop()
   }
 
