@@ -140,7 +140,7 @@ class Sf1e10PricingSpec extends AnyFunSuite {
     // reproduce the committed exact values within the binomial
     // envelope (b=2's pair mass is small — wider band)
     val v = minhashSampled(spark, N5, grid, inner = 2)
-    report("N5 validation (R=50)", v, "bands")
+    report(s"N5 validation (R=$R)", v, "bands")
     for (b <- grid) {
       val exact = ExactN5MinHash(b)
       val est = v(b)._1.toDouble
@@ -150,13 +150,14 @@ class Sf1e10PricingSpec extends AnyFunSuite {
           s"the ±${(tol * 100).toInt}% validation envelope")
     }
     graft.operators.ShuffleHygiene.reclaim(spark)
-    // SIXTH DECADE: ~1e8 effective docs, stratified
+    // SIXTH DECADE: 5e9/R effective docs, stratified
     val sixth = minhashSampled(spark, N6, grid, inner = 8)
-    report("N6 = 5e9 (R=50)", sixth, "bands")
+    report(s"N6 = 5e9 (R=$R)", sixth, "bands")
     val perDoc3 = sixth(3)._1.toDouble / sixth(3)._2
     val perDoc4 = sixth(4)._1.toDouble / sixth(4)._2
-    // the ceiling arithmetic: bands=3 still FITTING at 5e9 (projected
-    // ceiling 4.5e10), bands=4 further out than at 500M
+    // the ceiling arithmetic: bands=3 still FITTING at 5e9 (exact-
+    // decade ceiling projection ~1.6e10), bands=4 further out than
+    // at 500M
     assert(perDoc3 <= Budget,
       f"bands=3 must still fit at 5e9 docs, got $perDoc3%.2f/doc")
     assert(perDoc4 > Budget, "bands=4 must stay priced out")
@@ -170,7 +171,7 @@ class Sf1e10PricingSpec extends AnyFunSuite {
     val spark = session()
     val grid = Seq(16, 32)
     val v = simhashSampled(spark, N5, grid, inner = 2)
-    report("N5 validation (R=50)", v, "w")
+    report(s"N5 validation (R=$R)", v, "w")
     for (w <- grid) {
       val exact = ExactN5SimHash(w)
       val est = v(w)._1.toDouble
@@ -179,7 +180,7 @@ class Sf1e10PricingSpec extends AnyFunSuite {
     }
     graft.operators.ShuffleHygiene.reclaim(spark)
     val sixth = simhashSampled(spark, N6, grid, inner = 4)
-    report("N6 = 5e9 (R=50)", sixth, "w")
+    report(s"N6 = 5e9 (R=$R)", sixth, "w")
     val perDoc32 = sixth(32)._1.toDouble / sixth(32)._2
     assert(perDoc32 <= Budget,
       f"w=32 must still fit at 5e9 docs, got $perDoc32%.2f/doc")
