@@ -234,10 +234,20 @@ object MinHashLsh {
       bandGrid: Seq[Int]): DataFrame = {
     require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
       s"band grid $bandGrid must be non-empty divisors of k=$k")
-    bandGrid.map { b =>
-      bandKeys(sigs, idCol, k, b)
-        .select(lit(b).as("bands"), col("band"), col("key"))
-    }.reduce(_ unionByName _)
+    // ONE explode emits every grid config's (bands, band, key) rows in
+    // a single pass over the signatures — the former per-config
+    // unionByName scanned the signature frame |bandGrid| times (4
+    // cached scans + a 4-branch union plan) for the identical rows
+    // (r21; md5 count per signature row is unchanged: Σ_b b keys)
+    val keyCols = for { b <- bandGrid; band <- 0 until b } yield {
+      val r = k / b
+      struct(lit(b).as("bands"), lit(band).as("band"),
+        bandKeyCol((band * r until (band + 1) * r).map(i => col(s"s$i")))
+          .as("key"))
+    }
+    sigs.select(explode(array(keyCols: _*)).as("__gk"))
+      .select(col("__gk.bands").as("bands"), col("__gk.band").as("band"),
+        col("__gk.key").as("key"))
       .groupBy("bands", "band", "key")
       .agg(count(lit(1)).as("m"))
   }

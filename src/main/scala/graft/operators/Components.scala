@@ -33,7 +33,8 @@ object Components {
     *        tiny next to the corpus that produced them, and the
     *        distributed fixpoint pays O(log diameter) rounds of
     *        two-joins-plus-agg scheduling latency that dwarf the work
-    *        at that size. The probe is `limit(n+1).count()` so a huge
+    *        at that size. The probe is an incremental `take(n+1)` that
+    *        doubles as the collect when the set fits, so a huge
     *        pair set is never scanned past the cap; unlike closure,
     *        components output is bounded by the input (≤ 2·|edges|
     *        nodes), so no separate output cap is needed. Set 0 to
@@ -47,11 +48,19 @@ object Components {
       maxIterations: Int = 32,
       localThreshold: Int = 200000): DataFrame = {
     val e0 = edges.select(col(aCol).as("x"), col(bCol).as("y"))
-    if (localThreshold > 0 &&
-        e0.limit(localThreshold + 1).count() <= localThreshold) {
-      localComponents(e0) match {
-        case Some(labeled) => return labeled
-        case None => // null endpoints — defer to the distributed path
+    if (localThreshold > 0) {
+      // ONE incremental take replaces the former limit(n+1).count()
+      // probe + full collect pair, which executed the whole upstream
+      // pair dataflow (LSH band join + distinct) twice per call —
+      // take(n+1) returning ≤ n rows IS the full edge set, handed
+      // straight to the union-find (r21; probe-only cost above the cap
+      // is unchanged: take stops at n+1 rows)
+      val head = e0.take(localThreshold + 1)
+      if (head.length <= localThreshold) {
+        localComponents(e0, head) match {
+          case Some(labeled) => return labeled
+          case None => // null endpoints — defer to the distributed path
+        }
       }
     }
     val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
@@ -125,9 +134,10 @@ object Components {
     * nodes keep a row), and the fallback keeps that single source of
     * truth instead of re-implementing it.
     */
-  private def localComponents(e0: DataFrame): Option[DataFrame] = {
+  private def localComponents(e0: DataFrame,
+      collected: Array[org.apache.spark.sql.Row]): Option[DataFrame] = {
     val spark = e0.sparkSession
-    val pairs = e0.collect().map(r => (r.get(0), r.get(1)))
+    val pairs = collected.map(r => (r.get(0), r.get(1)))
     if (pairs.exists { case (a, b) => a == null || b == null }) return None
 
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]

@@ -9,26 +9,38 @@ import org.apache.spark.sql.functions._
   * `import_homologs.py:114`, `import_genes_exons.py:120-126`,
   * `import_features.py:203-211`).
   *
-  * All three are a single hash-partition shuffle on the key columns; at
-  * 100 TB the window variant is preferred over `dropDuplicates` when an
-  * explicit ordering must win, because `dropDuplicates` keeps an
-  * arbitrary row. AQE handles skewed key groups.
+  * D1/D3 run as ONE hash aggregation — `min`/`max` of a
+  * `struct(ord…, full row)` per key — instead of the former
+  * exchange + per-partition sort + row_number window (r21, guide
+  * §2.3 "aggregate before you shuffle"): the partial aggregate
+  * combines map-side, so the shuffle carries at most one row per
+  * (map task, key) rather than every input row, and the sort is gone
+  * entirely. Struct comparison is lexicographic by field with nulls
+  * ordered first — exactly `ORDER BY … ASC NULLS FIRST` under `min`
+  * and `ORDER BY … DESC NULLS LAST` under `max`, Spark's window
+  * defaults, so winners are identical to the window form wherever the
+  * ordering keys are unique per key group; on full ties the pick is
+  * deterministic (whole-row extremum) where the window's was
+  * scan-order-dependent. AQE handles skewed key groups.
   */
 object Dedup {
 
   /** D1 — `INSERT OR REPLACE`: last write (by `ord`) wins per key. */
   def lastWins(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame =
-    pick(df, keys, ord.map(_.desc))
+    pick(df, keys, ord, useMax = true)
 
   /** D3 — `INSERT`-and-skip-dup: first write (by `ord`) wins per key. */
   def keepFirst(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame =
-    pick(df, keys, ord.map(_.asc))
+    pick(df, keys, ord, useMax = false)
 
-  private def pick(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  private def pick(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+      useMax: Boolean): DataFrame = {
+    val ordered = struct(
+      ord.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+        struct(df.columns.map(col): _*).as("__row"): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg((if (useMax) max(ordered) else min(ordered)).as("__pick"))
+      .select(df.columns.map(c => col(s"__pick.__row.`$c`").as(c)): _*)
   }
 
   /** D2 — plain `INSERT` with PK: any duplicate key aborts the load

@@ -259,11 +259,21 @@ object Extended17 {
         val epairs = graft.operators.EmbedNearDup.bandedPairs(emb, "vec_id",
             bands = 4, planesPerBand = 4, dim = 64, minCos = 0.4)
           .select(col("a"), col("b"), lit(1).as("em"))
+        // classed is PAIR-sized (bounded candidate sets from both
+        // banded joins) but its lineage is the full text-LSH + embed-
+        // LSH chains — and BOTH aggregation branches below consume it.
+        // Un-persisted, the whole two-modality pipeline appeared twice
+        // in the plan (r21 plan audit: duplicate FullOuter subtrees at
+        // ops 65/99) and executed twice per run. Leased persist: the
+        // harness drain (or a caller scope) releases it.
         val classed = text.join(epairs, Seq("a", "b"), "full_outer")
           .withColumn("class",
             when(col("tm").isNotNull && col("em").isNotNull, "both")
               .when(col("tm").isNotNull, "text_only")
               .otherwise("embed_only"))
+          .persist()
+        graft.functions.PersistLeases.register(
+          () => { classed.unpersist(blocking = false); () })
         val nDocs = classed
           .select(col("class"), explode(array(col("a"), col("b"))).as("doc"))
           .groupBy("class").agg(count_distinct(col("doc")).as("n_docs"))

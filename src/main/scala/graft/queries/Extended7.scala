@@ -113,10 +113,15 @@ object Extended7 {
         val toks = Tables.docsParallel(s, d)
           .select(explode(TextFns.tokens(col("text"))).as("tok"))
         val mg = udaf(new MisraGries(MgCapacity))
-        val cands = toks.agg(mg(col("tok")).as("m"))
-          .select(explode(map_keys(col("m"))).as("tok"))
-          .collect().map(_.getString(0)).toSeq
-        val total = toks.count()
+        // sketch + total token count in ONE aggregation pass: both are
+        // corpus-wide aggregates over the same exploded stream, and the
+        // former separate toks.count() re-scanned and re-exploded the
+        // whole corpus for one long (r21; 3 corpus passes → 2 — the
+        // exact candidate recount below is the irreducible second)
+        val head = toks.agg(mg(col("tok")).as("m"),
+            count(lit(1)).as("n")).head()
+        val cands = head.getMap[String, Long](0).keys.toSeq
+        val total = head.getLong(1)
         toks.filter(col("tok").isin(cands: _*))
           .groupBy("tok").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") * HhDenom >= total)

@@ -185,15 +185,15 @@ object Extended8 {
           .filter(col("est") >= 0.5)
           .select(col("a"), col("b"))
           .persist() // consumed by degree/orientation/closure joins
-        // The output needs n_edges anyway, so the count doubles as a
-        // free size gate: a near-dup graph that fits on the driver
-        // (edges ≪ the collect cap shared with Components' fast path)
-        // is closed locally — the distributed plan below spends ~5
-        // sequential broadcast-build jobs on what is one in-memory
-        // pass. Beyond the cap the oriented-join plan takes over.
-        val nEdgesL = pairs.count()
-        if (nEdgesL <= 500000L) {
-          val es = pairs.as[(Long, Long)].collect()
+        // ONE incremental take is both the size gate and the collect
+        // (the Components r21 fusion): under the cap, take(n+1)
+        // returned the full edge set and its length IS n_edges — the
+        // former count()-then-collect() pair executed the cached pair
+        // scan twice. Beyond the cap the oriented-join plan takes over
+        // (and pays the count the output needs anyway).
+        val es = pairs.as[(Long, Long)].take(500001)
+        if (es.length <= 500000) {
+          val nEdgesL = es.length.toLong
           val adj = es.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
           // oracle shape: (a,b),(b,c) canonical pairs closed by (a,c)
           val nTrisL = es.iterator.map { case (a, b) =>

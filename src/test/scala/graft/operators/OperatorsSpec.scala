@@ -185,6 +185,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((1, "a"), (2, "d")))
   }
 
+  // r21: pick() switched from a row_number window (exchange + sort) to
+  // min/max of a struct(ord…, row) hash aggregation — pin that the
+  // aggregation form still selects the window form's winners, on
+  // random data with UNIQUE ordinals (the engine's call sites all
+  // order by monotonically_increasing_id-derived ordinals or unique
+  // key suffixes) and with null ordering keys, for both directions
+  // and a multi-column ordering.
+  test("agg-based lastWins/keepFirst ≡ row_number window on unique ordinals") {
+    val rowsGen = Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+    for (rows <- samples(rowsGen, 8) if rows.nonEmpty) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) =>
+          // null ordinal on a few rows: window asc = NULLS FIRST,
+          // desc = NULLS LAST — the struct comparison must agree
+          (k, v, if (v % 7 == 0) None else Some(i.toLong), i.toLong)
+        }
+        .toDF("k", "v", "ord", "tie")
+      def windowPick(desc: Boolean) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"))
+          .orderBy(Seq(col("ord"), col("tie"))
+            .map(c => if (desc) c.desc else c.asc): _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select("k", "v").as[(Int, Int)].collect().toSet
+      }
+      val first = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"), col("tie")))
+        .select("k", "v").as[(Int, Int)].collect().toSet
+      val last = Dedup.lastWins(df, Seq("k"), Seq(col("ord"), col("tie")))
+        .select("k", "v").as[(Int, Int)].collect().toSet
+      assert(first === windowPick(desc = false), s"keepFirst rows=$rows")
+      assert(last === windowPick(desc = true), s"lastWins rows=$rows")
+    }
+  }
+
   test("GlobalRank assigns exact 1..N ranks across many range partitions") {
     val rng = new scala.util.Random(3)
     val vals = rng.shuffle((1L to 5000L).toVector).map(v => (v, s"p$v"))
