@@ -190,38 +190,46 @@ object Curation {
       .select(col(idCol).cast("string"), col(tokensCol).cast("array<string>"))
       .as[(String, Array[String])]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val sb = new java.lang.StringBuilder
+        // r21: allocation-free single-pass MD5 + byte-level gram
+        // assembly (the signaturesFromTokens rewrite) — each token
+        // UTF-8-encodes once per document, no String/digest-array
+        // allocations in the per-gram loop; bytes and the 6-byte
+        // prefix value are identical (Md5Spec)
+        val md = new graft.functions.Md5.First8
+        val bb = new graft.functions.Md5.ByteBuf
+        var tokBytes = new Array[Array[Byte]](64)
         val fps = new java.util.HashSet[java.lang.Long]
         it.flatMap { case (id, t) =>
           val nGrams = if (t == null) 0 else t.length - k + 1
           if (nGrams < w) Iterator.empty
           else {
+            if (tokBytes.length < t.length)
+              tokBytes = new Array[Array[Byte]](t.length)
+            var e = 0
+            while (e < t.length) {
+              tokBytes(e) = if (t(e) == null) null else t(e).getBytes("UTF-8")
+              e += 1
+            }
             // gram hashes: first 12 hex chars of md5 == first 6
             // digest bytes, big-endian — the declarative conv value
             val hs = new Array[Long](nGrams)
             var p = 0
             while (p < nGrams) {
-              sb.setLength(0)
+              bb.reset()
               // null elements skipped, separator and all — concat_ws
               // semantics, matching the declarative q84 twin (the
               // SimHash.fingerprintsFromTokens ADVICE-r18 note;
               // unreachable from split() arrays, pinned anyway)
               var o = 0
               while (o < k) {
-                val tok = t(p + o)
+                val tok = tokBytes(p + o)
                 if (tok != null) {
-                  if (sb.length > 0) sb.append(' ')
-                  sb.append(tok)
+                  if (bb.len > 0) bb.appendSpace()
+                  bb.append(tok)
                 }
                 o += 1
               }
-              md.reset()
-              val dg = md.digest(sb.toString.getBytes("UTF-8"))
-              var h = 0L
-              var y = 0
-              while (y < 6) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
-              hs(p) = h
+              hs(p) = md.hash(bb.buf, bb.len) >>> 16
               p += 1
             }
             // per full window: min h, ties to the RIGHTMOST position

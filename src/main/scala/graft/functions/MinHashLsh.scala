@@ -135,26 +135,41 @@ object MinHashLsh {
       .select(col(idCol).cast("string"), col(tokensCol).cast("array<string>"))
       .as[(String, Array[String])]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val sb = new java.lang.StringBuilder
+        // r21: allocation-free single-pass MD5 + byte-level shingle
+        // assembly — each token UTF-8-encodes ONCE per document (not
+        // once per covering shingle) and no String/StringBuilder/
+        // digest-array allocations remain in the per-shingle loop.
+        // Bit-equal to the MessageDigest form (Md5Spec): the byte
+        // stream is the same "tok tok tok" UTF-8 and the top 28
+        // digest bits are the same hex-prefix value.
+        val md = new Md5.First8
+        val bb = new Md5.ByteBuf
+        var tokBytes = new Array[Array[Byte]](64)
         it.flatMap { case (id, t) =>
           if (t == null || t.length < n) Iterator.empty
           else {
+            if (tokBytes.length < t.length)
+              tokBytes = new Array[Array[Byte]](t.length)
+            var e = 0
+            while (e < t.length) {
+              // StringBuilder.append(null: String) spelled "null" in
+              // the former form — keep that exact byte stream (tokens
+              // from split() are never null; pinned anyway)
+              tokBytes(e) = if (t(e) == null) Md5.NullBytes
+                else t(e).getBytes("UTF-8")
+              e += 1
+            }
             val mins = Array.fill(k)(Long.MaxValue)
             var i = 0
             while (i + n <= t.length) {
-              sb.setLength(0)
+              bb.reset()
               var o = 0
               while (o < n) {
-                if (o > 0) sb.append(' ')
-                sb.append(t(i + o))
+                if (o > 0) bb.appendSpace()
+                bb.append(tokBytes(i + o))
                 o += 1
               }
-              md.reset()
-              val dg = md.digest(sb.toString.getBytes("UTF-8"))
-              // first 7 hex chars of the digest == top 28 bits
-              val x = (((dg(0) & 0xffL) << 20) | ((dg(1) & 0xffL) << 12) |
-                ((dg(2) & 0xffL) << 4) | ((dg(3) & 0xf0L) >> 4)) % p
+              val x = (md.hash(bb.buf, bb.len) >>> 36) % p
               var j = 0
               while (j < k) {
                 val c = (x * as(j) + bs(j)) % p

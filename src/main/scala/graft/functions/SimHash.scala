@@ -146,19 +146,30 @@ sealed abstract class SimHashFamily(val bits: Int) {
       .select(col(idCol).cast("string"), col(tokensCol).cast("array<string>"))
       .as[(String, Array[String])]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val sb = new java.lang.StringBuilder
+        // r21: allocation-free single-pass MD5 + byte-level shingle
+        // assembly (the signaturesFromTokens rewrite) — identical
+        // bytes, identical prefix value (Md5Spec)
+        val md = new Md5.First8
+        val bb = new Md5.ByteBuf
+        var tokBytes = new Array[Array[Byte]](64)
         val seen = new java.util.HashSet[java.lang.Long]
         val cnt = new Array[Int](nBits)
         it.flatMap { case (id, t) =>
           if (t == null || t.length < n) Iterator.empty
           else {
+            if (tokBytes.length < t.length)
+              tokBytes = new Array[Array[Byte]](t.length)
+            var e = 0
+            while (e < t.length) {
+              tokBytes(e) = if (t(e) == null) null else t(e).getBytes("UTF-8")
+              e += 1
+            }
             seen.clear()
             java.util.Arrays.fill(cnt, 0)
             var tot = 0
             var i = 0
             while (i + n <= t.length) {
-              sb.setLength(0)
+              bb.reset()
               // null elements are SKIPPED, separator and all — the
               // declarative twin's concat_ws semantics (ADVICE r18:
               // StringBuilder.append(null) would render the literal
@@ -166,21 +177,16 @@ sealed abstract class SimHashFamily(val bits: Int) {
               // from split()-produced arrays, pinned here anyway)
               var o = 0
               while (o < n) {
-                val tok = t(i + o)
+                val tok = tokBytes(i + o)
                 if (tok != null) {
-                  if (sb.length > 0) sb.append(' ')
-                  sb.append(tok)
+                  if (bb.len > 0) bb.appendSpace()
+                  bb.append(tok)
                 }
                 o += 1
               }
-              val s = sb.toString
-              md.reset()
-              val dg = md.digest(s.getBytes("UTF-8"))
               // first bits/4 hex chars == first bits/8 digest bytes,
               // big-endian — the tokenHash limb assembly's value
-              var h = 0L
-              var y = 0
-              while (y < nBytes) { h = (h << 8) | (dg(y) & 0xffL); y += 1 }
+              val h = md.hash(bb.buf, bb.len) >>> (64 - 8 * nBytes)
               if (seen.add(h)) {
                 tot += 1
                 var b = 0
