@@ -37,36 +37,18 @@ object SessionTuning {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m"))
 
-  /** Session-default verdict (round 21, paired in-JVM A/B over 10
-    * representative queries, 13 alternating runs each, first sample
-    * per arm dropped): `parallelismFirst=false` GLOBALLY is a wash-to-
-    * regression — it halves the BPE training loop (5.77 → 2.34 s
-    * median) but doubles the compute-dense exact audits (q28 1.26 →
-    * 2.09, q135 0.96 → 2.22), whose per-byte compute (posting-list
-    * self-joins, all-pairs verify) is exactly the case bytes-based
-    * sizing cannot see. The default therefore stays parallelism-first;
-    * operators whose reduce stages are genuinely bytes-bound opt in
-    * with [[withBytesSizedReduce]] around their driver-side loops.
+  /** Session-default verdict (round 21): `parallelismFirst=false`
+    * globally is a wash-to-regression at the graded scale — an
+    * interleaved full-bench pair measured coherent per-query effects
+    * in both directions (LSH sweeps/BPE improving, the compute-dense
+    * exact audits q28/q135 doubling: their per-byte compute —
+    * posting-list self-joins, all-pairs verify — is exactly the case
+    * bytes-based sizing cannot see), and a fresh-JVM interleaved
+    * referee rejected even the strongest per-operator candidate (the
+    * q182 BPE loop: 1.96 s default vs 2.61 s bytes-sized medians).
+    * The default therefore stays parallelism-first; the env knobs
+    * above remain for cluster deployments, where
+    * `spark.sql.shuffle.partitions` is raised and advisory-byte
+    * coalescing is the documented guide-§2.2 posture.
     */
-  private val PfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-
-  /** Run `body` with post-shuffle partitions sized by ADVISORY BYTES
-    * instead of parallelism-first (guide §2.2 "fewer, larger reduce
-    * partitions"). For operator-internal driver loops over
-    * corpus-BOUNDED intermediates (e.g. the BPE vocabulary: tiny at
-    * calibration scale, ~O(√corpus) at 100 TB) whose per-round jobs
-    * are task-count-bound at any scale where the table is small and
-    * correctly byte-split where it is large. Execution that happens
-    * inside `body` (collects, counts) sees the setting; the previous
-    * value is restored on exit.
-    */
-  def withBytesSizedReduce[T](spark: SparkSession)(body: => T): T = {
-    val prev = spark.conf.getOption(PfKey)
-    spark.conf.set(PfKey, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(PfKey, v)
-      case None => spark.conf.unset(PfKey)
-    }
-  }
 }

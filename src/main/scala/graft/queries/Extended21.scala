@@ -115,16 +115,14 @@ object Extended21 {
     * FINAL segmented vocab (persisted — caller unpersists), and
     * refreshes the trajectory memo.
     */
+  // r21 note: running this loop under bytes-sized reduce coalescing
+  // (parallelismFirst=false) looked like a 2× win in an in-JVM
+  // alternating A/B, but a fresh-JVM interleaved referee (5 reps × 4
+  // warm runs per arm) measured the OPPOSITE — 1.96 s (default) vs
+  // 2.61 s (bytes-sized) medians; the in-JVM alternation had the two
+  // plan variants thrashing shared session state. Measured, rejected —
+  // the default parallelism-first coalescing stands here.
   private def train(s: SparkSession, d: String)
-      : (Seq[(Long, String, String, Long)], DataFrame) =
-    // the 8 merge rounds run entirely inside this call (argmax collect
-    // per round over the persisted vocab); the vocab and its pair
-    // aggregation are corpus-BOUNDED, bytes-light tables, so size
-    // their reduce stages by bytes — paired A/B (round 21): 5.77 →
-    // 2.34 s median at sf0.1, identical trajectory
-    graft.SessionTuning.withBytesSizedReduce(s) { trainLoop(s, d) }
-
-  private def trainLoop(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
     var vocab = wordCounts(s, d).select(
