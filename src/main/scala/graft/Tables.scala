@@ -38,7 +38,7 @@ object Tables {
     * split count (file listing, no job).
     */
   def docsParallel(spark: SparkSession, dir: String): DataFrame =
-    parallelized(spark, load(spark, dir, "documents"))
+    parallelizedLike(spark, dir, "documents")(load(spark, dir, "documents"))
 
   /** Same single-file→single-partition hazard for `embeddings`: the
     * brute-force / bucketed similarity joins stream this side through
@@ -47,11 +47,41 @@ object Tables {
     * scoring loop on one core.
     */
   def embeddingsParallel(spark: SparkSession, dir: String): DataFrame =
-    parallelized(spark, load(spark, dir, "embeddings"))
+    parallelizedLike(spark, dir, "embeddings")(load(spark, dir, "embeddings"))
 
-  private[graft] def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** The under-split probe's scan partition count, memoized per
+    * (table content fingerprint, defaultParallelism): the former
+    * per-call `df.rdd.getNumPartitions` ran full physical planning +
+    * RDD construction for a throwaway plan — measured 77–105 ms per
+    * call (tools.ProbeCost r21) against 0.15 ms for the fingerprint
+    * lookup, and docsParallel alone runs in ~50 query impls × 2 bench
+    * executions each. The fingerprint key (per-part-file sizes +
+    * mtimes) invalidates on any table rewrite, so generators and
+    * tests never see a stale count; the count depends otherwise only
+    * on the file layout and the session's split conf, which the
+    * harness holds constant per JVM.
+    */
+  private val scanPartsCache = new java.util.concurrent.ConcurrentHashMap[
+    ((String, Long, Long), Int), Integer]()
+
+  private def scanPartitions(spark: SparkSession, dir: String,
+      name: String): Int =
+    scanPartsCache.computeIfAbsent(
+      (pathFingerprint(spark, s"$dir/$name.parquet"),
+        spark.sparkContext.defaultParallelism),
+      _ => Integer.valueOf(
+        load(spark, dir, name).rdd.getNumPartitions)).intValue
+
+  /** Conditionally round-robin `df` (a narrow derivation — filter/
+    * project — of the named table's scan, so its partition count IS
+    * the scan's) to the core count when the scan is under-split; the
+    * docsParallel policy with the probe read from [[scanPartitions]]'s
+    * memo instead of a fresh plan→RDD conversion per call.
+    */
+  private[graft] def parallelizedLike(spark: SparkSession, dir: String,
+      name: String)(df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    if (scanPartitions(spark, dir, name) >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 

@@ -236,7 +236,8 @@ object Extended2 {
         // (referee-measured ~2.4x on the query at sf0.1). Persisted
         // because both the scoring join and the df aggregation
         // consume it.
-        val tf = Tables.parallelized(s, docs.select(col("doc_id"), col("text")))
+        val tf = Tables.parallelizedLike(s, d, "documents")(
+          docs.select(col("doc_id"), col("text")))
           .as[(Long, String)]
           .mapPartitions { it =>
             it.flatMap { case (id, text) =>

@@ -230,7 +230,7 @@ object Extended7 {
         val docs = Tables.load(s, d, "documents")
         def sh(pred: org.apache.spark.sql.Column) = TextFns
           .distinctShinglesBySource(
-            Tables.parallelized(s, docs.filter(pred)), 3)
+            Tables.parallelizedLike(s, d, "documents")(docs.filter(pred)), 3)
           .select(col("doc_id"), xxhash64(col("shs")).as("h"))
         // AutoSize + tiered eval side (BloomDecontaminate round-14):
         // the bounded tier collects the eval hashes in ONE narrow job,

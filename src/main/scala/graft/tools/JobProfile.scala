@@ -88,8 +88,15 @@ object JobProfile {
     spark.sparkContext.addSparkListener(listener)
 
     // GRAFT_AB=coalesce → alternate parallelismFirst true/false per run
-    // (paired in-JVM samples, immune to box-noise drift between arms)
-    val ab = sys.env.get("GRAFT_AB").contains("coalesce")
+    // GRAFT_AB=explain → alternate spark.sql.ui.explainMode
+    //   formatted/simple per run (AQE posts a plan-description string
+    //   per stage update even with the UI off — this prices it)
+    // (paired in-JVM samples, immune to box-noise drift between arms;
+    // valid for conf that does NOT change the plan shape — plan-variant
+    // alternation in one JVM measured unreliable, see bench/
+    // r21_referee_sf01.txt q182)
+    val abMode = sys.env.get("GRAFT_AB")
+    val ab = abMode.exists(m => m == "coalesce" || m == "explain")
     for (name <- args) {
       Registry.timingPrep.get(name).foreach(_(spark, dir))
       var lastWall = 0.0
@@ -97,9 +104,12 @@ object JobProfile {
         "pfFalse" -> mutable.ArrayBuffer.empty[Double])
       val walls = (1 to runs).map { i =>
         val arm = if (i % 2 == 1) "pfTrue" else "pfFalse"
-        if (ab) spark.conf.set(
+        if (ab && abMode.contains("coalesce")) spark.conf.set(
           "spark.sql.adaptive.coalescePartitions.parallelismFirst",
           (arm == "pfTrue").toString)
+        if (ab && abMode.contains("explain")) spark.conf.set(
+          "spark.sql.ui.explainMode",
+          if (arm == "pfTrue") "formatted" else "simple")
         jobs.synchronized(jobs.clear())
         val t0 = System.nanoTime()
         val n = Registry.all(name).impl(spark, dir).count()
