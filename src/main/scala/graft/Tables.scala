@@ -62,13 +62,18 @@ object Tables {
     * harness holds constant per JVM.
     */
   private val scanPartsCache = new java.util.concurrent.ConcurrentHashMap[
-    ((String, Long, Long), Int), Integer]()
+    ((String, Long, Long, Long), Int, Long, Long), Integer]()
 
   private def scanPartitions(spark: SparkSession, dir: String,
       name: String): Int =
+    // Key includes the split-affecting session confs (ADVICE r21): a
+    // mid-JVM change to maxPartitionBytes/openCostInBytes would
+    // otherwise serve a partition count planned under the old split.
     scanPartsCache.computeIfAbsent(
       (pathFingerprint(spark, s"$dir/$name.parquet"),
-        spark.sparkContext.defaultParallelism),
+        spark.sparkContext.defaultParallelism,
+        spark.sessionState.conf.filesMaxPartitionBytes,
+        spark.sessionState.conf.filesOpenCostInBytes),
       _ => Integer.valueOf(
         load(spark, dir, name).rdd.getNumPartitions)).intValue
 
@@ -143,16 +148,19 @@ object Tables {
   }
 
   /** Content-identity fingerprint of a parquet path for JVM-local
-    * cache keys: (path, Σ data-file lengths + file count, max
-    * data-file mtime). A DIRECTORY-backed table (Spark-written
-    * `documents.parquet/`) reports length 0 and a coarse, listing-
-    * insensitive mtime on its own status, so a (path, mtime, length)
-    * key could serve a stale cache entry for a quickly regenerated
-    * same-size table — folding the per-part statuses catches any
-    * part-file change. Hidden entries (`_SUCCESS`, `.crc`) are
-    * skipped: rewriting only them never changes table content.
+    * cache keys: (path, Σ data-file lengths, file count, max
+    * data-file mtime) — bytes and file count as SEPARATE components
+    * (ADVICE r21: the former `bytes + files` single Long could alias a
+    * rewrite that traded a byte for a file). A DIRECTORY-backed table
+    * (Spark-written `documents.parquet/`) reports length 0 and a
+    * coarse, listing-insensitive mtime on its own status, so a
+    * (path, mtime, length) key could serve a stale cache entry for a
+    * quickly regenerated same-size table — folding the per-part
+    * statuses catches any part-file change. Hidden entries
+    * (`_SUCCESS`, `.crc`) are skipped: rewriting only them never
+    * changes table content.
     */
-  def pathFingerprint(spark: SparkSession, path: String): (String, Long, Long) = {
+  def pathFingerprint(spark: SparkSession, path: String): (String, Long, Long, Long) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     var bytes = 0L
@@ -170,6 +178,6 @@ object Tables {
       }
     }
     walk(fs.getFileStatus(hp))
-    (path, bytes + files, maxM)
+    (path, bytes, files, maxM)
   }
 }

@@ -74,8 +74,8 @@ object FeaturesEtl {
       col("__ord"))
 
     Dedup.keepFirst(projected,
-        keys = Seq("source", "taxon_id", "id", "dbxref"),
-        ord = Seq(col("__ord")))
-      .drop("__ord")
+      keys = Seq("source", "taxon_id", "id", "dbxref"),
+      ord = Seq(col("__ord")),
+      keep = projected.columns.filterNot(_ == "__ord").toSeq)
   }
 }

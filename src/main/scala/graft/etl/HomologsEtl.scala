@@ -70,9 +70,9 @@ object HomologsEtl {
     val both = fwd.unionByName(rev)
 
     val deduped = Dedup.lastWins(both,
-        keys = Seq("ref_gene_id", "ref_taxon_id", "comp_gene_id", "comp_taxon_id"),
-        ord = Seq(col("__ord2")))
-      .drop("__ord2")
+      keys = Seq("ref_gene_id", "ref_taxon_id", "comp_gene_id", "comp_taxon_id"),
+      ord = Seq(col("__ord2")),
+      keep = both.columns.filterNot(_ == "__ord2").toSeq)
     new Result(deduped,
       both.count(),
       named.filter(upper(trim(col("type"))) =!= "ORTHOLOGUE").count())

@@ -91,7 +91,7 @@ object OntologyEtl {
     val all = perFile.reduce(_ unionByName _)
     // D1 — INSERT OR REPLACE on (gene_id, ontology_id): last write in
     // cross-file shell order wins.
-    Dedup.lastWins(all, Seq("gene_id", "ontology_id"), Seq(col("__ord2")))
-      .drop("__ord2")
+    Dedup.lastWins(all, Seq("gene_id", "ontology_id"), Seq(col("__ord2")),
+      keep = all.columns.filterNot(_ == "__ord2").toSeq)
   }
 }

@@ -61,15 +61,20 @@ object SyntenyBlocksEtl {
     val reverse = block(5, 4, 6, 7, 1, 0, 2, 3, dir = 1)
     val both = forward.unionByName(reverse)
 
-    val pkDedup = Dedup.lastWins(both,
-      keys = Seq("ref_taxonid", "comp_taxonid", "ref_chr", "ref_start_pos"),
-      ord = Seq(col("__ord2")))
-    val result =
-      if (opts.strictSqliteCompat)
-        Dedup.lastWins(pkDedup,
-          keys = Seq("ref_taxonid", "comp_taxonid", "ref_chr"),
-          ord = Seq(col("__ord2")))
-      else pkDedup
-    result.drop("__ord2")
+    // The last dedup of the chain drops __ord2 from both the packed
+    // struct and the output (r22 keep projection) — it is only an
+    // ordering input, never a consumed column.
+    val dataCols = both.columns.filterNot(_ == "__ord2").toSeq
+    if (opts.strictSqliteCompat)
+      Dedup.lastWins(
+        Dedup.lastWins(both,
+          keys = Seq("ref_taxonid", "comp_taxonid", "ref_chr", "ref_start_pos"),
+          ord = Seq(col("__ord2"))),
+        keys = Seq("ref_taxonid", "comp_taxonid", "ref_chr"),
+        ord = Seq(col("__ord2")), keep = dataCols)
+    else
+      Dedup.lastWins(both,
+        keys = Seq("ref_taxonid", "comp_taxonid", "ref_chr", "ref_start_pos"),
+        ord = Seq(col("__ord2")), keep = dataCols)
   }
 }

@@ -241,11 +241,15 @@ object MinHashLsh {
   }
 
   /** Per-bucket occupancy of the WHOLE band grid in one aggregation:
-    * (bands, band, key, m) — the single sweep definition both
-    * [[calibrateBands]] and [[calibrateBandsFused]] consume, so the
-    * probe and fused selections can never desync.
+    * (bands, band, key, m) — the single sweep definition
+    * [[calibrateBands]], [[calibrateBandsFused]] and the q185
+    * calibration query all consume, so the probe, fused and reported
+    * selections can never desync. Public since r22 so q185 shares this
+    * single-explode pass instead of re-deriving the grid as a
+    * per-config `unionByName` (|bandGrid| scans of the signature
+    * frame, guide §6).
     */
-  private def gridOccupancy(sigs: DataFrame, idCol: String, k: Int,
+  def gridOccupancy(sigs: DataFrame, idCol: String, k: Int,
       bandGrid: Seq[Int]): DataFrame = {
     require(bandGrid.nonEmpty && bandGrid.forall(b => k % b == 0),
       s"band grid $bandGrid must be non-empty divisors of k=$k")

@@ -198,7 +198,16 @@ object OccupancySweep {
       if (cnts(i) == 0) {
         keys(i) = k; cnts(i) = 1; used += 1
         if (used * 10L >= cap * 7L) grow()
-      } else cnts(i) += 1
+      } else {
+        // ADVICE r20: fail loudly instead of wrapping — a silent Int
+        // overflow would corrupt the exact counts this operator exists
+        // to guarantee (reachable within one decade of the 5e8-doc
+        // pricing rungs).
+        if (cnts(i) == Int.MaxValue) throw new IllegalStateException(
+          s"stratumStats: per-key multiplicity overflow (> ${Int.MaxValue}) " +
+            s"for packed key ${keys(i)} — exact occupancy would be corrupted")
+        cnts(i) += 1
+      }
     }
     val pairs = scala.collection.mutable.Map.empty[Int, (Long, Long)]
     var i = 0

@@ -55,27 +55,55 @@ object PersistLeases {
     */
   final class Scope private[PersistLeases] () {
     private[PersistLeases] val handles = new ConcurrentLinkedQueue[() => Unit]()
+    // Closed once released or spilled (ADVICE r20 medium): a thread
+    // spawned inside `scoped{}` keeps the inherited Scope reference
+    // after the body exits — a lease it registers after release()
+    // would land on a queue nothing drains again. The flag redirects
+    // such late registrations to the session-global queue, where
+    // releaseAll() recovers them (the pre-r20 behavior for threads
+    // with no scope).
+    @volatile private[PersistLeases] var closed = false
 
     /** Register a handle directly on THIS scope — the explicit variant
       * for threads that did not inherit it (pre-existing pool threads,
       * e.g. a streaming `foreachBatch` body): pass the scope in and
       * call this instead of the thread-inferred module [[register]].
+      * A handle arriving after the scope was released/spilled goes to
+      * the session-global queue instead (recoverable, never pinned).
       */
-    def register(release: () => Unit): Unit = { handles.add(release); () }
+    def register(release: () => Unit): Unit = {
+      if (closed) { leases.add(release); () }
+      else {
+        handles.add(release)
+        // add/close race: if the scope closed while we enqueued, its
+        // drain may have already passed this handle — move whatever
+        // is still queued to the global queue (poll is atomic, so a
+        // handle reaches exactly one queue; handles are idempotent).
+        if (closed) {
+          var h = handles.poll()
+          while (h != null) { leases.add(h); h = handles.poll() }
+        }
+        ()
+      }
+    }
 
     /** Drain and run this scope's handles (oldest first). Idempotent —
-      * handles run once; a second release is a no-op.
+      * handles run once; a second release is a no-op. Marks the scope
+      * closed: later registrations divert to the session-global queue.
       */
     def release(): Unit = {
+      closed = true
       var h = handles.poll()
       while (h != null) { h(); h = handles.poll() }
     }
 
     /** Move every pending handle onto the session-global queue (used
       * when the constructing body throws: the handles stay reachable
-      * by [[releaseAll]] instead of dying with the scope).
+      * by [[releaseAll]] instead of dying with the scope). Marks the
+      * scope closed, like [[release]].
       */
     private[PersistLeases] def spillToGlobal(): Unit = {
+      closed = true
       var h = handles.poll()
       while (h != null) { leases.add(h); h = handles.poll() }
     }
@@ -89,9 +117,8 @@ object PersistLeases {
     */
   def register(release: () => Unit): Unit = {
     val s = active.get()
-    if (s != null) s.handles.add(release)
-    else leases.add(release)
-    ()
+    if (s != null) s.register(release) // diverts to global if s closed
+    else { leases.add(release); () }
   }
 
   /** The scope active on the calling thread, if any — for handing to

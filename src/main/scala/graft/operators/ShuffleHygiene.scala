@@ -118,8 +118,12 @@ object ShuffleHygiene {
   /** [[retainedShuffleBytes]] aggregated over EVERY executor (VERDICT
     * r19 #5): runs a short oversubscribed job whose tasks each walk
     * the block-manager dirs of the executor they land on, then sums
-    * ONE measurement per distinct executor id. On `local[*]` there is
-    * a single executor ("driver"), so this equals
+    * ONE measurement per distinct HOST (ADVICE r20: each executor's
+    * walk covers every `blockmgr-*` tree under the node's shared local
+    * dirs, so with multiple executors per node — the common YARN/k8s
+    * layout — a per-executor-id sum would over-count by the
+    * executors-per-node factor). On `local[*]` there is a single
+    * executor ("driver") on one host, so this equals
     * [[retainedShuffleBytes]] exactly (spec-pinned); on a cluster it
     * is the executor-disk high-water mark the local reading silently
     * omits.
@@ -152,11 +156,11 @@ object ShuffleHygiene {
         .orElse(env.conf.getOption("spark.local.dir"))
         .map(_.split(",").toSeq)
         .getOrElse(Seq(System.getProperty("java.io.tmpdir")))
-      Iterator((env.executorId, shuffleBytesInDirs(dirs)))
+      Iterator((env.blockManager.blockManagerId.host, shuffleBytesInDirs(dirs)))
     }.collect()
-      .groupBy(_._1)            // one reading per executor id —
-      .map(_._2.head._2)        // tasks co-located on an executor
-      .sum                      // walked the same dirs
+      .groupBy(_._1)            // one reading per HOST — every executor
+      .map(_._2.head._2)        // on a node walks the same node-level
+      .sum                      // blockmgr trees
   }
 
   /** Sum of `shuffle_*` file sizes under `blockmgr-*` trees rooted at

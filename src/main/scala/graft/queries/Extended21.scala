@@ -63,9 +63,9 @@ object Extended21 {
     * engines time apply-only and the measurement is run-order-free.
     */
   private val trajCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Seq[(Long, String, String, Long)]]()
+    (String, Long, Long, Long), Seq[(Long, String, String, Long)]]()
 
-  private def corpusKey(s: SparkSession, d: String): (String, Long, Long) =
+  private def corpusKey(s: SparkSession, d: String): (String, Long, Long, Long) =
     // per-part-file fingerprint, not the top-level status: a
     // directory-backed corpus (Spark-written documents.parquet) has
     // length 0 and coarse mtime on its own status, which could serve

@@ -113,8 +113,8 @@ object Relational {
         Dedup.lastWins(
             Tables.load(s, d, "orders"),
             keys = Seq("o_custkey"),
-            ord = Seq(col("o_orderdate"), col("o_orderkey")))
-          .select("o_custkey", "o_orderkey", "o_totalprice")
+            ord = Seq(col("o_orderdate"), col("o_orderkey")),
+            keep = Seq("o_custkey", "o_orderkey", "o_totalprice"))
           .orderBy("o_custkey"),
       oracle = Some("""
         SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -129,8 +129,8 @@ object Relational {
         Dedup.keepFirst(
             Tables.load(s, d, "lineitem"),
             keys = Seq("l_partkey"),
-            ord = Seq(col("l_orderkey"), col("l_linenumber")))
-          .select("l_partkey", "l_orderkey", "l_linenumber")
+            ord = Seq(col("l_orderkey"), col("l_linenumber")),
+            keep = Seq("l_partkey", "l_orderkey", "l_linenumber"))
           .orderBy("l_partkey"),
       oracle = Some("""
         SELECT l_partkey, l_orderkey, l_linenumber FROM (

@@ -50,7 +50,7 @@ object EventStream {
     * schema in the same JVM never sees a stale entry.
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+    (String, Long, Long, Long), org.apache.spark.sql.types.StructType]()
 
   private[streaming] def eventsSchema(spark: SparkSession, dir: String) = {
     val p = s"$dir/events.parquet"

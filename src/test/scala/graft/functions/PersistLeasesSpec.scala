@@ -121,6 +121,38 @@ class PersistLeasesSpec extends AnyFunSuite {
     assert(ran === 2, "releaseAll must run the spilled handles")
   }
 
+  test("a lease registered on a released scope diverts to the session queue (ADVICE r20)") {
+    PersistLeases.releaseAll()
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val released = new java.util.concurrent.CountDownLatch(1)
+    val registered = new java.util.concurrent.CountDownLatch(1)
+    // A thread spawned inside scoped{} inherits the Scope and keeps the
+    // reference after the body exits; a lease it registers after
+    // release() must not land on the drained scope's queue (permanently
+    // pinned) — it diverts to the session-global queue, where
+    // releaseAll recovers it.
+    var late: Thread = null
+    val ((), scope) = PersistLeases.scoped {
+      late = new Thread(() => {
+        released.await()
+        PersistLeases.register(() => { ran.incrementAndGet(); () })
+        registered.countDown()
+      })
+      late.start()
+    }
+    scope.release()
+    released.countDown()
+    registered.await()
+    late.join()
+    // plus the explicit-scope variant a pool thread would hit
+    scope.register(() => { ran.incrementAndGet(); () })
+    assert(scope.pending === 0, "closed scope must hold nothing")
+    assert(PersistLeases.pending === 2,
+      "late leases must be on the recoverable session queue")
+    PersistLeases.releaseAll()
+    assert(ran.get === 2, "releaseAll must run the diverted handles")
+  }
+
   test("one Curation pipeline's release frees its cache, not another's") {
     import graft.corpus.Curation
     PersistLeases.releaseAll()

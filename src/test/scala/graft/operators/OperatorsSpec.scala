@@ -217,7 +217,34 @@ class OperatorsSpec extends AnyFunSuite {
         .select("k", "v").as[(Int, Int)].collect().toSet
       assert(first === windowPick(desc = false), s"keepFirst rows=$rows")
       assert(last === windowPick(desc = true), s"lastWins rows=$rows")
+      // r22: the keep projection (pruned packed struct) picks the same
+      // winners as the all-columns form wherever ordinals are unique —
+      // and ord columns need NOT be in keep.
+      val firstKeep = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"), col("tie")),
+          keep = Seq("k", "v"))
+        .as[(Int, Int)].collect().toSet
+      val lastKeep = Dedup.lastWins(df, Seq("k"), Seq(col("ord"), col("tie")),
+          keep = Seq("v", "k")) // keep order ≠ input order, key not first
+        .select("k", "v").as[(Int, Int)].collect().toSet
+      assert(firstKeep === first, s"keepFirst/keep rows=$rows")
+      assert(lastKeep === last, s"lastWins/keep rows=$rows")
     }
+  }
+
+  test("Dedup keep ⊆ keys degenerates to distinct keys; MapType is rejected") {
+    val df = Seq((1, 10, 1L), (1, 11, 2L), (2, 20, 3L)).toDF("k", "v", "ord")
+    val onlyKeys = Dedup.lastWins(df, Seq("k"), Seq(col("ord")), keep = Seq("k"))
+      .as[Int].collect().toSet
+    assert(onlyKeys === Set(1, 2))
+    val withMap = df.withColumn("m", map(col("k"), col("v")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lastWins(withMap, Seq("k"), Seq(col("ord")))
+    }
+    assert(e.getMessage.contains("MapType"))
+    // but excluding the map column via keep works
+    val pruned = Dedup.lastWins(withMap, Seq("k"), Seq(col("ord")),
+        keep = Seq("k", "v")).as[(Int, Int)].collect().toSet
+    assert(pruned === Set((1, 11), (2, 20)))
   }
 
   test("GlobalRank assigns exact 1..N ranks across many range partitions") {
