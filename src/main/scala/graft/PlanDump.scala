@@ -43,15 +43,26 @@ object PlanDump {
     sb.append("# (regenerate: sbt \"runMain graft.PlanDump\")\n")
     selected.foreach { case (name, q) =>
       sb.append(s"\n===== $name =====\n")
+      // Capture EAGERLY-EXECUTED subplans (calibration sweeps, guard
+      // probes) that run during impl construction and therefore never
+      // appear in the final plan below (VERDICT r21 plan-evidence gap).
+      val eager = new StringBuilder
+      PlanProbe.install { (label, edf) =>
+        eager.append(s"\n--- eager subplan: $label ---\n")
+        eager.append(edf.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)): Unit
+      }
       try {
         val df = q.impl(spark, sfDir)
         sb.append(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+        sb.append(eager)
       } catch {
         case e: Throwable =>
           sb.append(s"(plan unavailable: ${e.getClass.getSimpleName}: ${e.getMessage})\n")
-      }
+      } finally PlanProbe.clear()
       spark.catalog.clearCache()
+      graft.functions.PersistLeases.releaseAll()
     }
     val p = Paths.get(out)
     if (p.getParent != null) Files.createDirectories(p.getParent)

@@ -112,6 +112,7 @@ object LshGuard {
     val hotKeys = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxBucket)
+    graft.PlanProbe.record("lshguard.splitHot.occupancyProbe", hotKeys)
     val probe = hotKeys.limit(HotKeyCollectCap + 1).collect()
     if (probe.isEmpty) (banded, None)
     else if (probe.length <= HotKeyCollectCap)

@@ -236,8 +236,9 @@ object MinHashLsh {
     */
   def calibrateBands(sigs: DataFrame, idCol: String, k: Int,
       bandGrid: Seq[Int], pairsPerDocBudget: Long): Int = {
-    val stats = sweepStats(gridOccupancy(sigs, idCol, k, bandGrid)).collect()
-    selectBands(stats, bandGrid, pairsPerDocBudget)
+    val statsDf = sweepStats(gridOccupancy(sigs, idCol, k, bandGrid))
+    graft.PlanProbe.record("minhash.calibrateBands.sweepStats", statsDf)
+    selectBands(statsDf.collect(), bandGrid, pairsPerDocBudget)
   }
 
   /** Per-bucket occupancy of the WHOLE band grid in one aggregation:
@@ -349,7 +350,9 @@ object MinHashLsh {
           org.apache.spark.sql.types.StructType)]) = {
     val occ = gridOccupancy(sigs, idCol, k, bandGrid).persist()
     try {
-      val stats = sweepStats(occ).collect()
+      val statsDf = sweepStats(occ)
+      graft.PlanProbe.record("minhash.calibrateBandsFused.sweepStats", statsDf)
+      val stats = statsDf.collect()
       val selected = selectBands(stats, bandGrid, pairsPerDocBudget)
       (selected, LshGuard.collectHotKnown(
         occ.filter(col("bands") === selected), maxBucket))
@@ -395,17 +398,29 @@ object MinHashLsh {
   def candidatePairsKnown(sigs: DataFrame, idCol: String, k: Int, bands: Int,
       hotRows: Seq[org.apache.spark.sql.Row],
       hotSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val banded = bandKeys(sigs, idCol, k, bands).persist()
-    // materialize the cache with a SHUFFLE-FREE count before the
-    // self-join (the probe path got this as a side effect of its
-    // aggregation): against an unmaterialized cache the join's two
-    // map stages launch concurrently and each computes every banded
-    // partition — the per-band md5 work runs twice (same-JVM A/B at
-    // 500 k docs: +2 s on the join). The count scans once and writes
-    // the blocks; unlike the probe it shuffles nothing.
-    banded.count(): Unit
-    pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
-      idCol, k)
+    if (hotRows.isEmpty)
+      // No hot bucket (the common case): the pair join is a pure
+      // self-join on the banded frame, whose two sides plan the
+      // IDENTICAL exchange — AQE's stage reuse materializes it once,
+      // so the md5 band-key pass over the (caller-persisted) signature
+      // cache runs once with zero extra jobs (r22; formerly a
+      // persist + materialization count() = one whole extra pass).
+      pairsFromSplit((bandKeys(sigs, idCol, k, bands), None), idCol, k)
+    else {
+      val banded = bandKeys(sigs, idCol, k, bands).persist()
+      // three consumers below (cold anti-join + hot join + window) and
+      // the hot/cold split breaks the exchange-identity that the
+      // empty-hot path leans on — materialize the cache with a
+      // SHUFFLE-FREE count before the self-join: against an
+      // unmaterialized cache the join's map stages launch concurrently
+      // and each computes every banded partition — the per-band md5
+      // work runs twice (same-JVM A/B at 500 k docs: +2 s on the
+      // join). The count scans once and writes the blocks; unlike the
+      // probe it shuffles nothing.
+      banded.count(): Unit
+      pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
+        idCol, k)
+    }
   }
 
   /** The banded-join body shared by the probe path and the

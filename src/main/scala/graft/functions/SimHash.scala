@@ -256,17 +256,34 @@ sealed abstract class SimHashFamily(val bits: Int) {
       widthGrid: Seq[Int] = DefaultWidthGrid): org.apache.spark.sql.DataFrame = {
     require(widthGrid.nonEmpty && widthGrid.forall(w => bits % w == 0),
       s"width grid $widthGrid must be non-empty divisors of $bits")
-    widthGrid.map { w =>
-      bandKeys(sigs.select(col(shCol)), shCol, w)
-        .select(lit(w).as("w"), col("band"), col("key"))
-    }.reduce(_ unionByName _)
+    // ONE explode emits every grid config's (w, band, key) rows in a
+    // single pass over the fingerprints (r22 — the
+    // MinHashLsh.gridOccupancy shape): the former per-width bandKeys +
+    // unionByName scanned the fingerprint frame |widthGrid| times for
+    // the identical rows (Σ_w bits/w keys per row either way, pure bit
+    // arithmetic both ways).
+    val keyCols = for { w <- widthGrid; band <- 0 until bits / w } yield
+      struct(lit(w).as("w"), lit(band).as("band"),
+        expr(s"shiftright($shCol, ${band * w})")
+          .bitwiseAND(lit((1L << w) - 1)).as("key"))
+    sigs.select(explode(array(keyCols: _*)).as("__gk"))
+      .select(col("__gk.w").as("w"), col("__gk.band").as("band"),
+        col("__gk.key").as("key"))
       .groupBy("w", "band", "key")
       .agg(count(lit(1)).as("m"))
   }
 
   def widthSweep(sigs: org.apache.spark.sql.DataFrame, shCol: String,
       widthGrid: Seq[Int] = DefaultWidthGrid): org.apache.spark.sql.DataFrame =
-    occupancy(sigs, shCol, widthGrid)
+    widthSweepFromOcc(occupancy(sigs, shCol, widthGrid))
+
+  /** [[widthSweep]] over a prebuilt (possibly persisted) [[occupancy]]
+    * frame — the fused calibrate path shares one occupancy scan
+    * between the sweep and the hot-bucket filtrate.
+    */
+  private def widthSweepFromOcc(occ: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    occ
       .groupBy("w")
       .agg(sum(expr("(m * (m - 1)) div 2")).as("cand_pairs"),
         sum(col("m")).as("tot"))
@@ -291,10 +308,13 @@ sealed abstract class SimHashFamily(val bits: Int) {
     * never desync; the collect is |grid|-row by construction.
     */
   private def sweepStats(sigs: org.apache.spark.sql.DataFrame, shCol: String,
-      widthGrid: Seq[Int]): Seq[(Int, Long, Long)] =
-    widthSweep(sigs, shCol, widthGrid).collect().toSeq.map(r =>
+      widthGrid: Seq[Int]): Seq[(Int, Long, Long)] = {
+    val sweep = widthSweep(sigs, shCol, widthGrid)
+    graft.PlanProbe.record("simhash.widthSweep", sweep)
+    sweep.collect().toSeq.map(r =>
       (r.getAs[Int]("w"), r.getAs[Long]("cand_pairs"),
         r.getAs[Long]("n_docs")))
+  }
 
   /** Selection over the |grid|-row [[widthSweep]] aggregate: the
     * narrowest (highest-recall) width whose candidate load fits
@@ -352,17 +372,50 @@ sealed abstract class SimHashFamily(val bits: Int) {
       maxBucket: Int = LshGuard.DefaultMaxBucket)
       : (Int, org.apache.spark.sql.DataFrame, () => Unit) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val selected = selectWidth(sweepStats(sigs, shCol, widthGrid),
-      widthGrid, pairsPerDocBudget)
-    // persist before the self-join (the candidatePairs pattern): the
-    // guard probe is the materializing action, so the join's two
-    // concurrent map stages then read cached blocks instead of each
-    // re-scanning the sigs input
-    val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol, selected)
-      .persist()
-    (selected,
-      pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, shCol),
-      () => { banded.unpersist(blocking = false); () })
+    // Fused calibrate + hot discovery (r22 — the
+    // MinHashLsh.calibrateBandsFused shape): the sweep's per-bucket
+    // occupancy persists for the duration of the call, so the selected
+    // width's over-cap buckets come from a cached-scan filter instead
+    // of LshGuard.splitHot's second aggregation over the banded frame.
+    val occ = occupancy(sigs, shCol, widthGrid).persist()
+    val (selected, hotOpt) = try {
+      val sweep = widthSweepFromOcc(occ)
+      graft.PlanProbe.record("simhash.calibrated.widthSweep", sweep)
+      val stats = sweep.collect().toSeq.map(r =>
+        (r.getAs[Int]("w"), r.getAs[Long]("cand_pairs"),
+          r.getAs[Long]("n_docs")))
+      val sel = selectWidth(stats, widthGrid, pairsPerDocBudget)
+      (sel, LshGuard.collectHotKnown(occ.filter(col("w") === sel), maxBucket))
+    } finally { occ.unpersist(blocking = false); () }
+    hotOpt match {
+      case Some((rows, _)) if rows.isEmpty =>
+        // No hot bucket (the common case): a pure self-join whose two
+        // sides plan the IDENTICAL exchange — AQE's stage reuse
+        // materializes it once; no persist, no probe, no count job.
+        (selected,
+          pairsFromSplit(
+            (bandKeys(sigs.select(col(idCol), col(shCol)), shCol, selected),
+              None), idCol, shCol),
+          () => ())
+      case Some((rows, schema)) =>
+        // hot/cold split breaks the exchange identity — materialize the
+        // banded cache with a shuffle-free count before the self-join.
+        val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol,
+          selected).persist()
+        banded.count(): Unit
+        (selected,
+          pairsFromSplit(LshGuard.splitHotKnown(banded, rows, schema),
+            idCol, shCol),
+          () => { banded.unpersist(blocking = false); () })
+      case None =>
+        // pathological hot set past HotKeyCollectCap: the probing path
+        // and its distributed split (the probe materializes the cache)
+        val banded = bandKeys(sigs.select(col(idCol), col(shCol)), shCol,
+          selected).persist()
+        (selected,
+          pairsFromSplit(LshGuard.splitHot(banded, maxBucket), idCol, shCol),
+          () => { banded.unpersist(blocking = false); () })
+    }
   }
 
   /** Banded candidate pairs at `w` bits per band with the

@@ -89,14 +89,26 @@ object EmbedNearDup {
       hotRows: Seq[org.apache.spark.sql.Row],
       hotSchema: org.apache.spark.sql.types.StructType)
       : (DataFrame, () => Unit) = {
-    val banded = bandedFrame(vecs, idCol, bands, planesPerBand, dim).persist()
-    // shuffle-free cache materialization before the self-join — see
-    // MinHashLsh.candidatePairsKnown (without it the two join map
-    // stages each re-run the per-band sign dot products)
-    banded.count(): Unit
-    (pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
-        idCol, minCos),
-      () => { banded.unpersist(blocking = false); () })
+    if (hotRows.isEmpty)
+      // No hot cell (the common case): a pure self-join whose two
+      // sides plan the IDENTICAL exchange — AQE's stage reuse
+      // materializes it once, so the sign-mask pass runs once with no
+      // persist and no materialization count() job (r22; the
+      // MinHashLsh.candidatePairsKnown rationale, refereed there at
+      // 1.17×/1.13× on q186/q190).
+      (pairsFromSplit((bandedFrame(vecs, idCol, bands, planesPerBand, dim),
+        None), idCol, minCos), () => ())
+    else {
+      val banded = bandedFrame(vecs, idCol, bands, planesPerBand, dim).persist()
+      // hot/cold split breaks the exchange identity — materialize the
+      // cache with a shuffle-free count before the self-join (without
+      // it the join map stages each re-run the per-band sign dot
+      // products)
+      banded.count(): Unit
+      (pairsFromSplit(LshGuard.splitHotKnown(banded, hotRows, hotSchema),
+          idCol, minCos),
+        () => { banded.unpersist(blocking = false); () })
+    }
   }
 
   /** One row per (vector, band) with the band's packed sign key. The
@@ -274,9 +286,9 @@ object EmbedNearDup {
     */
   def calibratePlanes(vecs: DataFrame, bands: Int, planeGrid: Seq[Int],
       dim: Int, pairsPerVecBudget: Long = 20L): Int = {
-    val stats =
-      sweepStats(gridOccupancy(vecs, bands, planeGrid, dim), bands).collect()
-    selectPlanes(stats, planeGrid, pairsPerVecBudget)
+    val statsDf = sweepStats(gridOccupancy(vecs, bands, planeGrid, dim), bands)
+    graft.PlanProbe.record("embed.calibratePlanes.sweepStats", statsDf)
+    selectPlanes(statsDf.collect(), planeGrid, pairsPerVecBudget)
   }
 
   /** Per-cell occupancy of the WHOLE planes grid in one aggregation:
@@ -372,7 +384,9 @@ object EmbedNearDup {
     var overallMax = planeGrid.max
     while (true) {
       val occ = gridOccupancy(vecs, bands, grid, dim).persist()
-      val stats = sweepStats(occ, bands).collect()
+      val statsDf = sweepStats(occ, bands)
+      graft.PlanProbe.record("embed.calibratePlanesFused.sweepStats", statsDf)
+      val stats = statsDf.collect()
       val fitting = stats.filter(r => r.getAs[Long]("cand_pairs") <=
         r.getAs[Long]("n_vec") * pairsPerVecBudget).map(_.getAs[Int]("p"))
       if (fitting.nonEmpty || overallMax + 2 > PlaneCap) {

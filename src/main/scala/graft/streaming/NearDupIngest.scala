@@ -470,14 +470,21 @@ object NearDupIngest {
         idxDir, tokensCol = "__t")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
       val t0 = System.currentTimeMillis() - 600000L
+      // ONE partitioned write stages all 3 batch files in a single pass
+      // over the delta (r22, guide §6; formerly 3 filter + coalesce(1)
+      // writes — 3 jobs, each re-scanning the delta). partitionBy
+      // drops the synthetic __b from the data files, so each staged
+      // file carries exactly the docs schema the stream reads; the
+      // mtime pinning below is byte-for-byte the former logic.
+      val stage = s"$base/stage"
+      delta.withColumn("__b", expr("(doc_id div 10) % 3"))
+        .coalesce(1).write.partitionBy("__b").parquet(stage)
       for (b <- 0 until 3) {
-        val stage = s"$base/stage$b"
-        delta.filter(expr(s"(doc_id div 10) % 3 = $b"))
-          .coalesce(1).write.parquet(stage)
-        // an EMPTY batch partition may stage no part file at all — skip
+        // an EMPTY batch partition stages no directory at all — skip
         // it (an absent trigger dedups nothing, so later batches keep
         // the oracle's chained semantics under renumbering)
-        new java.io.File(stage).listFiles()
+        Option(new java.io.File(s"$stage/__b=$b").listFiles())
+          .getOrElse(Array.empty)
           .find(f => f.getName.startsWith("part-") &&
             f.getName.endsWith(".parquet"))
           .foreach { part =>
